@@ -1,0 +1,172 @@
+"""Scoring model: broadcastable NumPy lookup tables (CLD2's ScoringTables).
+
+Physical layout mirrors the reference's hash tables
+(internal/cld2tablesummary.h:27-49): 4-way associative buckets probed with
+subscr = (h + (h >> 12)) & (n_buckets - 1) (internal/cldutil_shared.h:380-425).
+We store the full 32-bit gram hash as the slot key (the reference compresses
+to 16 bits for large tables; keeping 32 eliminates false hits) and, per slot,
+up to 3 (language, quantized-log-prob) pairs -- the payload CLD2 packs into a
+`langprob` uint32 (internal/scoreonescriptspan.h:67-68, decode table
+kLgProbV2Tbl at internal/cldutil_shared.h:42-308). Quantization unit matches
+the reference: one step = a factor of 2**1.6 (~3.03), values 1..12.
+
+The whole model serializes to one .npz so Spark executors can lazily load it
+from SparkFiles / a broadcast variable (reference analogue: "dynamic mode"
+flat-file model, public/compact_lang_det.h:382-425).
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+
+import numpy as np
+
+LOG_UNIT = 1.6 * np.log(2.0)  # one qprob step = factor 2**1.6 (ref qprob algebra)
+MAX_QPROB = 12
+SLOTS = 4  # 4-way associative buckets (internal/cld2tablesummary.h:27-31)
+
+
+@dataclass
+class GramTable:
+    """One 4-way-associative gram-hash table (quadgram or CJK unigram)."""
+
+    keys: np.ndarray     # (n_buckets, 4) uint32, 0 = empty
+    langs: np.ndarray    # (n_buckets, 4, 3) uint8 -- *global* lang ids (255 = none)
+    qprobs: np.ndarray   # (n_buckets, 4, 3) uint8 -- 0 = none
+
+    @property
+    def n_buckets(self) -> int:
+        return self.keys.shape[0]
+
+    def probe(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized 4-way probe: hash array -> (found, langs3, qprobs3).
+
+        This is the broadcast-hash-join of n-gram facts against the model
+        dimension (SURVEY.md J1), executed as pure gathers + compares.
+        """
+        h32 = h.astype(np.uint32)
+        sub = ((h32 + (h32 >> np.uint32(12))) & np.uint32(self.n_buckets - 1)).astype(np.int64)
+        keys4 = self.keys[sub]                      # (n, 4)
+        match = keys4 == h32[:, None]
+        found = match.any(axis=1)
+        slot = np.argmax(match, axis=1)
+        langs3 = self.langs[sub, slot]              # (n, 3)
+        qprobs3 = self.qprobs[sub, slot]
+        # zero out misses
+        qprobs3 = np.where(found[:, None], qprobs3, 0)
+        return found, langs3, qprobs3
+
+    @staticmethod
+    def build(counts: dict[int, dict[int, float]], lang_totals: dict[int, float],
+              min_count: float = 1.0) -> "GramTable":
+        """Build from {gram_hash: {global_lang_id: count}}.
+
+        Per gram, keep top-3 languages by rate c/T_lang; the best gets
+        qprob 12, others step down one unit per 2**1.6 rate ratio
+        (mirroring the reference's quantized log-prob packing, MakeLangProb
+        internal/cldutil.cc:610-614).
+        """
+        grams = {h: c for h, c in counts.items() if sum(c.values()) >= min_count and h != 0}
+        n_buckets = 1 << max(6, int(np.ceil(np.log2(max(1, len(grams)) / 2.0))))
+        keys = np.zeros((n_buckets, SLOTS), dtype=np.uint32)
+        langs = np.full((n_buckets, SLOTS, 3), 255, dtype=np.uint8)
+        qprobs = np.zeros((n_buckets, SLOTS, 3), dtype=np.uint8)
+        fill = np.zeros(n_buckets, dtype=np.int8)
+        weight = np.zeros((n_buckets, SLOTS), dtype=np.float64)
+
+        for h, by_lang in grams.items():
+            rates = sorted(
+                ((c / max(lang_totals.get(l, 1.0), 1.0), l) for l, c in by_lang.items()),
+                reverse=True,
+            )[:3]
+            best = rates[0][0]
+            total = sum(by_lang.values())
+            sub = int((np.uint32(h) + (np.uint32(h) >> np.uint32(12))) & np.uint32(n_buckets - 1))
+            if fill[sub] < SLOTS:
+                s = fill[sub]
+                fill[sub] += 1
+            else:
+                s = int(np.argmin(weight[sub]))
+                if weight[sub, s] >= total:
+                    continue  # keep the heavier gram
+            keys[sub, s] = np.uint32(h)
+            weight[sub, s] = total
+            langs[sub, s, :] = 255
+            qprobs[sub, s, :] = 0
+            for j, (r, l) in enumerate(rates):
+                q = MAX_QPROB - int(round(np.log(best / max(r, 1e-12)) / LOG_UNIT))
+                if q < 1:
+                    break
+                langs[sub, s, j] = l
+                qprobs[sub, s, j] = q
+        return GramTable(keys=keys, langs=langs, qprobs=qprobs)
+
+
+@dataclass
+class Cld2sModel:
+    """The full detection model (all broadcast tables)."""
+
+    langs: list[str]                       # global lang id -> ISO code
+    group_tables: dict[str, GramTable]     # script name -> quadgram table
+    cjk_uni: GramTable | None              # CJK unigram table (key = codepoint)
+    expected_1kb: np.ndarray               # (n_langs,) int32 expected score per 1KB
+    version: str = "cld2s-r1"
+    lang_id: dict[str, int] = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not self.lang_id:
+            self.lang_id = {c: i for i, c in enumerate(self.langs)}
+
+    def save(self, path: str) -> None:
+        arrs: dict[str, np.ndarray] = {
+            "langs": np.array(self.langs),
+            "expected_1kb": self.expected_1kb,
+            "version": np.array([self.version]),
+            "group_names": np.array(sorted(self.group_tables)),
+        }
+        for name, t in self.group_tables.items():
+            arrs[f"g_{name}_keys"] = t.keys
+            arrs[f"g_{name}_langs"] = t.langs
+            arrs[f"g_{name}_qprobs"] = t.qprobs
+        if self.cjk_uni is not None:
+            arrs["cjk_keys"] = self.cjk_uni.keys
+            arrs["cjk_langs"] = self.cjk_uni.langs
+            arrs["cjk_qprobs"] = self.cjk_uni.qprobs
+        np.savez_compressed(path, **arrs)
+
+    @staticmethod
+    def load(path_or_bytes) -> "Cld2sModel":
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            z = np.load(io.BytesIO(path_or_bytes), allow_pickle=False)
+        else:
+            z = np.load(path_or_bytes, allow_pickle=False)
+        groups = {}
+        for name in z["group_names"].tolist():
+            groups[name] = GramTable(
+                keys=z[f"g_{name}_keys"], langs=z[f"g_{name}_langs"],
+                qprobs=z[f"g_{name}_qprobs"])
+        cjk = None
+        if "cjk_keys" in z:
+            cjk = GramTable(keys=z["cjk_keys"], langs=z["cjk_langs"],
+                            qprobs=z["cjk_qprobs"])
+        return Cld2sModel(
+            langs=[str(x) for x in z["langs"].tolist()],
+            group_tables=groups, cjk_uni=cjk,
+            expected_1kb=z["expected_1kb"],
+            version=str(z["version"][0]),
+        )
+
+
+_DEFAULT: Cld2sModel | None = None
+
+
+def default_model() -> Cld2sModel:
+    """Lazy per-process singleton of the packaged model (executor-side cache,
+    the analogue of CLD2 dynamic-mode load, internal/compact_lang_det_impl.cc:108-136)."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        from pathlib import Path
+        path = Path(__file__).resolve().parent.parent / "model" / "cld2s_model.npz"
+        _DEFAULT = Cld2sModel.load(str(path))
+    return _DEFAULT

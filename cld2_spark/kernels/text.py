@@ -1,0 +1,123 @@
+"""Vectorized batch text normalization for the langid kernels.
+
+Replaces CLD2's ScriptScanner byte-level scan loop
+(GetOneScriptSpan, reference internal/getonescriptspan.cc:799-1027) with
+whole-batch NumPy array ops: the batch's texts are joined once, decoded to a
+flat uint32 codepoint array, classified per char (script / letter /
+lowercase) via the lookup tables in unicode_tables.py, and carried around as
+struct-of-arrays -- the same SoA decomposition CLD2 uses for its hit buffers
+(internal/scoreonescriptspan.h:196-203), lifted to batch granularity.
+
+Spans are never materialized as objects: every downstream operator works on
+(codepoint, row_id, script, letter) parallel arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import unicode_tables as ut
+
+SPACE = np.uint32(32)
+REPLACEMENT_CHAR = 0xFFFD
+
+
+@dataclass
+class NormBatch:
+    """Struct-of-arrays view of one batch of texts."""
+
+    n: int                # number of rows
+    cp: np.ndarray        # uint32 codepoints (joined; 1 leading + 1 trailing space per row)
+    rid: np.ndarray       # int64 row id per codepoint
+    script: np.ndarray    # uint8 script id per codepoint
+    letter: np.ndarray    # bool is-letter per codepoint
+    lower: np.ndarray     # uint32 lowercased codepoint
+    text_bytes: np.ndarray  # int64 UTF-8 byte length per row (original text)
+    has_replacement: np.ndarray  # bool per row: contains U+FFFD (bad UTF-8 marker)
+
+
+def normalize_batch(texts: list[str]) -> NormBatch:
+    """Join a batch, decode to codepoints, classify each char.
+
+    Each text is wrapped in single spaces so words never span rows and the
+    quad hasher's pre/post-space sensing (internal/cldutil_shared.cc:192-202)
+    works at text edges without branches.
+    """
+    n = len(texts)
+    script_t, letter_t, lower_t = ut.tables()
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return NormBatch(n=0, cp=z.astype(np.uint32), rid=z, script=z.astype(np.uint8),
+                         letter=z.astype(bool), lower=z.astype(np.uint32),
+                         text_bytes=z, has_replacement=z.astype(bool))
+    joined = " " + " ".join(texts) + " "
+    cp = ut.codepoints_of(joined)
+
+    lens = np.fromiter((len(t) for t in texts), count=n, dtype=np.int64)
+    # layout: ' ' t0 ' ' t1 ' ' ... tn-1 ' '  -> leading space owned by row 0
+    rid = np.repeat(np.arange(n, dtype=np.int64), lens + 1)
+    rid = np.concatenate([np.zeros(1, dtype=np.int64), rid])
+
+    cp_c = np.minimum(cp, ut.MAX_CP - 1)
+    script = script_t[cp_c]
+    letter = letter_t[cp_c] & (cp < ut.MAX_CP)
+    lower = np.where(letter, lower_t[cp_c], SPACE).astype(np.uint32)
+
+    # per-row UTF-8 byte counts of the original text
+    u8len = (1 + (cp > 0x7F).astype(np.int64) + (cp > 0x7FF) + (cp > 0xFFFF))
+    tb = np.zeros(n, dtype=np.int64)
+    np.add.at(tb, rid, u8len)
+    tb -= 1  # subtract the trailing wrapper space owned by each row
+    if n:
+        tb[0] -= 1  # row 0 also owns the global leading space
+    tb = np.maximum(tb, 0)
+
+    repl = np.zeros(n, dtype=bool)
+    bad = cp == REPLACEMENT_CHAR
+    if bad.any():
+        np.logical_or.at(repl, rid[bad], True)
+
+    return NormBatch(n=n, cp=cp, rid=rid, script=script, letter=letter,
+                     lower=lower, text_bytes=tb, has_replacement=repl)
+
+
+def group_stream(nb: NormBatch, script_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Compress the batch to one group's letters + single-space separators.
+
+    Equivalent to CLD2's per-scriptspan letter stream ("collapse non-letters
+    to single space", internal/getonescriptspan.cc:799-1027) but computed for
+    a whole batch in one pass. Returns (codepoints, row_ids); the stream
+    always starts with a space and every row boundary is a space, so grams
+    never cross rows.
+    """
+    in_group = nb.letter & np.isin(nb.script, script_ids)
+    arr = np.where(in_group, nb.lower, SPACE)
+    is_sp = arr == SPACE
+    prev_sp = np.empty_like(is_sp)
+    prev_sp[0] = False  # keep position 0 (the global leading space)
+    prev_sp[1:] = is_sp[:-1]
+    keep = ~(is_sp & prev_sp)
+    keep[0] = True
+    return arr[keep], nb.rid[keep]
+
+
+def utf8_offsets(arr: np.ndarray) -> np.ndarray:
+    """Byte offset of each codepoint (plus final end offset) when `arr` is
+    encoded as UTF-8. Shape: len(arr) + 1."""
+    u8len = (1 + (arr > 0x7F).astype(np.int64) + (arr > 0x7FF) + (arr > 0xFFFF))
+    out = np.empty(len(arr) + 1, dtype=np.int64)
+    out[0] = 0
+    np.cumsum(u8len, out=out[1:])
+    return out
+
+
+def encode_utf8(arr: np.ndarray) -> np.ndarray:
+    """Encode a codepoint array to a padded uint8 UTF-8 buffer (one C-level
+    round-trip through str; no per-row Python)."""
+    s = arr.astype("<u4").tobytes()
+    text = s.decode("utf-32-le")
+    raw = text.encode("utf-8")
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    return np.concatenate([buf, np.zeros(32, dtype=np.uint8)])
