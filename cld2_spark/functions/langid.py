@@ -1,0 +1,86 @@
+"""Spark UDF surface for the langid kernels.
+
+Reproduces the reference public API (SURVEY.md §2.10,
+public/compact_lang_det.h:177-306) as Arrow-batched pandas UDFs:
+
+  detect_udf          ~ DetectLanguage           (top language code only)
+  detect_summary_udf  ~ ExtDetectLanguageSummary (top-3 + percents + scores)
+  analyze_udf         = summary + fastText cross-check + perplexity (the
+                        pipeline's combined stage)
+
+All are `Iterator[pd.Series] -> Iterator[...]` UDFs so the broadcast model
+loads once per Python worker, not once per batch
+(executor-side lazy singleton = CLD2 dynamic-mode load,
+internal/compact_lang_det_impl.cc:108-136).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+SUMMARY_SCHEMA = StructType([
+    StructField("lang1", StringType()), StructField("lang2", StringType()),
+    StructField("lang3", StringType()),
+    StructField("pct1", IntegerType()), StructField("pct2", IntegerType()),
+    StructField("pct3", IntegerType()),
+    StructField("ns1", DoubleType()), StructField("ns2", DoubleType()),
+    StructField("ns3", DoubleType()),
+    StructField("rel1", IntegerType()),
+    StructField("text_bytes", LongType()),
+    StructField("is_reliable", BooleanType()),
+])
+
+ANALYZE_SCHEMA = StructType(
+    SUMMARY_SCHEMA.fields + [
+        StructField("ft_lang", StringType()),
+        StructField("ppl", DoubleType()),
+        StructField("tri_grams", LongType()),
+    ]
+)
+
+_SUMMARY_COLS = [f.name for f in SUMMARY_SCHEMA.fields]
+_ANALYZE_COLS = [f.name for f in ANALYZE_SCHEMA.fields]
+
+
+def _to_pdf(res: dict, cols: list[str]) -> pd.DataFrame:
+    return pd.DataFrame({c: res[c] for c in cols})
+
+
+@F.pandas_udf(StringType())
+def detect_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """DetectLanguage analogue: top language code per row."""
+    from cld2_spark.kernels.detect import detect_batch
+    from cld2_spark.kernels.model import default_model
+    model = default_model()
+    for s in batches:
+        res = detect_batch(s.fillna("").tolist(), model)
+        yield pd.Series(res["lang1"])
+
+
+@F.pandas_udf(SUMMARY_SCHEMA)
+def detect_summary_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """ExtDetectLanguageSummary analogue: top-3 + percents + reliability."""
+    from cld2_spark.kernels.detect import detect_batch
+    from cld2_spark.kernels.model import default_model
+    model = default_model()
+    for s in batches:
+        res = detect_batch(s.fillna("").tolist(), model)
+        yield _to_pdf(res, _SUMMARY_COLS)
+
+
+@F.pandas_udf(ANALYZE_SCHEMA)
+def analyze_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Combined langid + cross-check + perplexity (one normalization pass)."""
+    from cld2_spark.kernels.analyze import analyze_batch
+    from cld2_spark.kernels.model import default_model
+    model = default_model()
+    for s in batches:
+        res = analyze_batch(s.fillna("").tolist(), model)
+        yield _to_pdf(res, _ANALYZE_COLS)

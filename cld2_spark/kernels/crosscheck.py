@@ -1,0 +1,89 @@
+"""fastText-style langid cross-check + n-gram perplexity proxy.
+
+Downstream stages mandated by the north rule (SURVEY.md §2.11), not present
+in the reference. Both are linear bag-of-character-ngrams models -- exactly
+fastText's shape -- implemented with the same broadcast 4-way gram tables as
+the main detector, over *trigrams* (independent signal vs. the quadgram
+detector: different gram order, different table).
+
+  - cross-check language = argmax of summed per-trigram lang scores
+    (doc-level, no chunking). Disagreement with the CLD2-style lang1 is a
+    reliability penalty consumed by the keep/drop decision.
+  - perplexity proxy = mean per-gram "surprise": MAX_QPROB minus the gram's
+    best quantized log-prob, with unseen grams maximally surprising.
+    Natural text in any trained language scores low; junk/markup scores
+    high. Thresholded into drop reason 'high_perplexity'.
+
+Vectorized end-to-end: one compressed letter stream per batch, one hash
+pass, one table probe, two scatter-adds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import text as T
+from .hashes import quad_hash_v2
+from .model import MAX_QPROB, Cld2sModel
+
+# mean surprise above this -> 'high_perplexity' (tuned in tests vs corpus)
+PERPLEXITY_THRESHOLD = 9.5
+MIN_GRAMS_FOR_PPL = 4  # fewer trigrams -> no perplexity verdict (too short)
+
+
+def char_trigrams(arr: np.ndarray, rid_s: np.ndarray):
+    """All 3-letter windows (no spaces) in a compressed stream."""
+    n = len(arr)
+    if n < 3:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, np.zeros(32, dtype=np.uint8)
+    is_letter = arr != T.SPACE
+    ok = is_letter[:-2] & is_letter[1:-1] & is_letter[2:]
+    pos = np.flatnonzero(ok)
+    boff = T.utf8_offsets(arr)
+    byte_start = boff[pos]
+    byte_len = boff[pos + 3] - byte_start
+    buf = T.encode_utf8(arr)
+    return rid_s[pos], byte_start, byte_len, buf
+
+
+def crosscheck_batch(texts: list[str], model: Cld2sModel | None = None,
+                     nb: T.NormBatch | None = None) -> dict[str, np.ndarray]:
+    """Returns per-row: ft_lang (code), ft_score (int), ppl (float), n_grams."""
+    if model is None:
+        from .model import default_model
+        model = default_model()
+    tri = model.tri
+    if nb is None:
+        nb = T.normalize_batch(texts)
+    n = nb.n
+    L = len(model.langs)
+
+    # one stream over ALL letters regardless of script
+    all_scripts = np.unique(nb.script[nb.letter]) if n else np.array([], dtype=np.uint8)
+    arr, rid_s = T.group_stream(nb, all_scripts.astype(np.uint8))
+    g_rid, bs, bl, buf = char_trigrams(arr, rid_s)
+
+    scores = np.zeros((n, L), dtype=np.int64)
+    n_grams = np.zeros(n, dtype=np.int64)
+    surprise = np.zeros(n, dtype=np.int64)
+
+    if len(g_rid) and tri is not None:
+        h = quad_hash_v2(buf, bs, np.minimum(bl, 12))
+        found, langs3, qprobs3 = tri.probe(h)
+        for j in range(3):
+            lj = langs3[:, j].astype(np.int64)
+            qj = qprobs3[:, j].astype(np.int64)
+            valid = qj > 0
+            if valid.any():
+                np.add.at(scores, (g_rid[valid], lj[valid]), qj[valid])
+        np.add.at(n_grams, g_rid, 1)
+        best = qprobs3.max(axis=1).astype(np.int64)  # 0 when unseen
+        np.add.at(surprise, g_rid, MAX_QPROB - best)
+
+    top = np.argmax(scores, axis=1)
+    top_score = scores[np.arange(n), top]
+    lang_arr = np.array(model.langs + ["un"], dtype=object)
+    ft_lang = lang_arr[np.where(top_score > 0, top, L)]
+    ppl = np.where(n_grams > 0, surprise / np.maximum(n_grams, 1), float(MAX_QPROB))
+    return {"ft_lang": ft_lang, "ft_score": top_score, "ppl": ppl, "n_grams": n_grams}

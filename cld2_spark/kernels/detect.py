@@ -169,7 +169,7 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
 
 
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,
-                 return_raw: bool = False) -> dict[str, np.ndarray]:
+                 return_raw: bool = False, nb: T.NormBatch | None = None) -> dict[str, np.ndarray]:
     """Detect top-3 languages per text. Pure NumPy; one pass per script group.
 
     Returns dict of per-row arrays matching the reference result contract
@@ -180,7 +180,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     if model is None:
         from .model import default_model
         model = default_model()
-    nb = T.normalize_batch(texts)
+    if nb is None:
+        nb = T.normalize_batch(texts)
     n = nb.n
     L = len(model.langs)
     bytes_rl = np.zeros((n, L), dtype=np.int64)

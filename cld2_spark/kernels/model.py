@@ -82,7 +82,7 @@ class GramTable:
             )[:3]
             best = rates[0][0]
             total = sum(by_lang.values())
-            sub = int((np.uint32(h) + (np.uint32(h) >> np.uint32(12))) & np.uint32(n_buckets - 1))
+            sub = ((h & 0xFFFFFFFF) + ((h & 0xFFFFFFFF) >> 12)) & (n_buckets - 1)
             if fill[sub] < SLOTS:
                 s = fill[sub]
                 fill[sub] += 1
@@ -112,6 +112,7 @@ class Cld2sModel:
     cjk_uni: GramTable | None              # CJK unigram table (key = codepoint)
     expected_1kb: np.ndarray               # (n_langs,) int32 expected score per 1KB
     version: str = "cld2s-r1"
+    tri: GramTable | None = None           # trigram table (fastText cross-check)
     lang_id: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -133,6 +134,10 @@ class Cld2sModel:
             arrs["cjk_keys"] = self.cjk_uni.keys
             arrs["cjk_langs"] = self.cjk_uni.langs
             arrs["cjk_qprobs"] = self.cjk_uni.qprobs
+        if self.tri is not None:
+            arrs["tri_keys"] = self.tri.keys
+            arrs["tri_langs"] = self.tri.langs
+            arrs["tri_qprobs"] = self.tri.qprobs
         np.savez_compressed(path, **arrs)
 
     @staticmethod
@@ -150,9 +155,13 @@ class Cld2sModel:
         if "cjk_keys" in z:
             cjk = GramTable(keys=z["cjk_keys"], langs=z["cjk_langs"],
                             qprobs=z["cjk_qprobs"])
+        tri = None
+        if "tri_keys" in z:
+            tri = GramTable(keys=z["tri_keys"], langs=z["tri_langs"],
+                            qprobs=z["tri_qprobs"])
         return Cld2sModel(
             langs=[str(x) for x in z["langs"].tolist()],
-            group_tables=groups, cjk_uni=cjk,
+            group_tables=groups, cjk_uni=cjk, tri=tri,
             expected_1kb=z["expected_1kb"],
             version=str(z["version"][0]),
         )

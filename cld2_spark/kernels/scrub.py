@@ -1,0 +1,80 @@
+"""PII / toxicity scrubbing patterns shared by every engine.
+
+One definition of each pattern, consumed three ways:
+  - Spark:   F.regexp_replace(col, PATTERN, TOKEN)   (Java regex)
+  - pandas:  Series.str.replace(PATTERN, TOKEN, regex=True)  (Python re)
+  - DuckDB:  regexp_replace(col, PATTERN, TOKEN, 'g')        (RE2)
+
+Patterns are therefore restricted to the common subset: no lookaround, no
+backreferences, no \\b ambiguity across engines (RE2 supports \\b; Java and
+re do too), POSIX-ish classes avoided. Order matters: credit card before
+phone (both are digit runs), SSN before phone.
+
+The scrub stage itself is pure built-in `regexp_replace` chains on the JVM
+(SURVEY.md §2.11) -- no UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+# (name, pattern, replacement token) -- applied in order
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("cc", r"\b(?:\d[ -]?){13,16}\d\b", "<CC>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+# Deterministic toxicity wordlist (placeholder lexicon; a production run
+# swaps in a real one -- the *mechanism* is the deliverable).
+TOXICITY_WORDS: list[str] = [
+    "frakking", "gorram", "smeghead", "belgium++", "shazbot", "frell",
+    "dren", "felgercarb",
+]
+
+TOXICITY_PATTERN = r"(?i)\b(?:" + "|".join(
+    w.replace("+", r"\+") for w in TOXICITY_WORDS) + r")\b"
+
+
+def scrub_pandas(s):
+    """Apply the PII chain to a pandas Series of strings (oracle path)."""
+    out = s.fillna("")
+    for _, pat, tok in PII_PATTERNS:
+        out = out.str.replace(pat, tok, regex=True)
+    return out
+
+
+def toxicity_mask_pandas(s):
+    return s.fillna("").str.contains(TOXICITY_PATTERN, regex=True)
+
+
+def scrub_sql(col: str, dialect: str) -> str:
+    """Render the scrub chain as a SQL expression for `dialect`
+    ('spark' or 'duckdb'). Both engines replace all occurrences (DuckDB
+    needs the 'g' flag)."""
+    expr = col
+    for _, pat, tok in PII_PATTERNS:
+        p = _sql_lit(pat, dialect)
+        if dialect == "duckdb":
+            expr = f"regexp_replace({expr}, '{p}', '{tok}', 'g')"
+        else:
+            expr = f"regexp_replace({expr}, '{p}', '{tok}')"
+    return expr
+
+
+def _sql_lit(pat: str, dialect: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal.
+    Spark SQL treats backslash as an escape char inside string literals
+    (so it must be doubled); DuckDB uses standard SQL literals (no
+    backslash escaping)."""
+    p = pat.replace("'", "''")
+    if dialect == "spark":
+        p = p.replace("\\", "\\\\")
+    return p
+
+
+def toxicity_sql(col: str, dialect: str) -> str:
+    p = _sql_lit(TOXICITY_PATTERN, dialect)
+    if dialect == "duckdb":
+        return f"regexp_matches({col}, '{p}')"
+    return f"{col} rlike '{p}'"

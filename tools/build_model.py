@@ -32,6 +32,7 @@ sys.path.insert(0, str(REPO))
 from cld2_spark.kernels import text as T                 # noqa: E402
 from cld2_spark.kernels import unicode_tables as ut      # noqa: E402
 from cld2_spark.kernels.detect import CJK_SCRIPTS, quad_grams, detect_batch  # noqa: E402
+from cld2_spark.kernels.crosscheck import char_trigrams  # noqa: E402
 from cld2_spark.kernels.hashes import quad_hash_v2       # noqa: E402
 from cld2_spark.kernels.model import Cld2sModel, GramTable  # noqa: E402
 
@@ -103,7 +104,32 @@ def main() -> None:
         cjk_table = GramTable.build({h: dict(c) for h, c in cjk_counts.items()}, totals)
         print(f"cjk: {len(cjk_counts)} distinct chars, {cjk_table.n_buckets} buckets")
 
+    # ---- trigram table for the fastText-style cross-check (all scripts)
+    tri_counts: dict[int, Counter] = defaultdict(Counter)
+    tri_totals: Counter = Counter()
+    for snip in corpus:
+        lang = snip["lang"]
+        if snip["script"] in CJK_LANGS:
+            lang = CJK_LANGS[snip["script"]]
+        if lang == "un" or lang not in lang_id:
+            continue
+        lid = lang_id[lang]
+        nb = T.normalize_batch([snip["text"]])
+        all_scripts = np.unique(nb.script[nb.letter])
+        arr, rid_s = T.group_stream(nb, all_scripts.astype(np.uint8))
+        g_rid, bs, bl, buf = char_trigrams(arr, rid_s)
+        if len(g_rid) == 0:
+            continue
+        hs = quad_hash_v2(buf, bs, np.minimum(bl, 12))
+        for h in hs.tolist():
+            tri_counts[h][lid] += 1
+        tri_totals[lid] += len(hs)
+    tri_table = GramTable.build({h: dict(c) for h, c in tri_counts.items()},
+                                {l: float(c) for l, c in tri_totals.items()})
+    print(f"tri: {len(tri_counts)} distinct trigrams, {tri_table.n_buckets} buckets")
+
     model = Cld2sModel(langs=langs, group_tables=group_tables, cjk_uni=cjk_table,
+                       tri=tri_table,
                        expected_1kb=np.zeros(len(langs), dtype=np.int32),
                        version="cld2s-20260816-corpus")
 
