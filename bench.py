@@ -1,0 +1,124 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the north-rule two-cluster-size proxy when CLD2S_SCALING=1
+(default): the same pipeline job at local[8] and local[32] over identical
+input; scaling efficiency = (T8 / T32) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("CLD2S_BENCH_REPLICATE", "8"))
+SCALING = os.environ.get("CLD2S_SCALING", "1") == "1"
+
+
+def _sf(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_transcripts(spark, sf_dir: str, replicate: int):
+    """Deterministic bench input: the transcripts view over `documents`,
+    replicated `replicate`x with distinct conv ids (same text distribution,
+    more rows). Cached+materialized so query timings exclude synth cost."""
+    from cld2_spark.sources.transcripts import transcripts_view_sql
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(transcripts_view_sql("spark", "documents")).createOrReplaceTempView("t0")
+    df = spark.sql(
+        f"SELECT concat(t0.conv_id, '_', r.id) AS conv_id, turn_idx, role, text, tool, ts "
+        f"FROM t0 CROSS JOIN (SELECT id FROM range({replicate})) r")
+    df = df.repartition(spark.sparkContext.defaultParallelism).cache()
+    n = df.count()
+    return df, n
+
+
+def run_pipeline_timed(spark, df) -> float:
+    from cld2_spark.pipeline.stages import run_pipeline
+
+    t0 = time.monotonic()
+    out = run_pipeline(df)
+    # count() forces full execution; noop write would also work
+    out.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def time_query(fn, spark, sf_dir) -> float:
+    t0 = time.monotonic()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def run_at(cores: int, sf_dir: str, replicate: int) -> tuple[float, int]:
+    from cld2_spark.session import get_spark
+
+    spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
+    try:
+        df, n = bench_transcripts(spark, sf_dir, replicate)
+        # warm-up (JIT, python workers, model load)
+        run_pipeline_timed(spark, df.limit(2000))
+        sec = run_pipeline_timed(spark, df)
+        return sec, n
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from cld2_spark.session import get_spark
+
+    result: dict = {"unit": "sec", "sf": _sf(SF_DIR), "cpus": CPUS}
+    queries: dict[str, float] = {}
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    try:
+        df, n_turns = bench_transcripts(spark, SF_DIR, REPLICATE)
+        run_pipeline_timed(spark, df.limit(2000))  # warm-up
+        pipe_sec = run_pipeline_timed(spark, df)
+        queries["keep_drop_pipeline"] = round(pipe_sec, 3)
+
+        for name in ["scrub_pii", "quality_flags", "conv_rollup",
+                     "pricing_summary", "dedup_exact", "minhash_pairs",
+                     "token_stats", "ann_cosine"]:
+            queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
+    finally:
+        spark.stop()
+
+    result["queries"] = queries
+    result["n_turns"] = n_turns
+    result["turns_per_sec"] = round(n_turns / pipe_sec, 1)
+
+    if SCALING:
+        s8, n8 = run_at(8, SF_DIR, REPLICATE)
+        s32, n32 = run_at(32, SF_DIR, REPLICATE)
+        tp8, tp32 = n8 / s8, n32 / s32
+        result["scaling"] = {
+            "local8_sec": round(s8, 3), "local32_sec": round(s32, 3),
+            "local8_turns_per_sec": round(tp8, 1),
+            "local32_turns_per_sec": round(tp32, 1),
+            "efficiency_8_to_32": round((tp32 / tp8) / 4.0, 3),
+        }
+
+    result["metric"] = "keep_drop_pipeline_sec"
+    result["value"] = queries["keep_drop_pipeline"]
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  - `cosine_topk`: brute-force cosine top-k -- the correctness baseline.
+    Broadcast the (small) query side; the big side streams map-side, dot
+    products run in whole-stage codegen (zip_with/aggregate), top-k via
+    window. Zero Python.
+  - `lsh_cosine_topk`: the scale path -- random-hyperplane LSH sign buckets;
+    only vectors sharing a bucket (across any of `n_tables` tables) are
+    compared. At 10^9+ vectors this turns the quadratic join into a
+    per-bucket join; planes are a tiny deterministic broadcast literal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"0D, (acc, v) -> acc + v)")
+
+
+def _norm(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k: broadcast(queries) x vectors."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    sim = F.expr(_dot("qv", "nv")) / (F.expr(_norm("qv")) * F.expr(_norm("nv")))
+    scored = (v.crossJoin(F.broadcast(q))
+              .where(F.col("nid") != F.col("qid"))
+              .select("qid", "nid", sim.alias("sim")))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def _planes_literal(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes as a plain literal (broadcast-safe)."""
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
+    """SQL expression: sign-bit bucket id of a vector under `planes`."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = "array(" + ", ".join(f"{x}D" for x in p) + ")"
+        bits.append(f"(CASE WHEN {_dot(vec_col, arr)} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 6, n_tables: int = 3, dim: int = 64) -> DataFrame:
+    """LSH-bucketed approximate cosine top-k (scale path).
+
+    Vectors and queries are bucketed by `n_tables` independent sign-bit
+    codes; candidates = same bucket in ANY table; exact cosine re-rank."""
+    parts_v, parts_q = [], []
+    for t in range(n_tables):
+        planes = _planes_literal(dim, n_planes, seed=42 + t)
+        bexpr = lsh_bucket_expr(vec_col, planes)
+        key = F.concat(F.lit(f"{t}_"), F.expr(bexpr).cast("string")).alias("bucket")
+        parts_v.append(vectors.select(F.col(id_col).alias("nid"),
+                                      F.col(vec_col).alias("nv"), key))
+        parts_q.append(queries.select(F.col(id_col).alias("qid"),
+                                      F.col(vec_col).alias("qv"), key))
+    sv, sq = parts_v[0], parts_q[0]
+    for pv, pq in zip(parts_v[1:], parts_q[1:]):
+        sv, sq = sv.unionAll(pv), sq.unionAll(pq)
+    sim = F.expr(_dot("qv", "nv")) / (F.expr(_norm("qv")) * F.expr(_norm("nv")))
+    cand = (sv.join(F.broadcast(sq), "bucket")
+            .where(F.col("nid") != F.col("qid"))
+            .select("qid", "nid", sim.alias("sim"))
+            .groupBy("qid", "nid").agg(F.first("sim").alias("sim")))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -1,0 +1,35 @@
+"""Text-analysis operators for training-data pipelines (SQL-first).
+
+Everything here is whole-stage-codegen SQL except heuristic language-ID,
+which reuses the langid kernels. Token counting uses a whitespace split plus
+a BPE-ish regex token count; fingerprinting is a normalized md5 (and the
+rolling SimHash lives in operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# BPE-ish word/number/punct tokens (portable across Java regex / RE2 / re)
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.trim(F.col(text_col))
+    ws_tokens = F.when(F.length(t) == 0, 0).otherwise(F.size(F.split(t, r"\s+")))
+    pat = BPE_TOKEN_PATTERN.replace("\\", "\\\\")
+    bpe_count = F.expr(f"size(regexp_extract_all(trim({text_col}), '{pat}', 0))")
+    return (df
+            .withColumn("n_ws_tokens", ws_tokens)
+            .withColumn("n_bpe_tokens", bpe_count)
+            .withColumn("fingerprint", F.md5(F.lower(t))))
+
+
+def lang_distribution(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language histogram via the langid UDF: one Python stage, then a
+    map-side-combinable groupBy (partial agg before the single shuffle)."""
+    from cld2_spark.functions.langid import detect_udf
+
+    return (df.select(detect_udf(F.col(text_col)).alias("lang"))
+            .groupBy("lang").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n")))

@@ -1,0 +1,136 @@
+"""Tests for the training-data operators: dedup, similarity, multimodal,
+text stats, and the streaming wrapper."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river banks"),  # near dup
+        (3, "completely different text about spark catalyst optimizer internals"),
+        (4, "another unrelated sentence mentioning arrow batches and pandas udfs"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from cld2_spark.operators.dedup import exact_dedup
+    out = exact_dedup(docs).toPandas()
+    assert sorted(out.doc_id) == [0, 2, 3, 4, 5]  # doc 1 removed, 0 kept
+
+
+def test_minhash_lsh_pairs(docs):
+    from cld2_spark.operators.dedup import minhash_lsh_pairs
+    out = minhash_lsh_pairs(docs, min_jaccard_pct=50).toPandas()
+    pairs = set(zip(out.a, out.b))
+    assert (0, 1) in pairs           # exact dup found
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert all(a < b for a, b in pairs)
+    assert not any({3, 4} == {a, b} for a, b in pairs)
+
+
+def test_simhash_pairs(docs):
+    from cld2_spark.operators.dedup import simhash_pairs
+    out = simhash_pairs(docs, max_hamming=6).toPandas()
+    pairs = set(zip(out.a, out.b))
+    assert (0, 1) in pairs
+    ham01 = out[(out.a == 0) & (out.b == 1)].hamming.iloc[0]
+    assert ham01 == 0  # identical text -> identical fingerprint
+
+
+def test_simhash_batch_deterministic():
+    from cld2_spark.operators.dedup import simhash64_batch
+    a = simhash64_batch(["hello world text", "hello world text", "other"])
+    assert a[0] == a[1] != a[2]
+    b = simhash64_batch(["other", "hello world text"])
+    assert b[1] == a[0] and b[0] == a[2]  # batch-position independent
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 8).astype("float32")
+    base[1] = base[0] + 0.01 * rng.randn(8).astype("float32")  # near-neighbor pair
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(vectors):
+    from cld2_spark.operators.similarity import cosine_topk
+    q = vectors.where(F.col("vec_id") < 2)
+    out = cosine_topk(vectors, q, k=3).toPandas()
+    assert set(out.qid) == {0, 1}
+    top0 = out[(out.qid == 0) & (out["rank"] == 1)].nid.iloc[0]
+    assert top0 == 1  # the planted near-neighbor
+    assert (out.groupby("qid").size() == 3).all()
+
+
+def test_lsh_cosine_topk_recovers_planted_pair(vectors):
+    from cld2_spark.operators.similarity import lsh_cosine_topk
+    q = vectors.where(F.col("vec_id") < 2)
+    out = lsh_cosine_topk(vectors, q, k=3, dim=8).toPandas()
+    got0 = out[(out.qid == 0)].sort_values("rank").nid.tolist()
+    assert 1 in got0  # planted neighbor shares sign-buckets with its twin
+
+
+def test_multimodal_features(spark):
+    from cld2_spark.operators.multimodal import extract_features, frame_sample, synth_media
+    media = synth_media(spark, 30)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 16 for f in feats.feature)
+    # deterministic: same payload -> same feature
+    again = extract_features(media).toPandas().sort_values("media_id")
+    f0 = feats.sort_values("media_id").feature.iloc[0]
+    assert list(again.feature.iloc[0]) == list(f0)
+
+    frames = frame_sample(media, every_ms=1000).toPandas()
+    assert set(frames.media_id) == {i for i in range(30) if i % 3 == 2}
+    assert (frames.groupby("media_id").size() == 5).all()  # 5000ms / 1000
+
+
+def test_token_stats(spark):
+    from cld2_spark.operators.textstats import with_token_stats
+    df = spark.createDataFrame(
+        [(0, "hello world, it's 42 degrees"), (1, ""), (2, "  one  ")],
+        "doc_id long, text string")
+    out = with_token_stats(df).toPandas().sort_values("doc_id")
+    assert out.n_ws_tokens.tolist() == [5, 0, 1]
+    # hello|world|,|it|'|s|42|degrees -> 8 BPE-ish tokens
+    assert out.n_bpe_tokens.tolist() == [8, 0, 1]
+    assert out.fingerprint.iloc[0] != out.fingerprint.iloc[2]
+
+
+def test_lang_distribution(spark):
+    import json
+    from pathlib import Path
+    from cld2_spark.operators.textstats import lang_distribution
+    pairs = [json.loads(line) for line in
+             (Path(__file__).parent / "data" / "cld2_unittest_pairs.jsonl").open()]
+    df = spark.createDataFrame([(p["text"],) for p in pairs[:30]], "text string")
+    out = lang_distribution(df).toPandas()
+    assert out.n.sum() == 30
+    assert len(out) > 10  # many languages present
+
+
+def test_streaming_pipeline(spark, tmp_path):
+    from cld2_spark.sources.transcripts import synth_transcripts_pandas
+    from cld2_spark.streaming.stream import start_pipeline_stream
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    pdf = synth_transcripts_pandas(200)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+
+    q = start_pipeline_stream(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(sink))
+    assert out.count() == 200
+    assert set(out.columns) >= {"conv_id", "turn_idx", "keep", "scrubbed_text"}
