@@ -86,7 +86,7 @@ def _q_turn_window(spark, sf_dir):
     return spark.sql(
         "SELECT conv_id, turn_idx, "
         "ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn, "
-        "LAG(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_len "
+        "COALESCE(LAG(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx), -1) AS prev_len "
         "FROM transcripts")
 
 
@@ -136,39 +136,63 @@ def _q_dedup_exact(spark, sf_dir):
         "COUNT(*) AS n_copies FROM dup_docs GROUP BY md5(text)")
 
 
+def _band_exprs_spark():
+    """LSH bands of r=3 minhashes each: collision prob = J**3 per band, so
+    vocabulary-overlap noise (J~0.2) stays out of the candidate set while
+    true near-dups (J~1) collide with prob ~1 per band."""
+    out = []
+    for b in range(N_BANDS):
+        mins = ", ".join(
+            f"array_min(transform(shingles, s -> md5(concat('{3 * b + r}_', s))))"
+            for r in range(3))
+        out.append(f"md5(concat_ws('|', {mins})) AS band{b}")
+    return ", ".join(out)
+
+
+def _band_exprs_duck():
+    out = []
+    for b in range(N_BANDS):
+        mins = " || '|' || ".join(
+            f"list_aggregate(list_transform(shingles, s -> md5('{3 * b + r}_' || s)), 'min')"
+            for r in range(3))
+        out.append(f"md5({mins}) AS band{b}")
+    return ", ".join(out)
+
+
 def _q_minhash_signatures(spark, sf_dir):
     _register(spark, sf_dir)
-    bands = ", ".join(
-        f"array_min(transform(shingles, s -> md5(concat('{b}', s)))) AS band{b}"
-        for b in range(N_BANDS))
     return spark.sql(
-        f"SELECT doc_id, {bands} FROM "
+        f"SELECT doc_id, {_band_exprs_spark()} FROM "
         f"(SELECT doc_id, {_SHINGLE_SPARK} AS shingles FROM dup_docs "
         f" WHERE length(text) >= 5)")
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """LSH banding: candidate pairs sharing any band signature, verified by
-    exact shingle-set Jaccard >= 50%."""
+    """LSH banding: candidate id-pairs sharing any band signature, then one
+    join back to the shingle sets for exact Jaccard verification. Ids-only
+    through the band self-join (no arrays in the shuffle)."""
     _register(spark, sf_dir)
-    bands = ", ".join(
-        f"array_min(transform(shingles, s -> md5(concat('{b}', s)))) AS band{b}"
-        for b in range(N_BANDS))
     spark.sql(
-        f"SELECT doc_id, shingles, {bands} FROM "
+        f"SELECT doc_id, {_band_exprs_spark()} FROM "
         f"(SELECT doc_id, {_SHINGLE_SPARK} AS shingles FROM dup_docs "
         f" WHERE length(text) >= 5)").createOrReplaceTempView("mh_sigs")
     band_union = " UNION ALL ".join(
-        f"SELECT band{b} AS band_key, doc_id, shingles FROM mh_sigs" for b in range(N_BANDS))
+        f"SELECT band{b} AS band_key, doc_id FROM mh_sigs" for b in range(N_BANDS))
+    spark.sql(
+        f"SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+        f"FROM ({band_union}) x JOIN ({band_union}) y "
+        f"ON x.band_key = y.band_key AND x.doc_id < y.doc_id"
+    ).createOrReplaceTempView("mh_cand")
+    spark.sql(
+        f"SELECT doc_id, array_distinct({_SHINGLE_SPARK}) AS st FROM dup_docs "
+        f"WHERE length(text) >= 5").createOrReplaceTempView("mh_sets")
     return spark.sql(
-        f"SELECT DISTINCT a, b, jacc_pct FROM ("
-        f"  SELECT x.doc_id AS a, y.doc_id AS b, "
-        f"  CAST(FLOOR(size(array_intersect(array_distinct(x.shingles), array_distinct(y.shingles))) * 100 / "
-        f"       (size(array_distinct(x.shingles)) + size(array_distinct(y.shingles)) "
-        f"        - size(array_intersect(array_distinct(x.shingles), array_distinct(y.shingles))))) AS INT) AS jacc_pct "
-        f"  FROM ({band_union}) x JOIN ({band_union}) y "
-        f"  ON x.band_key = y.band_key AND x.doc_id < y.doc_id"
-        f") WHERE jacc_pct >= 50")
+        "SELECT a, b, jacc_pct FROM ("
+        "  SELECT a, b, CAST(FLOOR(size(array_intersect(sa.st, sb.st)) * 100 / "
+        "       (size(sa.st) + size(sb.st) - size(array_intersect(sa.st, sb.st)))) AS INT) AS jacc_pct "
+        "  FROM mh_cand JOIN mh_sets sa ON mh_cand.a = sa.doc_id "
+        "  JOIN mh_sets sb ON mh_cand.b = sb.doc_id"
+        ") WHERE jacc_pct >= 50")
 
 
 def _q_token_stats(spark, sf_dir):
@@ -247,14 +271,16 @@ def oracle_sql() -> dict[str, str]:
     from cld2_spark.kernels.scrub import scrub_sql, toxicity_sql
 
     ctes = _duck_ctes()
-    bands = ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{b}' || s)), 'min') AS band{b}"
-        for b in range(N_BANDS))
-    mh_sigs = (f"mh_sigs AS (SELECT doc_id, shingles, {bands} FROM "
+    mh_sigs = (f"mh_sigs AS (SELECT doc_id, {_band_exprs_duck()} FROM "
                f"(SELECT doc_id, {_SHINGLE_DUCK} AS shingles FROM dup_docs "
                f" WHERE length(text) >= 5))")
     band_union = " UNION ALL ".join(
-        f"SELECT band{b} AS band_key, doc_id, shingles FROM mh_sigs" for b in range(N_BANDS))
+        f"SELECT band{b} AS band_key, doc_id FROM mh_sigs" for b in range(N_BANDS))
+    mh_cand = (f"mh_cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
+               f"FROM ({band_union}) x JOIN ({band_union}) y "
+               f"ON x.band_key = y.band_key AND x.doc_id < y.doc_id)")
+    mh_sets = (f"mh_sets AS (SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS st "
+               f"FROM dup_docs WHERE length(text) >= 5)")
 
     dot = ("list_sum(list_transform(list_zip(q.embedding, e.embedding), "
            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
@@ -275,7 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_window": (
             f"{ctes} SELECT conv_id, turn_idx, "
             f"ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn, "
-            f"LAG(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_len "
+            f"COALESCE(LAG(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx), -1) AS prev_len "
             f"FROM transcripts"),
         "conv_rollup": (
             f"{ctes} SELECT conv_id, COUNT(*) AS n_turns, "
@@ -305,14 +331,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": (
             f"{ctes}, {mh_sigs} SELECT doc_id, band0, band1, band2, band3 FROM mh_sigs"),
         "minhash_pairs": (
-            f"{ctes}, {mh_sigs} "
-            f"SELECT DISTINCT a, b, jacc_pct FROM ("
-            f"  SELECT x.doc_id AS a, y.doc_id AS b, "
-            f"  CAST(FLOOR(len(list_intersect(list_distinct(x.shingles), list_distinct(y.shingles))) * 100 / "
-            f"       (len(list_distinct(x.shingles)) + len(list_distinct(y.shingles)) "
-            f"        - len(list_intersect(list_distinct(x.shingles), list_distinct(y.shingles))))) AS INT) AS jacc_pct "
-            f"  FROM ({band_union}) x JOIN ({band_union}) y "
-            f"  ON x.band_key = y.band_key AND x.doc_id < y.doc_id"
+            f"{ctes}, {mh_sigs}, {mh_cand}, {mh_sets} "
+            f"SELECT a, b, jacc_pct FROM ("
+            f"  SELECT a, b, CAST(FLOOR(len(list_intersect(sa.st, sb.st)) * 100 / "
+            f"       (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))) AS INT) AS jacc_pct "
+            f"  FROM mh_cand JOIN mh_sets sa ON mh_cand.a = sa.doc_id "
+            f"  JOIN mh_sets sb ON mh_cand.b = sb.doc_id"
             f") WHERE jacc_pct >= 50"),
         "token_stats": (
             "SELECT doc_id, "

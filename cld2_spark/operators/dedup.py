@@ -41,41 +41,51 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return w.join(keep, [id_col, "__h"], "inner").drop("__h")
 
 
+ROWS_PER_BAND = 3  # r: per-band collision prob = jaccard**r
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        n_bands: int = N_BANDS, k: int = SHINGLE_K) -> DataFrame:
-    """Per-row minhash band signatures (min-wise md5 over char shingles)."""
+    """Per-row LSH band signatures: each band = md5 of r=3 min-wise md5
+    minima, so a band collision implies jaccard**3-probability agreement
+    (keeps vocabulary-overlap noise out of the candidate set)."""
     sh = _shingles_expr(text_col, k)
     out = df.withColumn("__sh", F.expr(sh))
     for b in range(n_bands):
-        out = out.withColumn(
-            f"band{b}",
-            F.expr(f"array_min(transform(__sh, s -> md5(concat('{b}', s))))"))
+        mins = ", ".join(
+            f"array_min(transform(__sh, s -> md5(concat('{ROWS_PER_BAND * b + r}_', s))))"
+            for r in range(ROWS_PER_BAND))
+        out = out.withColumn(f"band{b}", F.expr(f"md5(concat_ws('|', {mins}))"))
     return out.drop("__sh")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n_bands: int = N_BANDS, k: int = SHINGLE_K,
                       min_jaccard_pct: int = 50) -> DataFrame:
-    """Candidate pairs via LSH banding, verified by exact shingle Jaccard."""
-    sigs = minhash_signatures(
-        df.select(id_col, text_col).where(F.length(text_col) >= k),
-        text_col, n_bands, k
-    ).withColumn("__set", F.array_distinct(F.expr(_shingles_expr(text_col, k))))
+    """Candidate id-pairs via LSH banding, then ONE join back to shingle
+    sets for exact Jaccard verification. Ids-only through the band
+    self-join: no arrays ride the shuffle (the 100TB-safe shape)."""
+    base = df.select(id_col, text_col).where(F.length(text_col) >= k)
+    sigs = minhash_signatures(base, text_col, n_bands, k)
     stacked = None
     for b in range(n_bands):
         part = sigs.select(F.col(f"band{b}").alias("band_key"),
-                           F.col(id_col).alias("id"), F.col("__set").alias("s"))
+                           F.col(id_col).alias("id"))
         stacked = part if stacked is None else stacked.unionAll(part)
     x, y = stacked.alias("x"), stacked.alias("y")
-    inter = F.size(F.array_intersect(F.col("x.s"), F.col("y.s")))
-    union = F.size(F.col("x.s")) + F.size(F.col("y.s")) - inter
-    pairs = (x.join(y, (F.col("x.band_key") == F.col("y.band_key"))
-                    & (F.col("x.id") < F.col("y.id")))
-             .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
-                     F.floor(inter * 100 / union).cast("int").alias("jacc_pct"))
-             .where(F.col("jacc_pct") >= min_jaccard_pct)
-             .distinct())
-    return pairs
+    cand = (x.join(y, (F.col("x.band_key") == F.col("y.band_key"))
+                   & (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .distinct())
+    sets = base.select(F.col(id_col).alias("id"),
+                       F.array_distinct(F.expr(_shingles_expr(text_col, k))).alias("s"))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    union = F.size(F.col("sa.s")) + F.size(F.col("sb.s")) - inter
+    return (cand.join(sa, F.col("a") == F.col("sa.id"))
+            .join(sb, F.col("b") == F.col("sb.id"))
+            .select("a", "b", F.floor(inter * 100 / union).cast("int").alias("jacc_pct"))
+            .where(F.col("jacc_pct") >= min_jaccard_pct))
 
 
 def simhash64_batch(texts: list[str]) -> np.ndarray:

@@ -23,17 +23,25 @@ sys.path.insert(0, str(REPO))
 import __spark_entry__ as E  # noqa: E402
 
 
+def _norm_val(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "<null>"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = round(float(v), 4)
+        return str(int(f)) if f.is_integer() else str(f)
+    return str(v)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     df.columns = [c.lower() for c in df.columns]
     df = df[sorted(df.columns)]
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(4)
-        elif str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype(str)
+        df[c] = df[c].map(_norm_val)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
