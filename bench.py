@@ -21,7 +21,7 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("CLD2S_BENCH_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("CLD2S_BENCH_REPLICATE", "64"))
 SCALING = os.environ.get("CLD2S_SCALING", "1") == "1"
 
 

@@ -71,15 +71,20 @@ def crosscheck_batch(texts: list[str], model: Cld2sModel | None = None,
     if len(g_rid) and tri is not None:
         h = quad_hash_v2(buf, bs, np.minimum(bl, 12))
         found, langs3, qprobs3 = tri.probe(h)
+        flat_size = n * L
+        sflat = np.zeros(flat_size, dtype=np.float64)
         for j in range(3):
             lj = langs3[:, j].astype(np.int64)
-            qj = qprobs3[:, j].astype(np.int64)
+            qj = qprobs3[:, j]
             valid = qj > 0
             if valid.any():
-                np.add.at(scores, (g_rid[valid], lj[valid]), qj[valid])
-        np.add.at(n_grams, g_rid, 1)
-        best = qprobs3.max(axis=1).astype(np.int64)  # 0 when unseen
-        np.add.at(surprise, g_rid, MAX_QPROB - best)
+                sflat += np.bincount(g_rid[valid] * L + lj[valid],
+                                     weights=qj[valid], minlength=flat_size)
+        scores = sflat.reshape(n, L).astype(np.int64)
+        n_grams = np.bincount(g_rid, minlength=n)
+        best = qprobs3.max(axis=1)  # 0 when unseen
+        surprise = np.bincount(g_rid, weights=MAX_QPROB - best,
+                               minlength=n).astype(np.int64)
 
     top = np.argmax(scores, axis=1)
     top_score = scores[np.arange(n), top]

@@ -136,15 +136,18 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     cid = base[g_rid] + chunk_in_row
     n_chunks = int(chunks_row.sum())
 
-    cs = np.zeros((n_chunks, n_langs), dtype=np.int64)
+    # flattened bincount scatter-add (much faster than np.add.at)
+    flat_size = n_chunks * n_langs
+    cs_flat = np.zeros(flat_size, dtype=np.float64)
     for j in range(3):
         lj = langs3[:, j].astype(np.int64)
-        qj = qprobs3[:, j].astype(np.int64)
+        qj = qprobs3[:, j]
         valid = qj > 0
         if valid.any():
-            np.add.at(cs, (cid[valid], lj[valid]), qj[valid])
-    cb = np.zeros(n_chunks, dtype=np.int64)
-    np.add.at(cb, cid, gram_bytes)
+            cs_flat += np.bincount(cid[valid] * n_langs + lj[valid],
+                                   weights=qj[valid], minlength=flat_size)
+    cs = cs_flat.reshape(n_chunks, n_langs).astype(np.int64)
+    cb = np.bincount(cid, weights=gram_bytes, minlength=n_chunks).astype(np.int64)
     cg = np.bincount(cid, minlength=n_chunks)
 
     win = np.argmax(cs, axis=1)
@@ -163,9 +166,11 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
                    np.where(delta <= 0, 0, np.minimum(maxrel, 100 * delta // thr)))
 
     cr = np.repeat(np.flatnonzero(present), chunks_row[present])  # chunk -> row
-    np.add.at(bytes_rl, (cr, win), cb)
-    np.add.at(score_rl, (cr, win), s1)
-    np.add.at(relw_rl, (cr, win), rel * cb)
+    nr = bytes_rl.shape[0]
+    flat = cr * n_langs + win
+    bytes_rl += np.bincount(flat, weights=cb, minlength=nr * n_langs).astype(np.int64).reshape(nr, n_langs)
+    score_rl += np.bincount(flat, weights=s1, minlength=nr * n_langs).astype(np.int64).reshape(nr, n_langs)
+    relw_rl += np.bincount(flat, weights=rel * cb, minlength=nr * n_langs).astype(np.int64).reshape(nr, n_langs)
 
 
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,

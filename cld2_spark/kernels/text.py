@@ -92,7 +92,12 @@ def group_stream(nb: NormBatch, script_ids: np.ndarray) -> tuple[np.ndarray, np.
     always starts with a space and every row boundary is a space, so grams
     never cross rows.
     """
-    in_group = nb.letter & np.isin(nb.script, script_ids)
+    if len(script_ids) == 1:
+        in_group = nb.letter & (nb.script == script_ids[0])
+    else:
+        lut = np.zeros(ut.N_SCRIPTS, dtype=bool)
+        lut[script_ids] = True
+        in_group = nb.letter & lut[nb.script]
     arr = np.where(in_group, nb.lower, SPACE)
     is_sp = arr == SPACE
     prev_sp = np.empty_like(is_sp)
