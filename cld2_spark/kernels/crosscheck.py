@@ -64,30 +64,38 @@ def crosscheck_batch(texts: list[str], model: Cld2sModel | None = None,
     arr, rid_s = T.group_stream(nb, all_scripts.astype(np.uint8))
     g_rid, bs, bl, buf = char_trigrams(arr, rid_s)
 
-    scores = np.zeros((n, L), dtype=np.int64)
     n_grams = np.zeros(n, dtype=np.int64)
     surprise = np.zeros(n, dtype=np.int64)
 
+    top = np.zeros(n, dtype=np.int64)
+    top_score = np.zeros(n, dtype=np.int64)
     if len(g_rid) and tri is not None:
         h = quad_hash_v2(buf, bs, np.minimum(bl, 12))
         found, langs3, qprobs3 = tri.probe(h)
-        flat_size = n * L
-        sflat = np.zeros(flat_size, dtype=np.float64)
-        for j in range(3):
-            lj = langs3[:, j].astype(np.int64)
-            qj = qprobs3[:, j]
-            valid = qj > 0
-            if valid.any():
-                sflat += np.bincount(g_rid[valid] * L + lj[valid],
-                                     weights=qj[valid], minlength=flat_size)
-        scores = sflat.reshape(n, L).astype(np.int64)
+        # doc-level score fold in cache-resident row cohorts (g_rid sorted)
+        COHORT = 1024
+        lang_j = [langs3[:, j].astype(np.int64) for j in range(3)]
+        q_j = [qprobs3[:, j].astype(np.int32) for j in range(3)]
+        for r0 in range(0, n, COHORT):
+            r1 = min(r0 + COHORT, n)
+            lo, hi = np.searchsorted(g_rid, (r0, r1))
+            if lo == hi:
+                continue
+            sc = np.zeros((r1 - r0) * L, dtype=np.int32)
+            base_idx = (g_rid[lo:hi] - r0) * L
+            for j in range(3):
+                qj = q_j[j][lo:hi]
+                valid = qj > 0
+                if valid.any():
+                    np.add.at(sc, base_idx[valid] + lang_j[j][lo:hi][valid], qj[valid])
+            scm = sc.reshape(r1 - r0, L)
+            top[r0:r1] = np.argmax(scm, axis=1)
+            top_score[r0:r1] = scm[np.arange(r1 - r0), top[r0:r1]]
         n_grams = np.bincount(g_rid, minlength=n)
         best = qprobs3.max(axis=1)  # 0 when unseen
         surprise = np.bincount(g_rid, weights=MAX_QPROB - best,
                                minlength=n).astype(np.int64)
 
-    top = np.argmax(scores, axis=1)
-    top_score = scores[np.arange(n), top]
     lang_arr = np.array(model.langs + ["un"], dtype=object)
     ft_lang = lang_arr[np.where(top_score > 0, top, L)]
     ppl = np.where(n_grams > 0, surprise / np.maximum(n_grams, 1), float(MAX_QPROB))

@@ -136,27 +136,37 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     cid = base[g_rid] + chunk_in_row
     n_chunks = int(chunks_row.sum())
 
-    # flattened bincount scatter-add (much faster than np.add.at)
-    flat_size = n_chunks * n_langs
-    cs_flat = np.zeros(flat_size, dtype=np.float64)
-    for j in range(3):
-        lj = langs3[:, j].astype(np.int64)
-        qj = qprobs3[:, j]
-        valid = qj > 0
-        if valid.any():
-            cs_flat += np.bincount(cid[valid] * n_langs + lj[valid],
-                                   weights=qj[valid], minlength=flat_size)
-    cs = cs_flat.reshape(n_chunks, n_langs).astype(np.int64)
+    # Tote scatter-add in cache-resident cohorts of chunks: per-chunk scores
+    # stay in an L2-sized int16 workspace (the vectorized equivalent of
+    # CLD2's per-chunk Tote, internal/tote.h:36-61). A per-(chunk,lang) sum
+    # is <= 20 grams * qprob 12 * 3 slots = 720, so int16 is safe.
+    COHORT = 2048
+    lang_j = [langs3[:, j].astype(np.int64) for j in range(3)]
+    q_j = [qprobs3[:, j].astype(np.int16) for j in range(3)]
+    win = np.empty(n_chunks, dtype=np.int64)
+    s1 = np.empty(n_chunks, dtype=np.int64)
+    s2 = np.empty(n_chunks, dtype=np.int64)
+    for c0 in range(0, n_chunks, COHORT):
+        c1 = min(c0 + COHORT, n_chunks)
+        lo, hi = np.searchsorted(cid, (c0, c1))
+        csc = np.zeros((c1 - c0) * n_langs, dtype=np.int16)
+        base_idx = (cid[lo:hi] - c0) * n_langs
+        for j in range(3):
+            qj = q_j[j][lo:hi]
+            valid = qj > 0
+            if valid.any():
+                np.add.at(csc, base_idx[valid] + lang_j[j][lo:hi][valid], qj[valid])
+        csm = csc.reshape(c1 - c0, n_langs)
+        win[c0:c1] = np.argmax(csm, axis=1)
+        if n_langs >= 2:
+            top2 = np.partition(csm, n_langs - 2, axis=1)[:, -2:]
+            s2[c0:c1] = top2[:, 0]
+            s1[c0:c1] = top2[:, 1]
+        else:
+            s1[c0:c1] = csm[:, 0]
+            s2[c0:c1] = 0
     cb = np.bincount(cid, weights=gram_bytes, minlength=n_chunks).astype(np.int64)
     cg = np.bincount(cid, minlength=n_chunks)
-
-    win = np.argmax(cs, axis=1)
-    if n_langs >= 2:
-        top2 = np.partition(cs, n_langs - 2, axis=1)[:, -2:]
-        s2, s1 = top2[:, 0], top2[:, 1]
-    else:
-        s1 = cs[:, 0]
-        s2 = np.zeros_like(s1)
 
     # ReliabilityDelta (internal/cldutil.cc:553-570)
     maxrel = np.where(cg < 8, 12 * cg, 100)
@@ -166,11 +176,9 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
                    np.where(delta <= 0, 0, np.minimum(maxrel, 100 * delta // thr)))
 
     cr = np.repeat(np.flatnonzero(present), chunks_row[present])  # chunk -> row
-    nr = bytes_rl.shape[0]
-    flat = cr * n_langs + win
-    bytes_rl += np.bincount(flat, weights=cb, minlength=nr * n_langs).astype(np.int64).reshape(nr, n_langs)
-    score_rl += np.bincount(flat, weights=s1, minlength=nr * n_langs).astype(np.int64).reshape(nr, n_langs)
-    relw_rl += np.bincount(flat, weights=rel * cb, minlength=nr * n_langs).astype(np.int64).reshape(nr, n_langs)
+    np.add.at(bytes_rl, (cr, win), cb)
+    np.add.at(score_rl, (cr, win), s1)
+    np.add.at(relw_rl, (cr, win), rel * cb)
 
 
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,

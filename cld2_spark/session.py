@@ -21,8 +21,18 @@ def get_spark(app: str = "cld2_spark", cores: int | None = None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, int(os.environ.get("CLD2S_SHUFFLE_PARTITIONS", cores)))
+    # Keep glibc from mmap/munmap-ing the kernels' large transient NumPy
+    # arrays: every munmap triggers cross-core TLB-shootdown IPIs, which
+    # serialize all Python workers on a many-core box (measured: 4x -> 20x
+    # scaling at 32 procs with heap reuse). Set on the driver env so the
+    # JVM-spawned Python workers inherit it, and on executorEnv for real
+    # clusters.
+    for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(var, "1073741824")
     return (
         SparkSession.builder
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "1073741824")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "1073741824")
         .master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
