@@ -70,7 +70,7 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
     n = len(arr)
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
-        return z, z, z, np.zeros(32, dtype=np.uint8), z
+        return z, z, z, np.zeros(32, dtype=np.uint8), z, z
     is_sp = arr == T.SPACE
     prev_sp = np.empty_like(is_sp)
     prev_sp[0] = True
@@ -78,7 +78,7 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
     word_start = (~is_sp) & prev_sp
     if not word_start.any():
         z = np.zeros(0, dtype=np.int64)
-        return z, z, z, np.zeros(32, dtype=np.uint8), z
+        return z, z, z, np.zeros(32, dtype=np.uint8), z, z
     wid = np.cumsum(word_start) - 1                      # word id per char
     idx = np.arange(n, dtype=np.int64)
     wstart = idx[word_start]                             # (n_words,)
@@ -106,7 +106,7 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
         row_end[:-1] = g_rid[1:] != g_rid[:-1]
         row_end[-1] = True
         gram_bytes[row_end] = byte_len[row_end]
-    return g_rid, byte_start, byte_len, buf, gram_bytes
+    return g_rid, byte_start, byte_len, buf, gram_bytes, pos
 
 
 def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs, acc):
@@ -205,31 +205,43 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     u8len = (1 + (nb.cp > 0x7F).astype(np.int64) + (nb.cp > 0x7FF) + (nb.cp > 0xFFFF))
     present_scripts = np.unique(nb.script[nb.letter]) if n else np.array([], dtype=np.uint8)
 
+    # RTypeOne scripts: bytes score directly to the script's one language
     for s in present_scripts.tolist():
-        rtype = ut.RTYPE[s]
-        name = ut.SCRIPTS[s][0]
-        if rtype == ut.RTYPE_ONE:
-            lang = ut.DEFAULT_LANG[s]
-            lid = model.lang_id.get(lang)
-            if lid is None:
-                continue
-            mask = nb.letter & (nb.script == s)
-            b = np.zeros(n, dtype=np.int64)
-            np.add.at(b, nb.rid[mask], u8len[mask])
-            rows = np.flatnonzero(b)
-            # A4: score = bytes, reliability 100 (ScoreEntireScriptSpan,
-            # internal/scoreonescriptspan.cc:1132-1160)
-            bytes_rl[rows, lid] += b[rows]
-            score_rl[rows, lid] += b[rows]
-            relw_rl[rows, lid] += 100 * b[rows]
-        elif rtype == ut.RTYPE_MANY and name in model.group_tables:
-            arr, rid_s = T.group_stream(nb, np.array([s], dtype=np.uint8))
-            g_rid, bs, bl, buf, gb = quad_grams(arr, rid_s)
-            if len(g_rid) == 0:
-                continue
+        if ut.RTYPE[s] != ut.RTYPE_ONE:
+            continue
+        lang = ut.DEFAULT_LANG[s]
+        lid = model.lang_id.get(lang)
+        if lid is None:
+            continue
+        mask = nb.letter & (nb.script == s)
+        b = np.zeros(n, dtype=np.int64)
+        np.add.at(b, nb.rid[mask], u8len[mask])
+        rows = np.flatnonzero(b)
+        # A4: score = bytes, reliability 100 (ScoreEntireScriptSpan,
+        # internal/scoreonescriptspan.cc:1132-1160)
+        bytes_rl[rows, lid] += b[rows]
+        score_rl[rows, lid] += b[rows]
+        relw_rl[rows, lid] += 100 * b[rows]
+
+    # RTypeMany scripts: ONE compressed stream for all groups; grams are
+    # dispatched to their script's table by first-char script (replaces
+    # CLD2's per-scriptspan loop with a batched pass)
+    many = [s for s in present_scripts.tolist()
+            if ut.RTYPE[s] == ut.RTYPE_MANY and ut.SCRIPTS[s][0] in model.group_tables]
+    if many:
+        arr, rid_s, scr_s = T.group_stream_with_script(
+            nb, np.array(many, dtype=np.uint8))
+        g_rid, bs, bl, buf, gb, pos = quad_grams(arr, rid_s)
+        if len(g_rid):
             h = quad_hash_v2(buf, bs, bl)
-            found, langs3, qprobs3 = model.group_tables[name].probe(h)
-            _score_hits(g_rid, langs3, qprobs3, gb, QUAD_CHUNK, n, L, acc)
+            g_script = scr_s[pos]
+            for s in many:
+                m = g_script == s
+                if not m.any():
+                    continue
+                tbl = model.group_tables[ut.SCRIPTS[s][0]]
+                found, langs3, qprobs3 = tbl.probe(h[m])
+                _score_hits(g_rid[m], langs3, qprobs3, gb[m], QUAD_CHUNK, n, L, acc)
 
     # CJK unigram pass (J3): each Han/kana/bopomofo char is one gram
     if model.cjk_uni is not None and len(present_scripts) and \

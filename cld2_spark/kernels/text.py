@@ -83,6 +83,23 @@ def normalize_batch(texts: list[str]) -> NormBatch:
                      lower=lower, text_bytes=tb, has_replacement=repl)
 
 
+def group_stream_with_script(nb: NormBatch, script_ids: np.ndarray):
+    """Like group_stream but also returns the per-kept-char script ids, so a
+    single pass can serve several script groups (grams are dispatched to
+    their group's table by first-char script)."""
+    lut = np.zeros(ut.N_SCRIPTS, dtype=bool)
+    lut[script_ids] = True
+    in_group = nb.letter & lut[nb.script]
+    arr = np.where(in_group, nb.lower, SPACE)
+    is_sp = arr == SPACE
+    prev_sp = np.empty_like(is_sp)
+    prev_sp[0] = False
+    prev_sp[1:] = is_sp[:-1]
+    keep = ~(is_sp & prev_sp)
+    keep[0] = True
+    return arr[keep], nb.rid[keep], nb.script[keep]
+
+
 def group_stream(nb: NormBatch, script_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Compress the batch to one group's letters + single-space separators.
 

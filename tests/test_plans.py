@@ -1,0 +1,44 @@
+"""Physical-plan structure gates: the properties that keep the pipeline
+viable at 100TB must hold in the actual Catalyst output, not just in prose."""
+
+from pyspark.sql import functions as F
+
+from cld2_spark.plans.inspect import formatted_plan, plan_stats
+from cld2_spark.pipeline.stages import run_pipeline
+from cld2_spark.sources.transcripts import spark_transcripts
+
+
+def test_pipeline_is_shuffle_free_single_python_stage(spark, tmp_path):
+    # realistic source: parquet scan, not an in-memory relation
+    src = str(tmp_path / "t")
+    spark_transcripts(spark, 500).write.parquet(src)
+    df = run_pipeline(spark.read.parquet(src))
+    stats = plan_stats(df)
+    assert stats["exchanges"] == 0, formatted_plan(df)
+    assert stats["python_stages"] == 1, formatted_plan(df)
+
+
+def test_projection_pushdown_reaches_scan(spark, tmp_path):
+    src = str(tmp_path / "t2")
+    spark_transcripts(spark, 500).write.parquet(src)
+    df = spark.read.parquet(src).select("conv_id", "turn_idx")
+    plan = formatted_plan(df)
+    assert "text" not in plan.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    src = str(tmp_path / "t3")
+    spark_transcripts(spark, 500).write.parquet(src)
+    df = spark.read.parquet(src).where(F.col("role") == "user")
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(role,user)" in plan.replace(" ", "").replace("'", "") or \
+           "EqualTo(role" in plan
+
+
+def test_topk_join_is_broadcast(spark):
+    import __spark_entry__ as E
+    df = E.queries()["top_customers"](spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    assert stats["broadcast_joins"] >= 1
+    assert stats["sortmerge_joins"] == 0

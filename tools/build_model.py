@@ -79,15 +79,22 @@ def main() -> None:
         sid = ut.SCRIPT_ID.get(script)
         if sid is None or ut.RTYPE[sid] != ut.RTYPE_MANY:
             continue  # RTypeOne scripts need no table
-        arr, rid_s = T.group_stream(nb, np.array([sid], dtype=np.uint8))
-        g_rid, bs, bl, buf, gb = quad_grams(arr, rid_s)
+        # identical extraction to inference: one stream over all RTypeMany
+        # scripts, grams dispatched by first-char script
+        many = np.array([s for s in range(ut.N_SCRIPTS)
+                         if ut.RTYPE[s] == ut.RTYPE_MANY], dtype=np.uint8)
+        arr, rid_s, scr_s = T.group_stream_with_script(nb, many)
+        g_rid, bs, bl, buf, gb, pos = quad_grams(arr, rid_s)
         if len(g_rid) == 0:
             continue
         hs = quad_hash_v2(buf, bs, bl)
+        g_script = scr_s[pos]
+        # count only grams of the snippet's declared script to its language
+        m = g_script == sid
         gname = ut.SCRIPTS[sid][0]
-        for h in hs.tolist():
+        for h in hs[m].tolist():
             group_counts[gname][h][lid] += 1
-        group_totals[gname][lid] += len(hs)
+        group_totals[gname][lid] += int(m.sum())
 
     group_tables = {}
     for gname, counts in group_counts.items():
