@@ -22,6 +22,8 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("CLD2S_BENCH_REPLICATE", "64"))
+# scaling runs use a larger input so per-task compute dominates fixed costs
+SCALING_REPLICATE = int(os.environ.get("CLD2S_SCALING_REPLICATE", "256"))
 SCALING = os.environ.get("CLD2S_SCALING", "1") == "1"
 
 
@@ -66,14 +68,17 @@ def time_query(fn, spark, sf_dir) -> float:
 
 
 def run_at(cores: int, sf_dir: str, replicate: int) -> tuple[float, int]:
+    """Steady-state pipeline time at `cores`: one full-size warm run first
+    (spawns every Python worker, loads the model, faults in working-set
+    pages -- one-time costs that amortize to noise over a 10^12-turn run),
+    then the best of two timed runs."""
     from cld2_spark.session import get_spark
 
     spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
     try:
         df, n = bench_transcripts(spark, sf_dir, replicate)
-        # warm-up (JIT, python workers, model load)
-        run_pipeline_timed(spark, df.limit(2000))
-        sec = run_pipeline_timed(spark, df)
+        run_pipeline_timed(spark, df)  # full-size warm-up
+        sec = min(run_pipeline_timed(spark, df) for _ in range(2))
         return sec, n
     finally:
         spark.stop()
@@ -89,7 +94,7 @@ def main() -> None:
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     try:
         df, n_turns = bench_transcripts(spark, SF_DIR, REPLICATE)
-        run_pipeline_timed(spark, df.limit(2000))  # warm-up
+        run_pipeline_timed(spark, df)  # full-size warm-up (see run_at)
         pipe_sec = run_pipeline_timed(spark, df)
         queries["keep_drop_pipeline"] = round(pipe_sec, 3)
 
@@ -105,8 +110,8 @@ def main() -> None:
     result["turns_per_sec"] = round(n_turns / pipe_sec, 1)
 
     if SCALING:
-        s8, n8 = run_at(8, SF_DIR, REPLICATE)
-        s32, n32 = run_at(32, SF_DIR, REPLICATE)
+        s8, n8 = run_at(8, SF_DIR, SCALING_REPLICATE)
+        s32, n32 = run_at(32, SF_DIR, SCALING_REPLICATE)
         tp8, tp32 = n8 / s8, n32 / s32
         result["scaling"] = {
             "local8_sec": round(s8, 3), "local32_sec": round(s32, 3),

@@ -79,16 +79,16 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
     if not word_start.any():
         z = np.zeros(0, dtype=np.int64)
         return z, z, z, np.zeros(32, dtype=np.uint8), z, z
-    wid = np.cumsum(word_start) - 1                      # word id per char
-    idx = np.arange(n, dtype=np.int64)
+    wid = (np.cumsum(word_start, dtype=np.int32) - 1)    # word id per char
+    idx = np.arange(n, dtype=np.int32)
     wstart = idx[word_start]                             # (n_words,)
-    wlen = np.bincount(wid[~is_sp])                      # letters per word
+    wlen = np.bincount(wid[~is_sp]).astype(np.int32)     # letters per word
     o = idx - wstart[wid]                                # offset in word
     L = wlen[wid]
     is_vowel = np.isin(arr, _VOWELS)
     gram = (~is_sp) & ((o == 0) | ((o <= L - 4) & ~is_vowel))
     pos = idx[gram]
-    glen = np.where(o[gram] == 0, np.minimum(L[gram], 4), 4)
+    glen = np.where(o[gram] == 0, np.minimum(L[gram], 4), np.int32(4))
 
     boff = T.utf8_offsets(arr)
     byte_start = boff[pos]
@@ -98,7 +98,7 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
 
     # non-overlapping byte coverage per gram (chunk byte spans, W1 analogue):
     # distance to next gram start within the same row; last gram -> own len
-    gram_bytes = np.empty(len(pos), dtype=np.int64)
+    gram_bytes = np.empty(len(pos), dtype=np.int32)
     if len(pos):
         gram_bytes[:-1] = byte_start[1:] - byte_start[:-1]
         gram_bytes[-1] = byte_len[-1]
@@ -120,18 +120,18 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     N = len(g_rid)
     if N == 0:
         return
-    cnt = np.bincount(g_rid, minlength=n_rows)           # grams per row
+    cnt = np.bincount(g_rid, minlength=n_rows).astype(np.int32)  # grams per row
     present = cnt > 0
-    firsts = np.zeros(n_rows, dtype=np.int64)
+    firsts = np.zeros(n_rows, dtype=np.int32)
     np.cumsum(cnt[:-1], out=firsts[1:])
-    cumidx = np.arange(N, dtype=np.int64) - firsts[g_rid]
+    cumidx = np.arange(N, dtype=np.int32) - firsts[g_rid]
 
     chunks_row = -(-cnt // chunk_size)                   # ceil
     # runt merge: absorb a trailing chunk smaller than half size (W1)
     runt = (cnt % chunk_size > 0) & (cnt % chunk_size < chunk_size // 2) & (chunks_row > 1)
-    chunks_row = chunks_row - runt.astype(np.int64)
+    chunks_row = (chunks_row - runt).astype(np.int32)
     chunk_in_row = np.minimum(cumidx // chunk_size, (chunks_row - 1)[g_rid])
-    base = np.zeros(n_rows, dtype=np.int64)
+    base = np.zeros(n_rows, dtype=np.int32)
     np.cumsum(chunks_row[:-1], out=base[1:])
     cid = base[g_rid] + chunk_in_row
     n_chunks = int(chunks_row.sum())
@@ -144,8 +144,8 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     lang_j = [langs3[:, j].astype(np.int64) for j in range(3)]
     q_j = [qprobs3[:, j].astype(np.int16) for j in range(3)]
     win = np.empty(n_chunks, dtype=np.int64)
-    s1 = np.empty(n_chunks, dtype=np.int64)
-    s2 = np.empty(n_chunks, dtype=np.int64)
+    s1 = np.empty(n_chunks, dtype=np.int32)
+    s2 = np.empty(n_chunks, dtype=np.int32)
     for c0 in range(0, n_chunks, COHORT):
         c1 = min(c0 + COHORT, n_chunks)
         lo, hi = np.searchsorted(cid, (c0, c1))
@@ -165,8 +165,8 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
         else:
             s1[c0:c1] = csm[:, 0]
             s2[c0:c1] = 0
-    cb = np.bincount(cid, weights=gram_bytes, minlength=n_chunks).astype(np.int64)
-    cg = np.bincount(cid, minlength=n_chunks)
+    cb = np.bincount(cid, weights=gram_bytes, minlength=n_chunks).astype(np.int32)
+    cg = np.bincount(cid, minlength=n_chunks).astype(np.int32)
 
     # ReliabilityDelta (internal/cldutil.cc:553-570)
     maxrel = np.where(cg < 8, 12 * cg, 100)
@@ -197,12 +197,13 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         nb = T.normalize_batch(texts)
     n = nb.n
     L = len(model.langs)
-    bytes_rl = np.zeros((n, L), dtype=np.int64)
-    score_rl = np.zeros((n, L), dtype=np.int64)
-    relw_rl = np.zeros((n, L), dtype=np.int64)
+    # int32 is safe: every sum is bounded by TEXT_LIMIT (160KB) * 100
+    bytes_rl = np.zeros((n, L), dtype=np.int32)
+    score_rl = np.zeros((n, L), dtype=np.int32)
+    relw_rl = np.zeros((n, L), dtype=np.int32)
     acc = (bytes_rl, score_rl, relw_rl)
 
-    u8len = (1 + (nb.cp > 0x7F).astype(np.int64) + (nb.cp > 0x7FF) + (nb.cp > 0xFFFF))
+    u8len = nb.u8len
     present_scripts = np.unique(nb.script[nb.letter]) if n else np.array([], dtype=np.uint8)
 
     # RTypeOne scripts: bytes score directly to the script's one language

@@ -22,6 +22,7 @@ from . import unicode_tables as ut
 
 SPACE = np.uint32(32)
 REPLACEMENT_CHAR = 0xFFFD
+TEXT_LIMIT = 160 * 1024  # chars scored per row (CLD2 text limit, K4)
 
 
 @dataclass
@@ -30,7 +31,8 @@ class NormBatch:
 
     n: int                # number of rows
     cp: np.ndarray        # uint32 codepoints (joined; 1 leading + 1 trailing space per row)
-    rid: np.ndarray       # int64 row id per codepoint
+    rid: np.ndarray       # int32 row id per codepoint
+    u8len: np.ndarray     # int8 UTF-8 byte length per codepoint
     script: np.ndarray    # uint8 script id per codepoint
     letter: np.ndarray    # bool is-letter per codepoint
     lower: np.ndarray     # uint32 lowercased codepoint
@@ -49,16 +51,22 @@ def normalize_batch(texts: list[str]) -> NormBatch:
     script_t, letter_t, lower_t = ut.tables()
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
-        return NormBatch(n=0, cp=z.astype(np.uint32), rid=z, script=z.astype(np.uint8),
+        return NormBatch(n=0, cp=z.astype(np.uint32), rid=z.astype(np.int32),
+                         u8len=z.astype(np.int8), script=z.astype(np.uint8),
                          letter=z.astype(bool), lower=z.astype(np.uint32),
                          text_bytes=z, has_replacement=z.astype(bool))
+    # CLD2 scans at most ~160KB of text per document (FLAGS_cld_textlimit,
+    # internal/compact_lang_det_impl.cc:192,1811-1812); the cap also bounds
+    # every per-row accumulator to int32 range
+    if any(len(t) > TEXT_LIMIT for t in texts):
+        texts = [t if len(t) <= TEXT_LIMIT else t[:TEXT_LIMIT] for t in texts]
     joined = " " + " ".join(texts) + " "
     cp = ut.codepoints_of(joined)
 
     lens = np.fromiter((len(t) for t in texts), count=n, dtype=np.int64)
     # layout: ' ' t0 ' ' t1 ' ' ... tn-1 ' '  -> leading space owned by row 0
-    rid = np.repeat(np.arange(n, dtype=np.int64), lens + 1)
-    rid = np.concatenate([np.zeros(1, dtype=np.int64), rid])
+    rid = np.repeat(np.arange(n, dtype=np.int32), lens + 1)
+    rid = np.concatenate([np.zeros(1, dtype=np.int32), rid])
 
     cp_c = np.minimum(cp, ut.MAX_CP - 1)
     script = script_t[cp_c]
@@ -66,7 +74,7 @@ def normalize_batch(texts: list[str]) -> NormBatch:
     lower = np.where(letter, lower_t[cp_c], SPACE).astype(np.uint32)
 
     # per-row UTF-8 byte counts of the original text
-    u8len = (1 + (cp > 0x7F).astype(np.int64) + (cp > 0x7FF) + (cp > 0xFFFF))
+    u8len = (1 + (cp > 0x7F).astype(np.int8) + (cp > 0x7FF) + (cp > 0xFFFF)).astype(np.int8)
     tb = np.zeros(n, dtype=np.int64)
     np.add.at(tb, rid, u8len)
     tb -= 1  # subtract the trailing wrapper space owned by each row
@@ -79,8 +87,9 @@ def normalize_batch(texts: list[str]) -> NormBatch:
     if bad.any():
         np.logical_or.at(repl, rid[bad], True)
 
-    return NormBatch(n=n, cp=cp, rid=rid, script=script, letter=letter,
-                     lower=lower, text_bytes=tb, has_replacement=repl)
+    return NormBatch(n=n, cp=cp, rid=rid, u8len=u8len, script=script,
+                     letter=letter, lower=lower, text_bytes=tb,
+                     has_replacement=repl)
 
 
 def group_stream_with_script(nb: NormBatch, script_ids: np.ndarray):
@@ -128,8 +137,8 @@ def group_stream(nb: NormBatch, script_ids: np.ndarray) -> tuple[np.ndarray, np.
 def utf8_offsets(arr: np.ndarray) -> np.ndarray:
     """Byte offset of each codepoint (plus final end offset) when `arr` is
     encoded as UTF-8. Shape: len(arr) + 1."""
-    u8len = (1 + (arr > 0x7F).astype(np.int64) + (arr > 0x7FF) + (arr > 0xFFFF))
-    out = np.empty(len(arr) + 1, dtype=np.int64)
+    u8len = (1 + (arr > 0x7F).astype(np.int32) + (arr > 0x7FF) + (arr > 0xFFFF))
+    out = np.empty(len(arr) + 1, dtype=np.int32)
     out[0] = 0
     np.cumsum(u8len, out=out[1:])
     return out
