@@ -56,11 +56,10 @@ def _duck_ctes() -> str:
 # ---------------------------------------------------------------- queries ----
 
 def _q_scrub_pii(spark, sf_dir):
-    from cld2_spark.kernels.scrub import scrub_sql
+    from cld2_spark.kernels.scrub import scrub_spark_columns
     _register(spark, sf_dir)
-    return spark.sql(
-        f"SELECT conv_id, turn_idx, {scrub_sql('text', 'spark')} AS scrubbed_text "
-        f"FROM transcripts")
+    df = scrub_spark_columns(spark.table("transcripts"), "text", "scrubbed_text")
+    return df.select("conv_id", "turn_idx", "scrubbed_text")
 
 
 def _q_quality_flags(spark, sf_dir):

@@ -62,6 +62,32 @@ def scrub_sql(col: str, dialect: str) -> str:
     return expr
 
 
+# guards on the ORIGINAL text are sound supersets: replacement tokens
+# contain no '@' and no digits, so a row that ever matches still triggers
+_HAS_DIGIT = "length(translate({orig}, '0123456789', '')) < length({orig})"
+_GUARDS = {
+    "email": "instr({orig}, '@') > 0",
+    "cc": _HAS_DIGIT, "ssn": _HAS_DIGIT, "phone": _HAS_DIGIT, "ip": _HAS_DIGIT,
+}
+
+
+def scrub_spark_columns(df, text_col: str, out_col: str):
+    """Hot-path Spark scrub: one withColumn per pattern (separate Projects,
+    so CollapseProject keeps each expensive regex evaluated once) with each
+    regex gated behind a cheap containment test -- clean rows never enter
+    the regex engine. Output identical to scrub_sql/the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    df = df.withColumn(out_col, F.col(text_col))
+    for name, pat, tok in PII_PATTERNS:
+        p = _sql_lit(pat, "spark")
+        guard = _GUARDS[name].format(orig=text_col)
+        df = df.withColumn(out_col, F.expr(
+            f"CASE WHEN {guard} THEN regexp_replace({out_col}, '{p}', '{tok}') "
+            f"ELSE {out_col} END"))
+    return df
+
+
 def _sql_lit(pat: str, dialect: str) -> str:
     """Escape a regex for embedding in a single-quoted SQL literal.
     Spark SQL treats backslash as an escape char inside string literals

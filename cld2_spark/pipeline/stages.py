@@ -41,9 +41,8 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return (df
-            .withColumn("toxic", F.expr(S.toxicity_sql(text_col, "spark")))
-            .withColumn("scrubbed_text", F.expr(S.scrub_sql(text_col, "spark"))))
+    df = df.withColumn("toxic", F.expr(S.toxicity_sql(text_col, "spark")))
+    return S.scrub_spark_columns(df, text_col, "scrubbed_text")
 
 
 def with_decision(df: DataFrame) -> DataFrame:
