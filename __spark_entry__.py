@@ -221,6 +221,61 @@ def _q_ann_cosine(spark, sf_dir):
         f"  AND {dot} / ({qn} * {en}) > 0.3")
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table (the batch
+    equivalent of the streaming windowed agg, SURVEY.md §2.9)."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        "SELECT unix_timestamp(date_trunc('hour', ts)) AS window_start, "
+        "event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2")
+
+
+def _q_brand_revenue(spark, sf_dir):
+    """lineitem JOIN part with a selective filter -- predicate/column
+    pushdown reaches the parquet scan (verified in tests/test_plans.py)."""
+    _register(spark, sf_dir)
+    from pyspark.sql import functions as F
+    li = spark.table("lineitem").where(F.col("l_quantity") > 30)
+    part = spark.table("part")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_lines")))
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    """Anti join (set difference) -- customers that never ordered."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        "SELECT c_custkey, c_mktsegment FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)")
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (vectorized rolling-hash UDF -> rows-only)."""
+    from cld2_spark.operators.dedup import simhash_pairs
+    _register(spark, sf_dir)
+    return simhash_pairs(spark.table("dup_docs"), max_hamming=3)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate cosine top-k (scale path; rows-only)."""
+    from pyspark.sql import functions as F
+    from cld2_spark.operators.similarity import lsh_cosine_topk
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+
+
+def _q_lang_histogram(spark, sf_dir):
+    """Language distribution over transcripts (langid UDF + groupBy)."""
+    from cld2_spark.operators.textstats import lang_distribution
+    _register(spark, sf_dir)
+    return lang_distribution(spark.table("transcripts"))
+
+
 def _q_langid(spark, sf_dir):
     """CLD2-style langid over transcripts (UDF -> rows-only driver check)."""
     from pyspark.sql import functions as F
@@ -260,6 +315,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "token_stats": _q_token_stats,
         "ann_cosine": _q_ann_cosine,
+        "events_windowed": _q_events_windowed,
+        "brand_revenue": _q_brand_revenue,
+        "customers_without_orders": _q_customers_without_orders,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_lsh": _q_ann_lsh,
+        "lang_histogram": _q_lang_histogram,
         "langid": _q_langid,
         "keep_drop": _q_keep_drop,
     }
@@ -350,5 +411,19 @@ def oracle_sql() -> dict[str, str]:
             f"CROSS JOIN embeddings e "
             f"WHERE e.vec_id != q.vec_id "
             f"  AND {dot} / ({qn} * {en}) > 0.3"),
-        # langid / keep_drop: UDF pipelines, not SQL-expressible -> rows-only
+        "events_windowed": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
+            "event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"),
+        "brand_revenue": (
+            "SELECT p_brand, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_quantity > 30 GROUP BY p_brand"),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_mktsegment FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+        # langid / keep_drop / dedup_simhash / ann_lsh / lang_histogram:
+        # UDF pipelines, not SQL-expressible -> rows-only checks by design
     }

@@ -48,6 +48,19 @@ ANALYZE_SCHEMA = StructType(
 _SUMMARY_COLS = [f.name for f in SUMMARY_SCHEMA.fields]
 _ANALYZE_COLS = [f.name for f in ANALYZE_SCHEMA.fields]
 
+# slim schema for the keep/drop pipeline: only what the decision consumes
+# (less Arrow traffic + pandas assembly per batch)
+PIPELINE_SCHEMA = StructType([
+    StructField("lang1", StringType()),
+    StructField("pct1", IntegerType()),
+    StructField("rel1", IntegerType()),
+    StructField("is_reliable", BooleanType()),
+    StructField("ft_lang", StringType()),
+    StructField("ppl", DoubleType()),
+    StructField("tri_grams", LongType()),
+])
+_PIPELINE_COLS = [f.name for f in PIPELINE_SCHEMA.fields]
+
 
 def _to_pdf(res: dict, cols: list[str]) -> pd.DataFrame:
     return pd.DataFrame({c: res[c] for c in cols})
@@ -84,3 +97,14 @@ def analyze_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     for s in batches:
         res = analyze_batch(s.fillna("").tolist(), model)
         yield _to_pdf(res, _ANALYZE_COLS)
+
+
+@F.pandas_udf(PIPELINE_SCHEMA)
+def pipeline_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """analyze_udf minus the columns the keep/drop decision never reads."""
+    from cld2_spark.kernels.analyze import analyze_batch
+    from cld2_spark.kernels.model import default_model
+    model = default_model()
+    for s in batches:
+        res = analyze_batch(s.fillna("").tolist(), model)
+        yield _to_pdf(res, _PIPELINE_COLS)

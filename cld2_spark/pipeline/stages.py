@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from cld2_spark.functions.langid import analyze_udf
+from cld2_spark.functions.langid import analyze_udf, pipeline_udf
 from cld2_spark.kernels import quality as Q
 from cld2_spark.kernels import scrub as S
 from cld2_spark.pipeline.decide import decision_columns
@@ -29,9 +29,11 @@ from cld2_spark.pipeline.decide import decision_columns
 LD = "ld"  # struct column name for langid output
 
 
-def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the combined langid/cross-check/perplexity struct column."""
-    return df.withColumn(LD, analyze_udf(F.col(text_col)))
+def with_langid(df: DataFrame, text_col: str = "text", slim: bool = True) -> DataFrame:
+    """Attach the combined langid/cross-check/perplexity struct column.
+    slim=True ships only the columns the decision consumes."""
+    udf = pipeline_udf if slim else analyze_udf
+    return df.withColumn(LD, udf(F.col(text_col)))
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
