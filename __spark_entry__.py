@@ -245,12 +245,19 @@ def _q_brand_revenue(spark, sf_dir):
                  F.count("*").alias("n_lines")))
 
 
-def _q_customers_without_orders(spark, sf_dir):
-    """Anti join (set difference) -- customers that never ordered."""
+def _q_priority_semijoin(spark, sf_dir):
+    """Semi join (EXISTS): orders with a discounted line, counted per
+    priority (TPC-H Q4 shape); plus the anti-join complement count."""
     _register(spark, sf_dir)
     return spark.sql(
-        "SELECT c_custkey, c_mktsegment FROM customer c "
-        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)")
+        "SELECT o_orderpriority, "
+        "SUM(CASE WHEN EXISTS (SELECT 1 FROM lineitem l "
+        "    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) "
+        "    THEN 1 ELSE 0 END) AS with_discounted_line, "
+        "SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem l "
+        "    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) "
+        "    THEN 1 ELSE 0 END) AS without_discounted_line "
+        "FROM orders o GROUP BY o_orderpriority")
 
 
 def _q_dedup_simhash(spark, sf_dir):
@@ -317,7 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": _q_ann_cosine,
         "events_windowed": _q_events_windowed,
         "brand_revenue": _q_brand_revenue,
-        "customers_without_orders": _q_customers_without_orders,
+        "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
         "ann_lsh": _q_ann_lsh,
         "lang_histogram": _q_lang_histogram,
@@ -421,9 +428,15 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_lines "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_quantity > 30 GROUP BY p_brand"),
-        "customers_without_orders": (
-            "SELECT c_custkey, c_mktsegment FROM customer c "
-            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"),
+        "priority_semijoin": (
+            "SELECT o_orderpriority, "
+            "SUM(CASE WHEN EXISTS (SELECT 1 FROM lineitem l "
+            "    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) "
+            "    THEN 1 ELSE 0 END) AS with_discounted_line, "
+            "SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem l "
+            "    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) "
+            "    THEN 1 ELSE 0 END) AS without_discounted_line "
+            "FROM orders o GROUP BY o_orderpriority"),
         # langid / keep_drop / dedup_simhash / ann_lsh / lang_histogram:
         # UDF pipelines, not SQL-expressible -> rows-only checks by design
     }
