@@ -52,6 +52,16 @@ GOOD_FIRST_RELIABLE_MIN_PERCENT = 51
 
 _VOWELS = np.array([ord(c) for c in "aeiou"], dtype=np.uint32)
 
+# statistically-close language sets (internal/lang_script.cc:258-308):
+# within a set, the per-doc loser's bytes are consolidated into the winner
+# (RefineScoredClosePairs / MoveLang1ToLang2,
+#  internal/compact_lang_det_impl.cc:1105-1203)
+CLOSE_SETS: list[list[str]] = [
+    ["id", "ms"], ["bo", "dz"], ["cs", "sk"], ["zu", "xh"],
+    ["bs", "hr", "sr", "srm"], ["hi", "mr", "bh", "ne"],
+    ["no", "nn", "da"], ["gl", "es", "pt"], ["rw", "rn"],
+]
+
 RTYPE_MANY_GROUPS = [s for s, (name, r, d) in enumerate(ut.SCRIPTS) if r == ut.RTYPE_MANY]
 CJK_SCRIPTS = np.array([ut.SCRIPT_ID[s] for s in ("Hani", "Hira", "Kata", "Bopo")],
                        dtype=np.uint8)
@@ -257,7 +267,28 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     if return_raw:
         return {"bytes_rl": bytes_rl, "score_rl": score_rl, "relw_rl": relw_rl}
 
+    _refine_close_pairs(model, bytes_rl, score_rl, relw_rl)
     return _extract(nb, model, bytes_rl, score_rl, relw_rl)
+
+
+def _refine_close_pairs(model, bytes_rl, score_rl, relw_rl) -> None:
+    """A8: within each statistically-close set, move every member's totals
+    into the per-row in-set winner (vectorized RefineScoredClosePairs)."""
+    for langs in CLOSE_SETS:
+        ids = [model.lang_id[c] for c in langs if c in model.lang_id]
+        if len(ids) < 2:
+            continue
+        cols = np.array(ids)
+        sub = bytes_rl[:, cols]
+        active = (sub > 0).sum(axis=1) >= 2
+        if not active.any():
+            continue
+        rows = np.flatnonzero(active)
+        win = cols[np.argmax(sub[rows], axis=1)]
+        for mat in (bytes_rl, score_rl, relw_rl):
+            total = mat[np.ix_(rows, cols)].sum(axis=1)
+            mat[np.ix_(rows, cols)] = 0
+            mat[rows, win] = total
 
 
 def _extract(nb, model, bytes_rl, score_rl, relw_rl) -> dict[str, np.ndarray]:
