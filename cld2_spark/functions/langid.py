@@ -99,6 +99,19 @@ def analyze_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         yield _to_pdf(res, _ANALYZE_COLS)
 
 
+@F.pandas_udf(SUMMARY_SCHEMA)
+def detect_summary_hinted_udf(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+    """ExtDetectLanguageSummary with a per-row language hint column (J8:
+    hints bias the scoring, they never force the result)."""
+    from cld2_spark.kernels.detect import detect_batch
+    from cld2_spark.kernels.model import default_model
+    model = default_model()
+    for texts, hints in batches:
+        res = detect_batch(texts.fillna("").tolist(), model,
+                           lang_hints=hints.fillna("").tolist())
+        yield _to_pdf(res, _SUMMARY_COLS)
+
+
 @F.pandas_udf(PIPELINE_SCHEMA)
 def pipeline_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     """analyze_udf minus the columns the keep/drop decision never reads."""

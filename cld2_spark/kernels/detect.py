@@ -119,12 +119,19 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
     return g_rid, byte_start, byte_len, buf, gram_bytes, pos
 
 
-def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs, acc):
+HINT_BOOST = 12  # one max-qprob vote per chunk (kCLDPriorBoost analogue,
+#                  internal/compact_lang_det_impl.cc:195,200-201)
+
+
+def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs, acc,
+                hint_lid=None):
     """Chunked scatter-add scoring: the Tote/DocTote pipeline (A1-A3).
 
     g_rid must be sorted ascending. Chunk winner takes the chunk's byte span;
     per-chunk reliability follows ReliabilityDelta
-    (internal/cldutil.cc:553-570).
+    (internal/cldutil.cc:553-570). hint_lid (per-row global lang id, -1 for
+    none) adds a HINT_BOOST vote to every chunk of the hinted row (J8: hints
+    bias, never force -- public/compact_lang_det.h:133-138).
     """
     bytes_rl, score_rl, relw_rl = acc
     N = len(g_rid)
@@ -156,6 +163,7 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     win = np.empty(n_chunks, dtype=np.int64)
     s1 = np.empty(n_chunks, dtype=np.int32)
     s2 = np.empty(n_chunks, dtype=np.int32)
+    cr = np.repeat(np.flatnonzero(present), chunks_row[present])  # chunk -> row
     for c0 in range(0, n_chunks, COHORT):
         c1 = min(c0 + COHORT, n_chunks)
         lo, hi = np.searchsorted(cid, (c0, c1))
@@ -166,6 +174,12 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
             valid = qj > 0
             if valid.any():
                 np.add.at(csc, base_idx[valid] + lang_j[j][lo:hi][valid], qj[valid])
+        if hint_lid is not None:
+            hints_c = hint_lid[cr[c0:c1]]
+            hm = hints_c >= 0
+            if hm.any():
+                local = np.flatnonzero(hm).astype(np.int64) * n_langs
+                np.add.at(csc, local + hints_c[hm], np.int16(HINT_BOOST))
         csm = csc.reshape(c1 - c0, n_langs)
         win[c0:c1] = np.argmax(csm, axis=1)
         if n_langs >= 2:
@@ -185,14 +199,14 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     rel = np.where(delta >= thr, maxrel,
                    np.where(delta <= 0, 0, np.minimum(maxrel, 100 * delta // thr)))
 
-    cr = np.repeat(np.flatnonzero(present), chunks_row[present])  # chunk -> row
     np.add.at(bytes_rl, (cr, win), cb)
     np.add.at(score_rl, (cr, win), s1)
     np.add.at(relw_rl, (cr, win), rel * cb)
 
 
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,
-                 return_raw: bool = False, nb: T.NormBatch | None = None) -> dict[str, np.ndarray]:
+                 return_raw: bool = False, nb: T.NormBatch | None = None,
+                 lang_hints: list | None = None) -> dict[str, np.ndarray]:
     """Detect top-3 languages per text. Pure NumPy; one pass per script group.
 
     Returns dict of per-row arrays matching the reference result contract
@@ -212,6 +226,11 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     score_rl = np.zeros((n, L), dtype=np.int32)
     relw_rl = np.zeros((n, L), dtype=np.int32)
     acc = (bytes_rl, score_rl, relw_rl)
+
+    hint_lid = None
+    if lang_hints is not None:
+        hint_lid = np.array([model.lang_id.get(h, -1) if h else -1
+                             for h in lang_hints], dtype=np.int64)
 
     u8len = nb.u8len
     present_scripts = np.unique(nb.script[nb.letter]) if n else np.array([], dtype=np.uint8)
@@ -252,7 +271,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     continue
                 tbl = model.group_tables[ut.SCRIPTS[s][0]]
                 found, langs3, qprobs3 = tbl.probe(h[m])
-                _score_hits(g_rid[m], langs3, qprobs3, gb[m], QUAD_CHUNK, n, L, acc)
+                _score_hits(g_rid[m], langs3, qprobs3, gb[m], QUAD_CHUNK, n, L, acc,
+                            hint_lid=hint_lid)
 
     # CJK unigram pass (J3): each Han/kana/bopomofo char is one gram
     if model.cjk_uni is not None and len(present_scripts) and \
