@@ -123,8 +123,62 @@ HINT_BOOST = 12  # one max-qprob vote per chunk (kCLDPriorBoost analogue,
 #                  internal/compact_lang_det_impl.cc:195,200-201)
 
 
+def word_grams(arr: np.ndarray, rid_s: np.ndarray):
+    """Extract whole-word grams from a compressed letter stream (J5: the
+    octagram word path, GetOctaHits internal/cldutil.cc:416-533). Words are
+    hashed with the bit-exact OctaHash40 (<=24 bytes, space-sensed pre/post
+    bits); word-pair hashes (J6, PairHash) combine consecutive words.
+
+    Returns (w_rid, whash32, pair32, pos) -- hashes folded to 32-bit table
+    keys; pair32 is 0 for the first word of each row.
+    """
+    from .hashes import fold40_to_32, octa_hash_40, pair_hash
+
+    n = len(arr)
+    z = np.zeros(0, dtype=np.int64)
+    if n == 0:
+        return z, z, z, z
+    is_sp = arr == T.SPACE
+    prev_sp = np.empty_like(is_sp)
+    prev_sp[0] = True
+    prev_sp[1:] = is_sp[:-1]
+    word_start = (~is_sp) & prev_sp
+    pos = np.flatnonzero(word_start).astype(np.int32)
+    if len(pos) == 0:
+        return z, z, z, z
+    wid = np.cumsum(word_start, dtype=np.int32) - 1
+    wlen = np.bincount(wid[~is_sp]).astype(np.int32)
+
+    boff = T.utf8_offsets(arr)
+    bstart = boff[pos]
+    blen = np.minimum(boff[pos + wlen] - bstart, 24)
+    buf = T.encode_utf8(arr)
+    h40 = octa_hash_40(buf, bstart, blen)
+    w32 = fold40_to_32(h40)
+    w_rid = rid_s[pos]
+
+    pair = np.zeros(len(pos), dtype=np.uint32)
+    if len(pos) > 1:
+        p40 = pair_hash(h40[:-1], h40[1:])
+        same = w_rid[1:] == w_rid[:-1]
+        pair[1:] = np.where(same, fold40_to_32(p40), 0)
+    return w_rid, w32, pair, pos
+
+
+def repeat_filter(h: np.ndarray, g_rid: np.ndarray) -> np.ndarray:
+    """P5: mask out grams equal to either of the previous two gram hashes in
+    the same row (de-dupes `foo.jpg bar.jpg ...`; GetQuadHits repeat cache,
+    internal/cldutil.cc:332-376). Applied identically at train + inference."""
+    keep = np.ones(len(h), dtype=bool)
+    if len(h) > 1:
+        keep[1:] &= ~((h[1:] == h[:-1]) & (g_rid[1:] == g_rid[:-1]))
+    if len(h) > 2:
+        keep[2:] &= ~((h[2:] == h[:-2]) & (g_rid[2:] == g_rid[:-2]))
+    return keep
+
+
 def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs, acc,
-                hint_lid=None):
+                hint_lid=None, whack_map=None):
     """Chunked scatter-add scoring: the Tote/DocTote pipeline (A1-A3).
 
     g_rid must be sorted ascending. Chunk winner takes the chunk's byte span;
@@ -137,16 +191,25 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     N = len(g_rid)
     if N == 0:
         return
-    cnt = np.bincount(g_rid, minlength=n_rows).astype(np.int32)  # grams per row
-    present = cnt > 0
+    cnt_all = np.bincount(g_rid, minlength=n_rows).astype(np.int32)  # hits per row
+    present = cnt_all > 0
     firsts = np.zeros(n_rows, dtype=np.int32)
-    np.cumsum(cnt[:-1], out=firsts[1:])
-    cumidx = np.arange(N, dtype=np.int32) - firsts[g_rid]
+    np.cumsum(cnt_all[:-1], out=firsts[1:])
+
+    # chunk boundaries count only byte-carrying (base) grams -- zero-byte
+    # delta hits (words/pairs) ride inside the chunk they fall into, like
+    # CLD2's base/delta hit streams (internal/scoreonescriptspan.h:186-226)
+    is_byte = (gram_bytes > 0).astype(np.int32)
+    cumb_g = np.cumsum(is_byte, dtype=np.int32) - is_byte  # base grams before i
+    cnt = np.bincount(g_rid, weights=is_byte, minlength=n_rows).astype(np.int32)
 
     chunks_row = -(-cnt // chunk_size)                   # ceil
     # runt merge: absorb a trailing chunk smaller than half size (W1)
     runt = (cnt % chunk_size > 0) & (cnt % chunk_size < chunk_size // 2) & (chunks_row > 1)
     chunks_row = (chunks_row - runt).astype(np.int32)
+    chunks_row = np.maximum(chunks_row, present.astype(np.int32))
+    row_base_cum = np.where(present, cumb_g[np.minimum(firsts, N - 1)], 0)
+    cumidx = cumb_g - row_base_cum[g_rid]
     chunk_in_row = np.minimum(cumidx // chunk_size, (chunks_row - 1)[g_rid])
     base = np.zeros(n_rows, dtype=np.int32)
     np.cumsum(chunks_row[:-1], out=base[1:])
@@ -180,6 +243,14 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
             if hm.any():
                 local = np.flatnonzero(hm).astype(np.int64) * n_langs
                 np.add.at(csc, local + hints_c[hm], np.int16(HINT_BOOST))
+                if whack_map:
+                    # zero the hinted close-set complement BEFORE the chunk
+                    # winner is chosen (ZeroPSLang semantics,
+                    # internal/scoreonescriptspan.cc:39-42)
+                    for hid, others in whack_map.items():
+                        sel = np.flatnonzero(hints_c == hid).astype(np.int64)
+                        if len(sel):
+                            csc[(sel[:, None] * n_langs + others[None, :]).ravel()] = 0
         csm = csc.reshape(c1 - c0, n_langs)
         win[c0:c1] = np.argmax(csm, axis=1)
         if n_langs >= 2:
@@ -190,7 +261,7 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
             s1[c0:c1] = csm[:, 0]
             s2[c0:c1] = 0
     cb = np.bincount(cid, weights=gram_bytes, minlength=n_chunks).astype(np.int32)
-    cg = np.bincount(cid, minlength=n_chunks).astype(np.int32)
+    cg = np.bincount(cid, weights=is_byte, minlength=n_chunks).astype(np.int32)
 
     # ReliabilityDelta (internal/cldutil.cc:553-570)
     maxrel = np.where(cg < 8, 12 * cg, 100)
@@ -225,12 +296,21 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     bytes_rl = np.zeros((n, L), dtype=np.int32)
     score_rl = np.zeros((n, L), dtype=np.int32)
     relw_rl = np.zeros((n, L), dtype=np.int32)
+    onebytes_rl = np.zeros((n, L), dtype=np.int32)  # RTypeOne portion (A4)
     acc = (bytes_rl, score_rl, relw_rl)
 
     hint_lid = None
+    whack_map = None
     if lang_hints is not None:
         hint_lid = np.array([model.lang_id.get(h, -1) if h else -1
                              for h in lang_hints], dtype=np.int64)
+        whack_map = {}
+        for langs in CLOSE_SETS:
+            ids = [model.lang_id[c] for c in langs if c in model.lang_id]
+            for hid in ids:
+                others = np.array([i for i in ids if i != hid], dtype=np.int64)
+                if len(others):
+                    whack_map[hid] = others
 
     u8len = nb.u8len
     present_scripts = np.unique(nb.script[nb.letter]) if n else np.array([], dtype=np.uint8)
@@ -252,6 +332,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         bytes_rl[rows, lid] += b[rows]
         score_rl[rows, lid] += b[rows]
         relw_rl[rows, lid] += 100 * b[rows]
+        onebytes_rl[rows, lid] += b[rows]
 
     # RTypeMany scripts: ONE compressed stream for all groups; grams are
     # dispatched to their script's table by first-char script (replaces
@@ -264,15 +345,45 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         g_rid, bs, bl, buf, gb, pos = quad_grams(arr, rid_s)
         if len(g_rid):
             h = quad_hash_v2(buf, bs, bl)
+            keep = repeat_filter(h, g_rid)
+            g_rid, h, gb, pos = g_rid[keep], h[keep], gb[keep], pos[keep]
             g_script = scr_s[pos]
+            if model.words is not None:
+                w_rid, w32, pair32, wpos = word_grams(arr, rid_s)
             for s in many:
                 m = g_script == s
                 if not m.any():
                     continue
                 tbl = model.group_tables[ut.SCRIPTS[s][0]]
                 found, langs3, qprobs3 = tbl.probe(h[m])
-                _score_hits(g_rid[m], langs3, qprobs3, gb[m], QUAD_CHUNK, n, L, acc,
-                            hint_lid=hint_lid)
+                s_rid, s_gb, s_pos = g_rid[m], gb[m], pos[m]
+                if model.words is not None:
+                    # J5/J6: merge word + word-pair hits into the quad hit
+                    # stream before chunking (LinearizeAll analogue,
+                    # internal/scoreonescriptspan.cc:856-975); word hits
+                    # carry no bytes (delta votes only)
+                    if len(w_rid):
+                        wm = scr_s[wpos] == s
+                        keep_w = repeat_filter(w32, w_rid) & wm
+                        hits = [(s_rid, s_pos, langs3, qprobs3, s_gb)]
+                        for wh in (w32, pair32):
+                            sel = keep_w & (wh != 0)
+                            if not sel.any():
+                                continue
+                            _, wl3, wq3 = model.words.probe(wh[sel])
+                            hits.append((w_rid[sel], wpos[sel], wl3, wq3,
+                                         np.zeros(int(sel.sum()), dtype=np.int32)))
+                        if len(hits) > 1:
+                            s_rid = np.concatenate([x[0] for x in hits])
+                            all_pos = np.concatenate([x[1] for x in hits])
+                            langs3 = np.concatenate([x[2] for x in hits])
+                            qprobs3 = np.concatenate([x[3] for x in hits])
+                            s_gb = np.concatenate([x[4] for x in hits])
+                            order = np.lexsort((all_pos, s_rid))
+                            s_rid, langs3 = s_rid[order], langs3[order]
+                            qprobs3, s_gb = qprobs3[order], s_gb[order]
+                _score_hits(s_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n, L, acc,
+                            hint_lid=hint_lid, whack_map=whack_map)
 
     # CJK unigram pass (J3): each Han/kana/bopomofo char is one gram
     if model.cjk_uni is not None and len(present_scripts) and \
@@ -285,13 +396,28 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
             _score_hits(g_rid, langs3, qprobs3, u8len[mask], UNI_CHUNK, n, L, acc)
 
     if return_raw:
-        return {"bytes_rl": bytes_rl, "score_rl": score_rl, "relw_rl": relw_rl}
+        return {"bytes_rl": bytes_rl, "score_rl": score_rl, "relw_rl": relw_rl,
+                "onebytes_rl": onebytes_rl}
 
-    _refine_close_pairs(model, bytes_rl, score_rl, relw_rl)
-    return _extract(nb, model, bytes_rl, score_rl, relw_rl)
+    if hint_lid is not None:
+        # a hinted close-set member zeroes its set complement for that row
+        # (AddCloseLangWhack internal/compact_lang_det_impl.cc:1563-1584,
+        #  applied as ZeroPSLang internal/scoreonescriptspan.cc:39-42)
+        for langs in CLOSE_SETS:
+            ids = [model.lang_id[c] for c in langs if c in model.lang_id]
+            for hid in ids:
+                rows = np.flatnonzero(hint_lid == hid)
+                if len(rows) == 0:
+                    continue
+                others = [i for i in ids if i != hid]
+                for mat in (bytes_rl, score_rl, relw_rl, onebytes_rl):
+                    mat[np.ix_(rows, others)] = 0
+
+    _refine_close_pairs(model, bytes_rl, score_rl, relw_rl, onebytes_rl)
+    return _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl)
 
 
-def _refine_close_pairs(model, bytes_rl, score_rl, relw_rl) -> None:
+def _refine_close_pairs(model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> None:
     """A8: within each statistically-close set, move every member's totals
     into the per-row in-set winner (vectorized RefineScoredClosePairs)."""
     for langs in CLOSE_SETS:
@@ -305,13 +431,13 @@ def _refine_close_pairs(model, bytes_rl, score_rl, relw_rl) -> None:
             continue
         rows = np.flatnonzero(active)
         win = cols[np.argmax(sub[rows], axis=1)]
-        for mat in (bytes_rl, score_rl, relw_rl):
+        for mat in (bytes_rl, score_rl, relw_rl, onebytes_rl):
             total = mat[np.ix_(rows, cols)].sum(axis=1)
             mat[np.ix_(rows, cols)] = 0
             mat[rows, win] = total
 
 
-def _extract(nb, model, bytes_rl, score_rl, relw_rl) -> dict[str, np.ndarray]:
+def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> dict[str, np.ndarray]:
     """ExtractLangEtc + CalcSummaryLang, vectorized (A5/A9/K1/K2)."""
     n, L = bytes_rl.shape
     # top-3 languages by byte count (DocTote::Sort, internal/tote.cc:221-250)
@@ -320,6 +446,7 @@ def _extract(nb, model, bytes_rl, score_rl, relw_rl) -> dict[str, np.ndarray]:
     b3 = np.stack([bytes_rl[r, order[:, j]] for j in range(3)], axis=1)
     s3 = np.stack([score_rl[r, order[:, j]] for j in range(3)], axis=1)
     w3 = np.stack([relw_rl[r, order[:, j]] for j in range(3)], axis=1)
+    o3 = np.stack([onebytes_rl[r, order[:, j]] for j in range(3)], axis=1)
 
     tt = np.maximum(bytes_rl.sum(axis=1), 1)
 
@@ -341,14 +468,19 @@ def _extract(nb, model, bytes_rl, score_rl, relw_rl) -> dict[str, np.ndarray]:
     bsafe = np.maximum(b3, 1)
     rel3 = w3 // bsafe
 
-    # normalized score = (score per 1KB) / expected (GetNormalizedScore)
+    # normalized score = (score per 1KB) / expected (GetNormalizedScore).
+    # Expected scores are trained on the quadgram path only, so the check
+    # applies to the quad-scored portion; RTypeOne bytes carry score==bytes
+    # by construction (A4) and need no expectation check.
     exp3 = model.expected_1kb[order]
-    per_kb = s3 * 1024 / bsafe
+    qb3 = b3 - o3
+    qs3 = s3 - o3
+    per_kb = np.where(qb3 > 0, qs3 * 1024 / np.maximum(qb3, 1), 1024.0)
     ns3 = np.where(exp3 > 0, per_kb / np.maximum(exp3, 1), 0.0)
 
     # ReliabilityExpected for the top language (internal/cldutil.cc:587-605)
-    a = per_kb[:, 0]
-    e = exp3[:, 0].astype(np.float64)
+    a = np.where(qb3[:, 0] > 0, per_kb[:, 0], 0.0)
+    e = np.where(qb3[:, 0] > 0, exp3[:, 0].astype(np.float64), 0.0)
     ratio = np.where((a > 0) & (e > 0), np.maximum(a, e) / np.maximum(np.minimum(a, e), 1e-9), 1.0)
     rel_exp = np.where(e == 0, 100,
                        np.where(a == 0, 0,

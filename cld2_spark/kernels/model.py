@@ -113,6 +113,7 @@ class Cld2sModel:
     expected_1kb: np.ndarray               # (n_langs,) int32 expected score per 1KB
     version: str = "cld2s-r1"
     tri: GramTable | None = None           # trigram table (fastText cross-check)
+    words: GramTable | None = None         # word/word-pair table (J5/J6 deltaocta analogue)
     lang_id: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -138,6 +139,10 @@ class Cld2sModel:
             arrs["tri_keys"] = self.tri.keys
             arrs["tri_langs"] = self.tri.langs
             arrs["tri_qprobs"] = self.tri.qprobs
+        if self.words is not None:
+            arrs["word_keys"] = self.words.keys
+            arrs["word_langs"] = self.words.langs
+            arrs["word_qprobs"] = self.words.qprobs
         np.savez_compressed(path, **arrs)
 
     @staticmethod
@@ -159,9 +164,13 @@ class Cld2sModel:
         if "tri_keys" in z:
             tri = GramTable(keys=z["tri_keys"], langs=z["tri_langs"],
                             qprobs=z["tri_qprobs"])
+        words = None
+        if "word_keys" in z:
+            words = GramTable(keys=z["word_keys"], langs=z["word_langs"],
+                              qprobs=z["word_qprobs"])
         return Cld2sModel(
             langs=[str(x) for x in z["langs"].tolist()],
-            group_tables=groups, cjk_uni=cjk, tri=tri,
+            group_tables=groups, cjk_uni=cjk, tri=tri, words=words,
             expected_1kb=z["expected_1kb"],
             version=str(z["version"][0]),
         )

@@ -31,7 +31,8 @@ sys.path.insert(0, str(REPO))
 
 from cld2_spark.kernels import text as T                 # noqa: E402
 from cld2_spark.kernels import unicode_tables as ut      # noqa: E402
-from cld2_spark.kernels.detect import CJK_SCRIPTS, quad_grams, detect_batch  # noqa: E402
+from cld2_spark.kernels.detect import (  # noqa: E402
+    CJK_SCRIPTS, quad_grams, detect_batch, repeat_filter, word_grams)
 from cld2_spark.kernels.crosscheck import char_trigrams  # noqa: E402
 from cld2_spark.kernels.hashes import quad_hash_v2       # noqa: E402
 from cld2_spark.kernels.model import Cld2sModel, GramTable  # noqa: E402
@@ -88,6 +89,8 @@ def main() -> None:
         if len(g_rid) == 0:
             continue
         hs = quad_hash_v2(buf, bs, bl)
+        keep = repeat_filter(hs, g_rid)
+        hs, pos, g_rid = hs[keep], pos[keep], g_rid[keep]
         g_script = scr_s[pos]
         # count only grams of the snippet's declared script to its language
         m = g_script == sid
@@ -110,6 +113,36 @@ def main() -> None:
         totals = {l: float(c) for l, c in cjk_totals.items()}
         cjk_table = GramTable.build({h: dict(c) for h, c in cjk_counts.items()}, totals)
         print(f"cjk: {len(cjk_counts)} distinct chars, {cjk_table.n_buckets} buckets")
+
+    # ---- word / word-pair table (J5/J6 deltaocta analogue)
+    word_counts: dict[int, Counter] = defaultdict(Counter)
+    word_totals: Counter = Counter()
+    many_all = np.array([s for s in range(ut.N_SCRIPTS)
+                         if ut.RTYPE[s] == ut.RTYPE_MANY], dtype=np.uint8)
+    for snip in corpus:
+        lang = snip["lang"]
+        if snip["script"] in CJK_LANGS or lang == "un" or lang not in lang_id:
+            continue
+        sid = ut.SCRIPT_ID.get(snip["script"])
+        if sid is None or ut.RTYPE[sid] != ut.RTYPE_MANY:
+            continue
+        lid = lang_id[lang]
+        nb = T.normalize_batch([snip["text"]])
+        arr, rid_s, scr_s = T.group_stream_with_script(nb, many_all)
+        w_rid, w32, pair32, wpos = word_grams(arr, rid_s)
+        if len(w_rid) == 0:
+            continue
+        keep = repeat_filter(w32, w_rid) & (scr_s[wpos] == sid)
+        for h in w32[keep].tolist():
+            word_counts[h][lid] += 1
+        sel = keep & (pair32 != 0)
+        for h in pair32[sel].tolist():
+            word_counts[h][lid] += 1
+        word_totals[lid] += int(keep.sum()) + int(sel.sum())
+    word_table = GramTable.build({h: dict(c) for h, c in word_counts.items()},
+                                 {l: float(c) for l, c in word_totals.items()})
+    print(f"words: {len(word_counts)} distinct word/pair hashes, "
+          f"{word_table.n_buckets} buckets")
 
     # ---- trigram table for the fastText-style cross-check (all scripts)
     tri_counts: dict[int, Counter] = defaultdict(Counter)
@@ -136,7 +169,7 @@ def main() -> None:
     print(f"tri: {len(tri_counts)} distinct trigrams, {tri_table.n_buckets} buckets")
 
     model = Cld2sModel(langs=langs, group_tables=group_tables, cjk_uni=cjk_table,
-                       tri=tri_table,
+                       tri=tri_table, words=word_table,
                        expected_1kb=np.zeros(len(langs), dtype=np.int32),
                        version="cld2s-20260816-corpus")
 
@@ -153,9 +186,11 @@ def main() -> None:
     raw = detect_batch(texts, model, return_raw=True)
     per_kb = defaultdict(list)
     for i, lid in enumerate(true_lids):
-        b = raw["bytes_rl"][i, lid]
+        # quadgram-path portion only (RTypeOne needs no expectation check)
+        b = raw["bytes_rl"][i, lid] - raw["onebytes_rl"][i, lid]
         if b > 0:
-            per_kb[lid].append(raw["score_rl"][i, lid] * 1024.0 / b)
+            s = raw["score_rl"][i, lid] - raw["onebytes_rl"][i, lid]
+            per_kb[lid].append(s * 1024.0 / b)
     expected = np.zeros(len(langs), dtype=np.int32)
     for lid, vals in per_kb.items():
         expected[lid] = int(np.mean(vals))
