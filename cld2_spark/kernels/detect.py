@@ -165,6 +165,14 @@ def word_grams(arr: np.ndarray, rid_s: np.ndarray):
     return w_rid, w32, pair, pos
 
 
+def cjk_bigram_hash(cp1: np.ndarray, cp2: np.ndarray) -> np.ndarray:
+    """Deterministic 32-bit combine of two adjacent CJK codepoints (J4 key;
+    the reference hashes the UTF-8 bytes via BiHashV2 -- our table is
+    self-trained so a codepoint-domain mix is equivalent and cheaper)."""
+    h = (cp1.astype(np.uint32) * np.uint32(0x9E3779B1)) ^ cp2.astype(np.uint32)
+    return h | np.uint32(1)  # never 0 (0 = empty slot)
+
+
 def repeat_filter(h: np.ndarray, g_rid: np.ndarray) -> np.ndarray:
     """P5: mask out grams equal to either of the previous two gram hashes in
     the same row (de-dupes `foo.jpg bar.jpg ...`; GetQuadHits repeat cache,
@@ -385,15 +393,33 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                 _score_hits(s_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n, L, acc,
                             hint_lid=hint_lid, whack_map=whack_map)
 
-    # CJK unigram pass (J3): each Han/kana/bopomofo char is one gram
+    # CJK pass: unigram hits (J3) + adjacent-pair bigram delta hits (J4,
+    # kCjkDeltaBi analogue) merged into one chunk stream
     if model.cjk_uni is not None and len(present_scripts) and \
             np.isin(CJK_SCRIPTS, present_scripts).any():
         mask = nb.letter & np.isin(nb.script, CJK_SCRIPTS)
         if mask.any():
-            cps = nb.cp[mask]
-            g_rid = nb.rid[mask]
+            idx = np.flatnonzero(mask)
+            cps = nb.cp[idx]
+            g_rid = nb.rid[idx]
             found, langs3, qprobs3 = model.cjk_uni.probe(cps)
-            _score_hits(g_rid, langs3, qprobs3, u8len[mask], UNI_CHUNK, n, L, acc)
+            gb = u8len[idx].astype(np.int32)
+            if model.cjk_bi is not None and len(idx) > 1:
+                adj = (idx[1:] == idx[:-1] + 1) & (g_rid[1:] == g_rid[:-1])
+                if adj.any():
+                    a = np.flatnonzero(adj)
+                    bih = cjk_bigram_hash(cps[a], cps[a + 1])
+                    _, bl3, bq3 = model.cjk_bi.probe(bih)
+                    all_rid = np.concatenate([g_rid, g_rid[a]])
+                    all_pos = np.concatenate([idx, idx[a]])
+                    langs3 = np.concatenate([langs3, bl3])
+                    qprobs3 = np.concatenate([qprobs3, bq3])
+                    gb = np.concatenate([gb, np.zeros(len(a), dtype=np.int32)])
+                    order = np.lexsort((all_pos, all_rid))
+                    g_rid, langs3 = all_rid[order], langs3[order]
+                    qprobs3, gb = qprobs3[order], gb[order]
+            _score_hits(g_rid, langs3, qprobs3, gb, UNI_CHUNK, n, L, acc,
+                        hint_lid=hint_lid, whack_map=whack_map)
 
     if return_raw:
         return {"bytes_rl": bytes_rl, "score_rl": score_rl, "relw_rl": relw_rl,

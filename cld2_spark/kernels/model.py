@@ -114,6 +114,7 @@ class Cld2sModel:
     version: str = "cld2s-r1"
     tri: GramTable | None = None           # trigram table (fastText cross-check)
     words: GramTable | None = None         # word/word-pair table (J5/J6 deltaocta analogue)
+    cjk_bi: GramTable | None = None        # CJK bigram table (J4 kCjkDeltaBi analogue)
     lang_id: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -143,6 +144,10 @@ class Cld2sModel:
             arrs["word_keys"] = self.words.keys
             arrs["word_langs"] = self.words.langs
             arrs["word_qprobs"] = self.words.qprobs
+        if self.cjk_bi is not None:
+            arrs["cjkbi_keys"] = self.cjk_bi.keys
+            arrs["cjkbi_langs"] = self.cjk_bi.langs
+            arrs["cjkbi_qprobs"] = self.cjk_bi.qprobs
         np.savez_compressed(path, **arrs)
 
     @staticmethod
@@ -168,9 +173,14 @@ class Cld2sModel:
         if "word_keys" in z:
             words = GramTable(keys=z["word_keys"], langs=z["word_langs"],
                               qprobs=z["word_qprobs"])
+        cjk_bi = None
+        if "cjkbi_keys" in z:
+            cjk_bi = GramTable(keys=z["cjkbi_keys"], langs=z["cjkbi_langs"],
+                               qprobs=z["cjkbi_qprobs"])
         return Cld2sModel(
             langs=[str(x) for x in z["langs"].tolist()],
             group_tables=groups, cjk_uni=cjk, tri=tri, words=words,
+            cjk_bi=cjk_bi,
             expected_1kb=z["expected_1kb"],
             version=str(z["version"][0]),
         )

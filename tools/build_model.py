@@ -32,7 +32,8 @@ sys.path.insert(0, str(REPO))
 from cld2_spark.kernels import text as T                 # noqa: E402
 from cld2_spark.kernels import unicode_tables as ut      # noqa: E402
 from cld2_spark.kernels.detect import (  # noqa: E402
-    CJK_SCRIPTS, quad_grams, detect_batch, repeat_filter, word_grams)
+    CJK_SCRIPTS, cjk_bigram_hash, quad_grams, detect_batch, repeat_filter,
+    word_grams)
 from cld2_spark.kernels.crosscheck import char_trigrams  # noqa: E402
 from cld2_spark.kernels.hashes import quad_hash_v2       # noqa: E402
 from cld2_spark.kernels.model import Cld2sModel, GramTable  # noqa: E402
@@ -59,6 +60,8 @@ def main() -> None:
     group_totals: dict[str, Counter] = defaultdict(Counter)
     cjk_counts: dict[int, Counter] = defaultdict(Counter)
     cjk_totals: Counter = Counter()
+    cjkbi_counts: dict[int, Counter] = defaultdict(Counter)
+    cjkbi_totals: Counter = Counter()
 
     for snip in corpus:
         lang = snip["lang"]
@@ -72,9 +75,16 @@ def main() -> None:
 
         if script in ("Hans", "Hant", "Hani"):
             mask = nb.letter & np.isin(nb.script, CJK_SCRIPTS)
-            for cp in nb.cp[mask].tolist():
+            idx = np.flatnonzero(mask)
+            for cp in nb.cp[idx].tolist():
                 cjk_counts[cp][lid] += 1
                 cjk_totals[lid] += 1
+            if len(idx) > 1:  # adjacent-pair bigrams (J4)
+                adj = np.flatnonzero(idx[1:] == idx[:-1] + 1)
+                bih = cjk_bigram_hash(nb.cp[idx[adj]], nb.cp[idx[adj] + 1])
+                for h in bih.tolist():
+                    cjkbi_counts[h][lid] += 1
+                cjkbi_totals[lid] += len(bih)
             continue
 
         sid = ut.SCRIPT_ID.get(script)
@@ -113,6 +123,11 @@ def main() -> None:
         totals = {l: float(c) for l, c in cjk_totals.items()}
         cjk_table = GramTable.build({h: dict(c) for h, c in cjk_counts.items()}, totals)
         print(f"cjk: {len(cjk_counts)} distinct chars, {cjk_table.n_buckets} buckets")
+    cjkbi_table = None
+    if cjkbi_counts:
+        totals = {l: float(c) for l, c in cjkbi_totals.items()}
+        cjkbi_table = GramTable.build({h: dict(c) for h, c in cjkbi_counts.items()}, totals)
+        print(f"cjk-bi: {len(cjkbi_counts)} distinct bigrams, {cjkbi_table.n_buckets} buckets")
 
     # ---- word / word-pair table (J5/J6 deltaocta analogue)
     word_counts: dict[int, Counter] = defaultdict(Counter)
@@ -169,7 +184,7 @@ def main() -> None:
     print(f"tri: {len(tri_counts)} distinct trigrams, {tri_table.n_buckets} buckets")
 
     model = Cld2sModel(langs=langs, group_tables=group_tables, cjk_uni=cjk_table,
-                       tri=tri_table, words=word_table,
+                       tri=tri_table, words=word_table, cjk_bi=cjkbi_table,
                        expected_1kb=np.zeros(len(langs), dtype=np.int32),
                        version="cld2s-20260816-corpus")
 
