@@ -96,6 +96,9 @@ def group_stream_with_script(nb: NormBatch, script_ids: np.ndarray):
     """Like group_stream but also returns the per-kept-char script ids, so a
     single pass can serve several script groups (grams are dispatched to
     their group's table by first-char script)."""
+    if len(nb.cp) == 0:
+        e = np.zeros(0, dtype=np.uint32)
+        return e, nb.rid, nb.script
     lut = np.zeros(ut.N_SCRIPTS, dtype=bool)
     lut[script_ids] = True
     in_group = nb.letter & lut[nb.script]
@@ -118,6 +121,8 @@ def group_stream(nb: NormBatch, script_ids: np.ndarray) -> tuple[np.ndarray, np.
     always starts with a space and every row boundary is a space, so grams
     never cross rows.
     """
+    if len(nb.cp) == 0:
+        return np.zeros(0, dtype=np.uint32), nb.rid
     if len(script_ids) == 1:
         in_group = nb.letter & (nb.script == script_ids[0])
     else:

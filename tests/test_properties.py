@@ -1,0 +1,63 @@
+"""Property-based robustness tests (hypothesis) for the detection kernels.
+
+The reference has no randomized testing (SURVEY.md §5); these guard the
+vectorized kernels against the crash classes handwritten cases miss:
+arbitrary unicode, surrogate-free astral chars, pathological whitespace,
+batch-composition effects.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from cld2_spark.kernels.analyze import analyze_batch
+from cld2_spark.kernels.detect import detect_batch
+
+texts_st = st.lists(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFFF),
+            max_size=300),
+    min_size=0, max_size=24)
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts_st)
+def test_detect_never_crashes_and_is_well_formed(texts):
+    res = detect_batch(texts)
+    n = len(texts)
+    assert len(res["lang1"]) == n
+    if n == 0:
+        return
+    p1, p2, p3 = res["pct1"], res["pct2"], res["pct3"]
+    assert (p1 >= 0).all() and (p1 <= 100).all()
+    assert ((p1 + p2 + p3) <= 100).all()
+    assert (p1 >= p2).all() and (p2 >= p3).all()
+    assert (res["rel1"] >= 0).all() and (res["rel1"] <= 100).all()
+    assert (res["text_bytes"] >= 0).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0xFFFF),
+               max_size=200),
+       st.integers(min_value=0, max_value=10))
+def test_batch_position_independence(text, pad):
+    """A text's verdict must not depend on its batch neighbors (the core
+    requirement for deterministic distributed execution)."""
+    filler = ["hello world example text"] * pad
+    alone = detect_batch([text])
+    batched = detect_batch(filler + [text] + filler)
+    i = pad
+    assert alone["lang1"][0] == batched["lang1"][i]
+    assert alone["pct1"][0] == batched["pct1"][i]
+    assert alone["rel1"][0] == batched["rel1"][i]
+    assert alone["is_reliable"][0] == batched["is_reliable"][i]
+
+
+@settings(max_examples=20, deadline=None)
+@given(texts_st)
+def test_analyze_matches_detect_fields(texts):
+    """analyze_batch (shared-normalization fast path) must agree with
+    detect_batch on every langid field."""
+    a = analyze_batch(texts)
+    d = detect_batch(texts)
+    assert list(a["lang1"]) == list(d["lang1"])
+    assert np.array_equal(a["pct1"], d["pct1"])
+    assert np.array_equal(a["is_reliable"], d["is_reliable"])
