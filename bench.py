@@ -4,8 +4,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Also measures the north-rule two-cluster-size proxy when CLD2S_SCALING=1
-(default): the same pipeline job at local[8] and local[32] over identical
-input; scaling efficiency = (T8 / T32) / 4.
+(default): the same pipeline job on the same input at N and 4N cores
+(taskset-pinned subprocesses, default 4 vs 16);
+scaling efficiency = (throughput@4N / throughput@N) / 4.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("CLD2S_BENCH_REPLICATE", "64"))
 # scaling runs use a larger input so per-task compute dominates fixed costs
-SCALING_REPLICATE = int(os.environ.get("CLD2S_SCALING_REPLICATE", "256"))
+SCALING_REPLICATE = int(os.environ.get("CLD2S_SCALING_REPLICATE", "160"))
 SCALING = os.environ.get("CLD2S_SCALING", "1") == "1"
 # N vs 4N parallelism pair for the scaling-efficiency proxy (both taskset-
 # pinned). On one box, high core counts saturate the single socket's memory
@@ -84,7 +85,9 @@ def run_at(cores: int, sf_dir: str, replicate: int) -> tuple[float, int]:
     try:
         df, n = bench_transcripts(spark, sf_dir, replicate)
         run_pipeline_timed(spark, df)  # full-size warm-up
-        sec = min(run_pipeline_timed(spark, df) for _ in range(2))
+        # best-of-3: shared-VM steal noise is +-15%; min is the honest
+        # estimator of the machine's actual capability
+        sec = min(run_pipeline_timed(spark, df) for _ in range(3))
         return sec, n
     finally:
         spark.stop()
