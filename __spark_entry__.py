@@ -45,6 +45,21 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
     spark.sql(DUP_DOCS_SQL).createOrReplaceTempView("dup_docs")
 
 
+def _lsh_buckets_duck_sql() -> str:
+    from cld2_spark.operators.similarity import _planes_literal
+    cols = []
+    for t in range(3):
+        planes = _planes_literal(64, 6, seed=42 + t)
+        bits = []
+        for i, p in enumerate(planes):
+            arr = "[" + ", ".join(f"{x}" for x in p) + "]"
+            dot = (f"list_sum(list_transform(list_zip(embedding, {arr}), "
+                   f"z -> CAST(z[1] AS DOUBLE) * z[2]))")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        cols.append("(" + " + ".join(bits) + f") AS bucket{t}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
 def _duck_ctes() -> str:
     """Shared DuckDB CTE prelude mirroring the Spark temp views."""
     from cld2_spark.sources.transcripts import transcripts_view_sql
@@ -283,6 +298,26 @@ def _q_lang_histogram(spark, sf_dir):
     return lang_distribution(spark.table("transcripts"))
 
 
+def _q_lsh_buckets(spark, sf_dir):
+    """Sign-bit LSH bucket ids per embedding (the ANN scale path's bucketing,
+    deterministic hyperplanes) -- oracle-checkable in DuckDB."""
+    from cld2_spark.operators.similarity import _planes_literal, lsh_bucket_expr
+    _register(spark, sf_dir)
+    cols = []
+    for t in range(3):
+        planes = _planes_literal(64, 6, seed=42 + t)
+        cols.append(f"{lsh_bucket_expr('embedding', planes)} AS bucket{t}")
+    return spark.sql(f"SELECT vec_id, {', '.join(cols)} FROM embeddings")
+
+
+def _q_conversation_features(spark, sf_dir):
+    """Grouped-map pandas UDF (applyInPandas): per-conversation ordered
+    stats; oracle = equivalent window SQL in DuckDB."""
+    from cld2_spark.pipeline.conversation import conversation_features
+    _register(spark, sf_dir)
+    return conversation_features(spark.table("transcripts"))
+
+
 def _q_langid(spark, sf_dir):
     """CLD2-style langid over transcripts (UDF -> rows-only driver check)."""
     from pyspark.sql import functions as F
@@ -327,7 +362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
         "ann_lsh": _q_ann_lsh,
+        "lsh_buckets": _q_lsh_buckets,
         "lang_histogram": _q_lang_histogram,
+        "conversation_features": _q_conversation_features,
         "langid": _q_langid,
         "keep_drop": _q_keep_drop,
     }
@@ -437,6 +474,17 @@ def oracle_sql() -> dict[str, str]:
             "    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) "
             "    THEN 1 ELSE 0 END) AS without_discounted_line "
             "FROM orders o GROUP BY o_orderpriority"),
+        "lsh_buckets": _lsh_buckets_duck_sql(),
+        "conversation_features": (
+            f"{ctes}, g AS (SELECT conv_id, turn_idx, role, text, ts, "
+            f"  epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS gap "
+            f"  FROM transcripts) "
+            f"SELECT conv_id, CAST(COUNT(*) AS INT) AS n_turns, "
+            f"CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS INT) AS n_user_turns, "
+            f"SUM(length(COALESCE(text, ''))) AS total_chars, "
+            f"COALESCE(ROUND(AVG(gap), 3), 0.0) AS mean_gap_s, "
+            f"COALESCE(ROUND(MAX(gap), 3), 0.0) AS max_gap_s "
+            f"FROM g GROUP BY conv_id"),
         # langid / keep_drop / dedup_simhash / ann_lsh / lang_histogram:
         # UDF pipelines, not SQL-expressible -> rows-only checks by design
     }
