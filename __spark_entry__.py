@@ -32,6 +32,23 @@ _SHINGLE_DUCK = ("list_transform(range(1, greatest(length(text) - 3, 2)), "
                  "i -> substr(text, CAST(i AS INT), 5))")
 
 N_BANDS = 4
+BUCKET_CAP = 64  # band-bucket star-reduction threshold (operators/dedup.py)
+
+
+def _capped_pairs_duck(stacked_rel: str, cap: int = BUCKET_CAP) -> str:
+    """DuckDB CTE bodies replicating operators.dedup.capped_band_pairs."""
+    return (
+        f"bstats AS (SELECT band_key, COUNT(*) AS c, MIN(id) AS m "
+        f"  FROM {stacked_rel} GROUP BY band_key), "
+        f"cand AS (SELECT DISTINCT a, b FROM ("
+        f"  SELECT x.id AS a, y.id AS b "
+        f"  FROM {stacked_rel} x JOIN {stacked_rel} y ON x.band_key = y.band_key "
+        f"  JOIN bstats st ON x.band_key = st.band_key "
+        f"  WHERE st.c <= {cap} AND x.id < y.id "
+        f"  UNION ALL "
+        f"  SELECT st.m AS a, s.id AS b "
+        f"  FROM {stacked_rel} s JOIN bstats st ON s.band_key = st.band_key "
+        f"  WHERE st.c > {cap} AND s.id > st.m))")
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
@@ -150,63 +167,25 @@ def _q_dedup_exact(spark, sf_dir):
         "COUNT(*) AS n_copies FROM dup_docs GROUP BY md5(text)")
 
 
-def _band_exprs_spark():
-    """LSH bands of r=3 minhashes each: collision prob = J**3 per band, so
-    vocabulary-overlap noise (J~0.2) stays out of the candidate set while
-    true near-dups (J~1) collide with prob ~1 per band."""
-    out = []
-    for b in range(N_BANDS):
-        mins = ", ".join(
-            f"array_min(transform(shingles, s -> md5(concat('{3 * b + r}_', s))))"
-            for r in range(3))
-        out.append(f"md5(concat_ws('|', {mins})) AS band{b}")
-    return ", ".join(out)
-
-
-def _band_exprs_duck():
-    out = []
-    for b in range(N_BANDS):
-        mins = " || '|' || ".join(
-            f"list_aggregate(list_transform(shingles, s -> md5('{3 * b + r}_' || s)), 'min')"
-            for r in range(3))
-        out.append(f"md5({mins}) AS band{b}")
-    return ", ".join(out)
-
-
 def _q_minhash_signatures(spark, sf_dir):
+    """LSH bands of r=3 affine minhashes each: collision prob = J**3 per
+    band. One md5 per distinct shingle; the hash family is derived by
+    affine maps mod 2^31-1 (operators/dedup.py)."""
+    from cld2_spark.operators.dedup import minhash_signatures
+    from pyspark.sql import functions as F
     _register(spark, sf_dir)
-    return spark.sql(
-        f"SELECT doc_id, {_band_exprs_spark()} FROM "
-        f"(SELECT doc_id, {_SHINGLE_SPARK} AS shingles FROM dup_docs "
-        f" WHERE length(text) >= 5)")
+    base = spark.table("dup_docs").where(F.length("text") >= 5)
+    sigs = minhash_signatures(base, "text")
+    return sigs.select("doc_id", *[f"band{b}" for b in range(N_BANDS)])
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """LSH banding: candidate id-pairs sharing any band signature, then one
-    join back to the shingle sets for exact Jaccard verification. Ids-only
-    through the band self-join (no arrays in the shuffle)."""
+    """LSH banding with band-bucket skew cap, then exact Jaccard verify
+    (operators/dedup.minhash_lsh_pairs -- the 100TB-safe shape)."""
+    from cld2_spark.operators.dedup import minhash_lsh_pairs
     _register(spark, sf_dir)
-    spark.sql(
-        f"SELECT doc_id, {_band_exprs_spark()} FROM "
-        f"(SELECT doc_id, {_SHINGLE_SPARK} AS shingles FROM dup_docs "
-        f" WHERE length(text) >= 5)").createOrReplaceTempView("mh_sigs")
-    band_union = " UNION ALL ".join(
-        f"SELECT band{b} AS band_key, doc_id FROM mh_sigs" for b in range(N_BANDS))
-    spark.sql(
-        f"SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
-        f"FROM ({band_union}) x JOIN ({band_union}) y "
-        f"ON x.band_key = y.band_key AND x.doc_id < y.doc_id"
-    ).createOrReplaceTempView("mh_cand")
-    spark.sql(
-        f"SELECT doc_id, array_distinct({_SHINGLE_SPARK}) AS st FROM dup_docs "
-        f"WHERE length(text) >= 5").createOrReplaceTempView("mh_sets")
-    return spark.sql(
-        "SELECT a, b, jacc_pct FROM ("
-        "  SELECT a, b, CAST(FLOOR(size(array_intersect(sa.st, sb.st)) * 100 / "
-        "       (size(sa.st) + size(sb.st) - size(array_intersect(sa.st, sb.st)))) AS INT) AS jacc_pct "
-        "  FROM mh_cand JOIN mh_sets sa ON mh_cand.a = sa.doc_id "
-        "  JOIN mh_sets sb ON mh_cand.b = sb.doc_id"
-        ") WHERE jacc_pct >= 50")
+    return minhash_lsh_pairs(spark.table("dup_docs"), "text", "doc_id",
+                             min_jaccard_pct=50, bucket_cap=BUCKET_CAP)
 
 
 def _q_token_stats(spark, sf_dir):
@@ -276,19 +255,21 @@ def _q_priority_semijoin(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (vectorized rolling-hash UDF -> rows-only)."""
+    """SimHash near-dup pairs (vectorized 62-bit fingerprint UDF; the
+    DuckDB oracle recomputes the identical fingerprints in bitwise SQL)."""
     from cld2_spark.operators.dedup import simhash_pairs
     _register(spark, sf_dir)
     return simhash_pairs(spark.table("dup_docs"), max_hamming=3)
 
 
 def _q_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate cosine top-k (scale path; rows-only)."""
+    """LSH-bucketed approximate cosine top-k (scale path)."""
     from pyspark.sql import functions as F
     from cld2_spark.operators.similarity import lsh_cosine_topk
     _register(spark, sf_dir)
     emb = spark.table("embeddings")
-    return lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+    out = lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+    return out.select("qid", "nid", F.round("sim", 4).alias("sim"), "rank")
 
 
 def _q_lang_histogram(spark, sf_dir):
@@ -370,21 +351,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _minhash_duck_ctes() -> str:
+    """DuckDB CTEs mirroring operators.dedup.minhash_signatures/_lsh_pairs."""
+    from cld2_spark.operators.dedup import (MERSENNE31, minhash_band_exprs,
+                                            shingle_hash_expr)
+    bands = minhash_band_exprs("duckdb", "hs")
+    band_cols = ", ".join(f"{e} AS band{b}" for b, e in enumerate(bands))
+    assert str(MERSENNE31) in bands[0]
+    stacked = " UNION ALL ".join(
+        f"SELECT '{b}|' || band{b} AS band_key, doc_id AS id FROM mh_sigs"
+        for b in range(N_BANDS))
+    return (
+        f"mh_base AS (SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS st "
+        f"  FROM dup_docs WHERE length(text) >= 5), "
+        f"mh_hs AS (SELECT doc_id, st, "
+        f"  list_transform(st, s -> {shingle_hash_expr('s', 'duckdb')}) AS hs "
+        f"  FROM mh_base), "
+        f"mh_sigs AS (SELECT doc_id, {band_cols} FROM mh_hs), "
+        f"mh_stacked AS ({stacked}), "
+        f"{_capped_pairs_duck('mh_stacked')}")
+
+
+def _simhash_duck_ctes() -> str:
+    """DuckDB CTEs recomputing operators.dedup.simhash62_batch in SQL."""
+    from cld2_spark.operators.dedup import (MERSENNE31, SIMHASH_BANDS,
+                                            SIMHASH_BITS, SIMHASH_P1, SIMHASH_P2)
+
+    def horner(p: int) -> str:
+        e = "cp[CAST(i AS INT)]"
+        for j in range(1, 5):
+            e = f"(({e}) * {p} + cp[CAST(i AS INT) + {j}]) % {MERSENNE31}"
+        return e
+
+    majority = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hl, h -> ((h >> {j}) & 1) = 1)) "
+        f"> len(hl) THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(SIMHASH_BITS))
+    stacked = " UNION ALL ".join(
+        f"SELECT '{b}_' || CAST((fp >> {shift}) & {mask} AS VARCHAR) AS band_key, "
+        f"doc_id AS id FROM sh_fp"
+        for b, (shift, mask) in enumerate(SIMHASH_BANDS))
+    return (
+        f"sh_cp AS (SELECT doc_id, list_transform(split(text, ''), "
+        f"  x -> CAST(unicode(x) AS BIGINT)) AS cp "
+        f"  FROM dup_docs WHERE length(text) >= 5), "
+        f"sh_h AS (SELECT doc_id, list_transform(range(1, len(cp) - 3), "
+        f"  i -> ({horner(SIMHASH_P1)}) | (({horner(SIMHASH_P2)}) << 31)) AS hl "
+        f"  FROM sh_cp), "
+        f"sh_fp AS (SELECT doc_id, {majority} AS fp FROM sh_h), "
+        f"sh_stacked AS ({stacked}), "
+        f"{_capped_pairs_duck('sh_stacked')}")
+
+
+def _ann_lsh_duck_sql() -> str:
+    """DuckDB mirror of operators.similarity.lsh_cosine_topk (3 tables,
+    6 planes, exact cosine re-rank, top-5)."""
+    from cld2_spark.operators.similarity import _planes_literal
+    tables = []
+    for t in range(3):
+        planes = _planes_literal(64, 6, seed=42 + t)
+        bits = []
+        for i, p in enumerate(planes):
+            arr = "[" + ", ".join(f"{x}" for x in p) + "]"
+            dot = (f"list_sum(list_transform(list_zip(embedding, {arr}), "
+                   f"z -> CAST(z[1] AS DOUBLE) * z[2]))")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        tables.append(f"'{t}_' || CAST({' + '.join(bits)} AS VARCHAR)")
+    sv = " UNION ALL ".join(
+        f"SELECT {expr} AS bucket, vec_id AS nid, embedding AS nv FROM embeddings"
+        for expr in tables)
+    sq = " UNION ALL ".join(
+        f"SELECT {expr} AS bucket, vec_id AS qid, embedding AS qv "
+        f"FROM embeddings WHERE vec_id < 10" for expr in tables)
+    dot = ("list_sum(list_transform(list_zip(qv, nv), "
+           "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+    qn = "sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    en = "sqrt(list_sum(list_transform(nv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+    return (
+        f"WITH sv AS ({sv}), sq AS ({sq}), "
+        f"pairs AS (SELECT sq.qid, sv.nid, {dot} / ({qn} * {en}) AS sim "
+        f"  FROM sv JOIN sq ON sv.bucket = sq.bucket WHERE sv.nid != sq.qid), "
+        f"dd AS (SELECT qid, nid, MAX(sim) AS sim FROM pairs GROUP BY qid, nid), "
+        f"rk AS (SELECT qid, nid, sim, CAST(ROW_NUMBER() OVER "
+        f"  (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank FROM dd) "
+        f"SELECT qid, nid, ROUND(sim, 4) AS sim, rank FROM rk WHERE rank <= 5")
+
+
 def oracle_sql() -> dict[str, str]:
     from cld2_spark.kernels.quality import low_quality_sql, too_short_sql
     from cld2_spark.kernels.scrub import scrub_sql, toxicity_sql
 
     ctes = _duck_ctes()
-    mh_sigs = (f"mh_sigs AS (SELECT doc_id, {_band_exprs_duck()} FROM "
-               f"(SELECT doc_id, {_SHINGLE_DUCK} AS shingles FROM dup_docs "
-               f" WHERE length(text) >= 5))")
-    band_union = " UNION ALL ".join(
-        f"SELECT band{b} AS band_key, doc_id FROM mh_sigs" for b in range(N_BANDS))
-    mh_cand = (f"mh_cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b "
-               f"FROM ({band_union}) x JOIN ({band_union}) y "
-               f"ON x.band_key = y.band_key AND x.doc_id < y.doc_id)")
-    mh_sets = (f"mh_sets AS (SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS st "
-               f"FROM dup_docs WHERE length(text) >= 5)")
 
     dot = ("list_sum(list_transform(list_zip(q.embedding, e.embedding), "
            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
@@ -409,8 +466,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM transcripts"),
         "conv_rollup": (
             f"{ctes} SELECT conv_id, COUNT(*) AS n_turns, "
-            f"SUM(length(text)) AS total_chars, "
-            f"SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user_turns "
+            f"CAST(SUM(length(text)) AS BIGINT) AS total_chars, "
+            f"CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns "
             f"FROM transcripts GROUP BY conv_id"),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
@@ -433,15 +490,24 @@ def oracle_sql() -> dict[str, str]:
             f"{ctes} SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, "
             f"COUNT(*) AS n_copies FROM dup_docs GROUP BY md5(text)"),
         "minhash_signatures": (
-            f"{ctes}, {mh_sigs} SELECT doc_id, band0, band1, band2, band3 FROM mh_sigs"),
+            f"{ctes}, {_minhash_duck_ctes()} "
+            f"SELECT doc_id, band0, band1, band2, band3 FROM mh_sigs"),
         "minhash_pairs": (
-            f"{ctes}, {mh_sigs}, {mh_cand}, {mh_sets} "
+            f"{ctes}, {_minhash_duck_ctes()} "
             f"SELECT a, b, jacc_pct FROM ("
             f"  SELECT a, b, CAST(FLOOR(len(list_intersect(sa.st, sb.st)) * 100 / "
             f"       (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))) AS INT) AS jacc_pct "
-            f"  FROM mh_cand JOIN mh_sets sa ON mh_cand.a = sa.doc_id "
-            f"  JOIN mh_sets sb ON mh_cand.b = sb.doc_id"
+            f"  FROM cand JOIN mh_hs sa ON cand.a = sa.doc_id "
+            f"  JOIN mh_hs sb ON cand.b = sb.doc_id"
             f") WHERE jacc_pct >= 50"),
+        "dedup_simhash": (
+            f"{ctes}, {_simhash_duck_ctes()} "
+            f"SELECT a, b, hamming FROM ("
+            f"  SELECT a, b, CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming "
+            f"  FROM cand JOIN sh_fp fa ON cand.a = fa.doc_id "
+            f"  JOIN sh_fp fb ON cand.b = fb.doc_id"
+            f") WHERE hamming <= 3"),
+        "ann_lsh": _ann_lsh_duck_sql(),
         "token_stats": (
             "SELECT doc_id, "
             "length(string_split_regex(trim(text), '\\s+')) AS n_tokens, "
@@ -467,12 +533,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_quantity > 30 GROUP BY p_brand"),
         "priority_semijoin": (
             "SELECT o_orderpriority, "
-            "SUM(CASE WHEN EXISTS (SELECT 1 FROM lineitem l "
+            "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM lineitem l "
             "    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) "
-            "    THEN 1 ELSE 0 END) AS with_discounted_line, "
-            "SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem l "
+            "    THEN 1 ELSE 0 END) AS BIGINT) AS with_discounted_line, "
+            "CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem l "
             "    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05) "
-            "    THEN 1 ELSE 0 END) AS without_discounted_line "
+            "    THEN 1 ELSE 0 END) AS BIGINT) AS without_discounted_line "
             "FROM orders o GROUP BY o_orderpriority"),
         "lsh_buckets": _lsh_buckets_duck_sql(),
         "conversation_features": (
@@ -481,10 +547,11 @@ def oracle_sql() -> dict[str, str]:
             f"  FROM transcripts) "
             f"SELECT conv_id, CAST(COUNT(*) AS INT) AS n_turns, "
             f"CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS INT) AS n_user_turns, "
-            f"SUM(length(COALESCE(text, ''))) AS total_chars, "
+            f"CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars, "
             f"COALESCE(ROUND(AVG(gap), 3), 0.0) AS mean_gap_s, "
             f"COALESCE(ROUND(MAX(gap), 3), 0.0) AS max_gap_s "
             f"FROM g GROUP BY conv_id"),
-        # langid / keep_drop / dedup_simhash / ann_lsh / lang_histogram:
-        # UDF pipelines, not SQL-expressible -> rows-only checks by design
+        # langid / keep_drop / lang_histogram: CLD2-style langid UDF
+        # pipelines, not SQL-expressible -> rows-only checks by design
+        # (SURVEY.md Appendix A)
     }

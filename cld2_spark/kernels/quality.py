@@ -83,11 +83,17 @@ def too_short_sql(col: str, dialect: str) -> str:
 # ---------------------------------------------------------------- pandas ----
 
 def features_pandas(s):
-    """Same features over a pandas Series (oracle path)."""
+    """Same features over a pandas Series (oracle path).
+
+    Whitespace semantics must match the SQL engines exactly: Spark `trim`
+    and DuckDB `trim` strip only ' ' (0x20), and Java/RE2 `\\s` is the ASCII
+    class -- while Python's `\\s` and `str.strip()` are Unicode-aware
+    (U+202F/U+3000/NBSP). Use explicit ASCII sets on the pandas side."""
     t = s.fillna("")
     n_chars = t.str.len()
-    trimmed = t.str.strip()
-    n_words = trimmed.str.split(r"\s+", regex=True).str.len().where(trimmed.str.len() > 0, 0)
+    trimmed = t.str.strip(" ")
+    n_words = (trimmed.str.split("[ \t\n\x0b\f\r]+", regex=True).str.len()
+               .where(trimmed.str.len() > 0, 0))
     return {
         "n_chars": n_chars,
         "n_words": n_words,

@@ -16,13 +16,15 @@ The scrub stage itself is pure built-in `regexp_replace` chains on the JVM
 
 from __future__ import annotations
 
-# (name, pattern, replacement token) -- applied in order
+# (name, pattern, replacement token) -- applied in order.
+# Digits are the explicit [0-9] class: Python's \d is Unicode-aware while
+# Java and RE2 default to ASCII, so \d would diverge on e.g. Arabic digits.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("cc", r"\b(?:\d[ -]?){13,16}\d\b", "<CC>"),
-    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\b(?:\+?\d{1,2}[ .-]?)?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
-    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("cc", r"\b(?:[0-9][ -]?){13,16}[0-9]\b", "<CC>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b(?:\+?[0-9]{1,2}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 ]
 
 # Deterministic toxicity wordlist (placeholder lexicon; a production run
@@ -32,20 +34,46 @@ TOXICITY_WORDS: list[str] = [
     "dren", "felgercarb",
 ]
 
-TOXICITY_PATTERN = r"(?i)\b(?:" + "|".join(
-    w.replace("+", r"\+") for w in TOXICITY_WORDS) + r")\b"
+_WORD_CHARS = "A-Za-z0-9_"
+
+
+def _boundary_wrap(word: str) -> str:
+    """Wrap a lexicon entry in boundary assertions that actually fire.
+
+    `\\b` after a token ending in a non-word char (e.g. 'belgium++') can
+    never match before whitespace/EOS, so such entries get an explicit
+    consuming right-boundary class instead (fine for presence tests; this
+    pattern is only used with contains/rlike, never replace)."""
+    esc = "".join("\\" + c if c in r"\.^$*+?()[]{}|" else c for c in word)
+    left = r"\b" if word[0].isalnum() or word[0] == "_" else ""
+    if word[-1].isalnum() or word[-1] == "_":
+        right = r"\b"
+    else:
+        right = rf"(?:[^{_WORD_CHARS}]|$)"
+    return f"{left}{esc}{right}"
+
+
+TOXICITY_PATTERN = (r"(?i)(?:"
+                    + "|".join(_boundary_wrap(w) for w in TOXICITY_WORDS)
+                    + r")")
 
 
 def scrub_pandas(s):
-    """Apply the PII chain to a pandas Series of strings (oracle path)."""
+    """Apply the PII chain to a pandas Series of strings (oracle path).
+
+    Compiled with re.ASCII so \\b/\\w match Java/RE2's ASCII semantics."""
+    import re
+
     out = s.fillna("")
     for _, pat, tok in PII_PATTERNS:
-        out = out.str.replace(pat, tok, regex=True)
+        out = out.str.replace(re.compile(pat, re.ASCII), tok, regex=True)
     return out
 
 
 def toxicity_mask_pandas(s):
-    return s.fillna("").str.contains(TOXICITY_PATTERN, regex=True)
+    import re
+
+    return s.fillna("").str.contains(re.compile(TOXICITY_PATTERN, re.ASCII))
 
 
 def scrub_sql(col: str, dialect: str) -> str:

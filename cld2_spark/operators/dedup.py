@@ -7,10 +7,21 @@ fold, which is a vectorized Pandas UDF (Arrow-batched, no per-row Python).
 Scale notes (100TB design point):
   - exact_dedup: one shuffle on a 16-byte hash; skew-free (hashes uniform).
   - minhash_lsh_pairs: banding keeps the self-join restricted to candidate
-    buckets; band keys are uniform md5 minima, so the join is skew-free by
-    construction. Never computes all-pairs.
-  - simhash_pairs: 64-bit fingerprint + banding on 4x16-bit sub-keys
-    (hamming<=k candidates share a sub-key by pigeonhole).
+    buckets. ONE md5 per distinct shingle; the 12-member hash family is
+    derived by affine maps modulo a Mersenne prime (standard MinHash
+    practice), so the dominant cost is cheap JVM arithmetic, not 12 digest
+    calls per shingle.
+  - band-bucket size cap (both pair operators): a band key shared by D
+    near-identical docs would otherwise yield D^2 candidate pairs --
+    boilerplate-heavy corpora (exactly what dedup targets) make one bucket
+    quadratic. Buckets larger than `bucket_cap` are star-reduced: every
+    member pairs only with the bucket's min id (linear, still connects the
+    duplicate group transitively through its representative).
+  - simhash_pairs: 62-bit fingerprint banded into 4 sub-keys (pigeonhole:
+    hamming<=3 pairs share at least one). The fingerprint is two 31-bit
+    polynomial rolling hashes over codepoints, combined -- chosen over a
+    64-bit fmix construction so the exact computation is expressible in
+    engine-portable SQL (mod-2^63-safe arithmetic) for the DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -24,6 +35,24 @@ from pyspark.sql.types import LongType
 
 N_BANDS = 4
 SHINGLE_K = 5
+ROWS_PER_BAND = 3  # r: per-band collision prob = jaccard**r
+BUCKET_CAP = 64    # band buckets above this are star-reduced (see module doc)
+
+MERSENNE31 = 2147483647  # 2^31 - 1
+
+# Affine MinHash family: h_i(x) = (A[i]*x + B[i]) mod p over x = H(s) mod p.
+# Fixed Knuth-style multiplicative constants; inlined as literals into both
+# the Spark and DuckDB SQL so the two engines agree bit-for-bit.
+_N_HASHES = N_BANDS * ROWS_PER_BAND
+HASH_A = [(1566083941 * (i + 1)) % MERSENNE31 for i in range(_N_HASHES)]
+HASH_B = [(2654435769 * (i + 1)) % MERSENNE31 for i in range(_N_HASHES)]
+
+# SimHash rolling-hash parameters (two independent 31-bit Horner hashes)
+SIMHASH_P1 = 1000003
+SIMHASH_P2 = 16777619
+SIMHASH_BITS = 62
+# 4 band sub-keys over the 62-bit fingerprint: 16+16+15+15
+SIMHASH_BANDS = [(0, 0xFFFF), (16, 0xFFFF), (32, 0x7FFF), (47, 0x7FFF)]
 
 _SHINGLES = ("transform(sequence(1, greatest(length({col}) - {k1}, 1)), "
              "i -> substring({col}, i, {k}))")
@@ -41,42 +70,86 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return w.join(keep, [id_col, "__h"], "inner").drop("__h")
 
 
-ROWS_PER_BAND = 3  # r: per-band collision prob = jaccard**r
+def shingle_hash_expr(shingle_var: str, dialect: str) -> str:
+    """60-bit base hash of one shingle: int(md5(s)[:15], 16) mod p."""
+    if dialect == "spark":
+        return (f"CAST(conv(substring(md5({shingle_var}), 1, 15), 16, 10) AS BIGINT)"
+                f" % {MERSENNE31}")
+    return f"('0x' || substr(md5({shingle_var}), 1, 15))::BIGINT % {MERSENNE31}"
+
+
+def minhash_band_exprs(dialect: str, hs_col: str = "hs",
+                       n_bands: int = N_BANDS) -> list[str]:
+    """Band-key expressions over a column holding the base-hash array."""
+    xform = "transform" if dialect == "spark" else "list_transform"
+    amin = "array_min" if dialect == "spark" else "list_min"
+    concat = "concat_ws('_', {})" if dialect == "spark" else "concat_ws('_', {})"
+    out = []
+    for b in range(n_bands):
+        mins = []
+        for r in range(ROWS_PER_BAND):
+            i = ROWS_PER_BAND * b + r
+            mins.append(f"{amin}({xform}({hs_col}, h -> "
+                        f"({HASH_A[i]} * h + {HASH_B[i]}) % {MERSENNE31}))")
+        out.append(concat.format(", ".join(mins)))
+    return out
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        n_bands: int = N_BANDS, k: int = SHINGLE_K) -> DataFrame:
-    """Per-row LSH band signatures: each band = md5 of r=3 min-wise md5
-    minima, so a band collision implies jaccard**3-probability agreement
-    (keeps vocabulary-overlap noise out of the candidate set)."""
-    sh = _shingles_expr(text_col, k)
-    out = df.withColumn("__sh", F.expr(sh))
-    for b in range(n_bands):
-        mins = ", ".join(
-            f"array_min(transform(__sh, s -> md5(concat('{ROWS_PER_BAND * b + r}_', s))))"
-            for r in range(ROWS_PER_BAND))
-        out = out.withColumn(f"band{b}", F.expr(f"md5(concat_ws('|', {mins}))"))
-    return out.drop("__sh")
+    """Per-row LSH band signatures: each band = r=3 affine-minhash minima
+    joined with '_', so a band collision implies jaccard**3-probability
+    agreement (keeps vocabulary-overlap noise out of the candidate set).
+    MinHash over distinct shingles equals MinHash over the multiset (min is
+    duplicate-invariant), so the base hash is computed once per distinct
+    shingle."""
+    sh = f"array_distinct({_shingles_expr(text_col, k)})"
+    hs = f"transform({sh}, s -> {shingle_hash_expr('s', 'spark')})"
+    out = df.withColumn("__hs", F.expr(hs))
+    for b, expr in enumerate(minhash_band_exprs("spark", "__hs", n_bands)):
+        out = out.withColumn(f"band{b}", F.expr(expr))
+    return out.drop("__hs")
+
+
+def capped_band_pairs(stacked: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Candidate id-pairs from a (band_key, id) relation with skew guard.
+
+    Buckets of size <= bucket_cap: full within-bucket pairing. Larger
+    buckets: star reduction (min id x every other member) -- linear in the
+    bucket size, so a 10K-copy boilerplate group costs 10K pairs, not 10^8.
+    """
+    stats = (stacked.groupBy("band_key")
+             .agg(F.count(F.lit(1)).alias("c"), F.min("id").alias("m")))
+    small_keys = stats.where(F.col("c") <= bucket_cap).select("band_key")
+    big_keys = stats.where(F.col("c") > bucket_cap).select("band_key", "m")
+    sm = stacked.join(small_keys, "band_key")
+    x = sm.select(F.col("band_key"), F.col("id").alias("a"))
+    y = sm.select(F.col("band_key"), F.col("id").alias("b"))
+    small = (x.join(y, "band_key")
+             .where(F.col("a") < F.col("b"))
+             .select("a", "b"))
+    big = (stacked.join(big_keys, "band_key")
+           .where(F.col("id") > F.col("m"))
+           .select(F.col("m").alias("a"), F.col("id").alias("b")))
+    return small.unionAll(big).distinct()
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n_bands: int = N_BANDS, k: int = SHINGLE_K,
-                      min_jaccard_pct: int = 50) -> DataFrame:
-    """Candidate id-pairs via LSH banding, then ONE join back to shingle
-    sets for exact Jaccard verification. Ids-only through the band
-    self-join: no arrays ride the shuffle (the 100TB-safe shape)."""
+                      min_jaccard_pct: int = 50,
+                      bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Candidate id-pairs via LSH banding (skew-capped), then ONE join back
+    to shingle sets for exact Jaccard verification. Ids-only through the
+    band self-join: no arrays ride the shuffle (the 100TB-safe shape)."""
     base = df.select(id_col, text_col).where(F.length(text_col) >= k)
     sigs = minhash_signatures(base, text_col, n_bands, k)
     stacked = None
     for b in range(n_bands):
-        part = sigs.select(F.col(f"band{b}").alias("band_key"),
-                           F.col(id_col).alias("id"))
+        part = sigs.select(
+            F.concat(F.lit(f"{b}|"), F.col(f"band{b}")).alias("band_key"),
+            F.col(id_col).alias("id"))
         stacked = part if stacked is None else stacked.unionAll(part)
-    x, y = stacked.alias("x"), stacked.alias("y")
-    cand = (x.join(y, (F.col("x.band_key") == F.col("y.band_key"))
-                   & (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-            .distinct())
+    cand = capped_band_pairs(stacked, bucket_cap)
     sets = base.select(F.col(id_col).alias("id"),
                        F.array_distinct(F.expr(_shingles_expr(text_col, k))).alias("s"))
     sa, sb = sets.alias("sa"), sets.alias("sb")
@@ -88,76 +161,90 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             .where(F.col("jacc_pct") >= min_jaccard_pct))
 
 
-def simhash64_batch(texts: list[str]) -> np.ndarray:
-    """64-bit SimHash per text, fully vectorized across the batch.
+def simhash62_batch(texts: list[str]) -> np.ndarray:
+    """62-bit SimHash per text, fully vectorized across the batch.
 
-    Shingle hash = polynomial rolling hash over codepoints + fmix64 finisher
-    (deterministic, no per-row Python). Bit-majority fold via one scatter-add.
+    Shingle hash = two independent 31-bit polynomial (Horner) hashes over
+    codepoints modulo 2^31-1, packed as h1 | h2<<31. Bit-majority fold via
+    one scatter-add. Exactly reproducible in portable SQL (the DuckDB
+    oracle in __spark_entry__ computes the same fingerprints).
+
+    Texts shorter than SHINGLE_K codepoints yield fingerprint -1 (callers
+    filter them; -1 never collides with a real 62-bit value).
     """
     from cld2_spark.kernels import unicode_tables as ut
 
     n = len(texts)
-    out = np.zeros(n, dtype=np.uint64)
+    out = np.full(n, -1, dtype=np.int64)
     if n == 0:
-        return out.view(np.int64)
+        return out
     joined = "\x00".join(texts)
-    cp = ut.codepoints_of(joined).astype(np.uint64)
+    cp = ut.codepoints_of(joined).astype(np.int64)
     lens = np.fromiter((len(t) for t in texts), count=n, dtype=np.int64)
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1] + 1, out=starts[1:])
 
     K = SHINGLE_K
-    P = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
-    with np.errstate(over="ignore"):
-        h = np.zeros(max(len(cp) - K + 1, 0), dtype=np.uint64)
-        for j in range(K):
-            h = h * P + cp[j:len(cp) - K + 1 + j]
-        # fmix64 (public-domain MurmurHash3 finisher)
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(0xFF51AFD7ED558CCD)
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(0xC4CEB9FE1A85EC53)
-        h ^= h >> np.uint64(33)
+    n_sh = max(len(cp) - K + 1, 0)
+    h1 = np.zeros(n_sh, dtype=np.int64)
+    h2 = np.zeros(n_sh, dtype=np.int64)
+    for j in range(K):
+        c = cp[j:n_sh + j]
+        h1 = (h1 * SIMHASH_P1 + c) % MERSENNE31
+        h2 = (h2 * SIMHASH_P2 + c) % MERSENNE31
+    h = h1 | (h2 << 31)  # 62-bit, non-negative in int64
 
-    # valid shingles: fully inside one text (no separator) and text long enough
-    idx = np.arange(len(h), dtype=np.int64)
+    # valid shingles: fully inside one text (no separator crossing)
+    idx = np.arange(n_sh, dtype=np.int64)
     rid = np.searchsorted(starts, idx, side="right") - 1
     end_of_row = starts[rid] + lens[rid]
     valid = idx + K <= end_of_row
     h, rid = h[valid], rid[valid]
 
-    bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-    bits = ((h[:, None] & bit_cols) != 0).astype(np.int64) * 2 - 1  # (N,64) in {-1,1}
-    acc = np.zeros((n, 64), dtype=np.int64)
+    bit_cols = (np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64))
+    bits = ((h[:, None] & bit_cols) != 0).astype(np.int64)
+    acc = np.zeros((n, SIMHASH_BITS), dtype=np.int64)
     np.add.at(acc, rid, bits)
-    sim = (acc > 0).astype(np.uint64)
-    return (sim * bit_cols).sum(axis=1).astype(np.uint64).view(np.int64)
+    cnt = np.zeros(n, dtype=np.int64)
+    np.add.at(cnt, rid, 1)
+    sim = (2 * acc > cnt[:, None]).astype(np.int64)  # strict majority, tie->0
+    fp = (sim * bit_cols).sum(axis=1)
+    return np.where(lens >= K, fp, np.int64(-1))
 
 
 @F.pandas_udf(LongType())
-def _simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+def _simhash62(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for s in batches:
-        yield pd.Series(simhash64_batch(s.fillna("").tolist()))
+        yield pd.Series(simhash62_batch(s.fillna("").tolist()))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4x16-bit
-    sub-keys (hamming <= 3 pairs must share one), verify hamming distance."""
-    fp = df.select(id_col, _simhash64(F.col(text_col)).alias("fp"))
+                  max_hamming: int = 3,
+                  bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 62-bit fingerprint into 4
+    sub-keys (hamming <= 3 pairs must share one by pigeonhole), verify
+    hamming distance. Rows shorter than SHINGLE_K codepoints are excluded
+    up front (a degenerate shared fingerprint would pair all short rows)."""
+    fp = (df.where(F.length(text_col) >= SHINGLE_K)
+          .select(id_col, _simhash62(F.col(text_col)).alias("fp")))
     parts = []
-    for b in range(4):
-        sub = F.shiftright(F.col("fp"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-        parts.append(fp.select(F.col(id_col).alias("id"), "fp",
-                               F.concat(F.lit(f"{b}_"), sub.cast("string")).alias("band_key")))
+    for b, (shift, mask) in enumerate(SIMHASH_BANDS):
+        sub = F.shiftright(F.col("fp"), shift).bitwiseAND(F.lit(mask))
+        parts.append(fp.select(
+            F.col(id_col).alias("id"), "fp",
+            F.concat(F.lit(f"{b}_"), sub.cast("string")).alias("band_key")))
     stacked = parts[0]
     for p in parts[1:]:
         stacked = stacked.unionAll(p)
-    x, y = stacked.alias("x"), stacked.alias("y")
-    ham = F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp")))
-    return (x.join(y, (F.col("x.band_key") == F.col("y.band_key"))
-                   & (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
-                    ham.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming)
-            .distinct())
+    ids = stacked.select("band_key", "id")
+    cand = capped_band_pairs(ids, bucket_cap)
+    fa = fp.select(F.col(id_col).alias("a"), F.col("fp").alias("fpa"))
+    fb = fp.select(F.col(id_col).alias("b"), F.col("fp").alias("fpb"))
+    ham = F.bit_count(F.col("fpa").bitwiseXOR(F.col("fpb"))).cast("int")
+    return (cand.join(fa, "a").join(fb, "b")
+            .select("a", "b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))
+
+
+# Backwards-compatible alias (round-1 name)
+simhash64_batch = simhash62_batch

@@ -87,8 +87,10 @@ def run_resumable(spark: SparkSession, input_df: DataFrame, output_dir: str,
             .write.partitionBy(BUCKET_COL).mode("overwrite")
             .parquet(str(Path(output_dir) / "data")))
         metrics = dict(obs.get)
+        group_id = f"g{min(group)}"
         for b in group:
             manifest["completed_buckets"][str(b)] = {
+                "group_id": group_id,
                 "group_metrics": metrics, "model_version": version}
         save_manifest(output_dir, manifest)
         processed += len(group)
@@ -107,9 +109,14 @@ class _SumObs:
         total: dict[str, int] = {}
         seen_groups = set()
         for entry in manifest["completed_buckets"].values():
-            key = json.dumps(entry["group_metrics"], sort_keys=True, default=str)
+            # metrics are per commit-group: dedupe on the group id, not on
+            # metric content (two groups can legitimately produce identical
+            # metric dicts). Older manifests without group_id fall back to
+            # content dedupe.
+            key = entry.get("group_id") or json.dumps(
+                entry["group_metrics"], sort_keys=True, default=str)
             if key in seen_groups:
-                continue  # metrics are per commit-group, count once
+                continue
             seen_groups.add(key)
             for k, v in entry["group_metrics"].items():
                 if isinstance(v, (int, float)) and v is not None:

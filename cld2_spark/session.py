@@ -36,6 +36,10 @@ def get_spark(app: str = "cld2_spark", cores: int | None = None,
         .master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Pin the session timezone: date_trunc/unix_timestamp and Arrow
+        # timestamp conversion must not depend on the host zone (the DuckDB
+        # oracle truncates naive UTC timestamps).
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

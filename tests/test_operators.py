@@ -52,6 +52,32 @@ def test_simhash_batch_deterministic():
     assert b[1] == a[0] and b[0] == a[2]  # batch-position independent
 
 
+def test_simhash_short_text_not_paired(spark):
+    # ADVICE r1: texts shorter than SHINGLE_K must not all collide at
+    # hamming 0 ('ok' vs 'no' are distinct rows, not near-duplicates)
+    from cld2_spark.operators.dedup import simhash64_batch, simhash_pairs
+    fp = simhash64_batch(["ok", "no", ""])
+    assert all(v == -1 for v in fp)  # sentinel, filtered upstream
+    df = spark.createDataFrame(
+        [(0, "ok"), (1, "no"), (2, "yes")], "doc_id long, text string")
+    assert simhash_pairs(df).count() == 0
+
+
+def test_band_bucket_cap_star_reduction(spark):
+    # VERDICT r1: a 10K-copy duplicate group must not generate quadratic
+    # candidate pairs. With the cap, an N-copy bucket yields N-1 star pairs.
+    from cld2_spark.operators.dedup import capped_band_pairs
+    n = 10_000
+    stacked = spark.range(n).selectExpr("'k' AS band_key", "id")
+    out = capped_band_pairs(stacked, bucket_cap=64)
+    pdf = out.toPandas()
+    assert len(pdf) == n - 1            # linear, not n*(n-1)/2
+    assert (pdf.a == 0).all()           # every member pairs with the min id
+    # small buckets still produce full pairings
+    small = spark.range(4).selectExpr("'s' AS band_key", "id")
+    assert capped_band_pairs(small, bucket_cap=64).count() == 6
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(7)
