@@ -129,15 +129,18 @@ def word_grams(arr: np.ndarray, rid_s: np.ndarray):
     hashed with the bit-exact OctaHash40 (<=24 bytes, space-sensed pre/post
     bits); word-pair hashes (J6, PairHash) combine consecutive words.
 
-    Returns (w_rid, whash32, pair32, pos) -- hashes folded to 32-bit table
-    keys; pair32 is 0 for the first word of each row.
+    Returns (w_rid, h40, pair40, pos) -- raw 40-bit OctaHash40 values;
+    pair40 is 0 for the first word of each row and for identical-word
+    pairs ("Do not look up a pair of identical words",
+    internal/cldutil.cc:470-475). Words are truncated to 8 letters
+    (charcount <= 8 walk, internal/cldutil.cc:515-518).
     """
-    from .hashes import fold40_to_32, octa_hash_40, pair_hash
+    from .hashes import octa_hash_40, pair_hash
 
     n = len(arr)
     z = np.zeros(0, dtype=np.int64)
     if n == 0:
-        return z, z, z, z
+        return z, z.astype(np.uint64), z.astype(np.uint64), z
     is_sp = arr == T.SPACE
     prev_sp = np.empty_like(is_sp)
     prev_sp[0] = True
@@ -145,24 +148,24 @@ def word_grams(arr: np.ndarray, rid_s: np.ndarray):
     word_start = (~is_sp) & prev_sp
     pos = np.flatnonzero(word_start).astype(np.int32)
     if len(pos) == 0:
-        return z, z, z, z
+        return z, z.astype(np.uint64), z.astype(np.uint64), z
     wid = np.cumsum(word_start, dtype=np.int32) - 1
-    wlen = np.bincount(wid[~is_sp]).astype(np.int32)
+    wlen = np.minimum(np.bincount(wid[~is_sp]).astype(np.int32), 8)
 
     boff = T.utf8_offsets(arr)
     bstart = boff[pos]
     blen = np.minimum(boff[pos + wlen] - bstart, 24)
     buf = T.encode_utf8(arr)
     h40 = octa_hash_40(buf, bstart, blen)
-    w32 = fold40_to_32(h40)
     w_rid = rid_s[pos]
 
-    pair = np.zeros(len(pos), dtype=np.uint32)
+    pair = np.zeros(len(pos), dtype=np.uint64)
     if len(pos) > 1:
         p40 = pair_hash(h40[:-1], h40[1:])
-        same = w_rid[1:] == w_rid[:-1]
-        pair[1:] = np.where(same, fold40_to_32(p40), 0)
-    return w_rid, w32, pair, pos
+        same_row = w_rid[1:] == w_rid[:-1]
+        diff_word = h40[1:] != h40[:-1]
+        pair[1:] = np.where(same_row & diff_word, p40, 0)
+    return w_rid, h40, pair, pos
 
 
 def cjk_bigram_hash(cp1: np.ndarray, cp2: np.ndarray) -> np.ndarray:
@@ -183,6 +186,19 @@ def repeat_filter(h: np.ndarray, g_rid: np.ndarray) -> np.ndarray:
     if len(h) > 2:
         keep[2:] &= ~((h[2:] == h[:-2]) & (g_rid[2:] == g_rid[:-2]))
     return keep
+
+
+def _pad_slots(langs: np.ndarray, qprobs: np.ndarray, width: int):
+    """Pad (n, k) slot arrays to (n, width) so hit streams from tables with
+    different slot counts (3 self-trained, 6 reference) can concatenate."""
+    k = langs.shape[1]
+    if k == width:
+        return langs, qprobs
+    pl = np.full((langs.shape[0], width), NO_LANG, dtype=langs.dtype)
+    pq = np.zeros((qprobs.shape[0], width), dtype=qprobs.dtype)
+    pl[:, :k] = langs
+    pq[:, :k] = qprobs
+    return pl, pq
 
 
 def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs, acc,
@@ -229,8 +245,9 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     # CLD2's per-chunk Tote, internal/tote.h:36-61). A per-(chunk,lang) sum
     # is <= 20 grams * qprob 12 * 3 slots = 720, so int16 is safe.
     COHORT = 2048
-    lang_j = [langs3[:, j].astype(np.int64) for j in range(3)]
-    q_j = [qprobs3[:, j].astype(np.int16) for j in range(3)]
+    n_slots = langs3.shape[1]  # 3 (self-trained) or 6 (reference two-langprob)
+    lang_j = [langs3[:, j].astype(np.int64) for j in range(n_slots)]
+    q_j = [qprobs3[:, j].astype(np.int16) for j in range(n_slots)]
     win = np.empty(n_chunks, dtype=np.int64)
     s1 = np.empty(n_chunks, dtype=np.int32)
     s2 = np.empty(n_chunks, dtype=np.int32)
@@ -240,11 +257,16 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
         lo, hi = np.searchsorted(cid, (c0, c1))
         csc = np.zeros((c1 - c0) * n_langs, dtype=np.int16)
         base_idx = (cid[lo:hi] - c0) * n_langs
-        for j in range(3):
+        for j in range(n_slots):
             qj = q_j[j][lo:hi]
-            valid = qj > 0
+            lj = lang_j[j][lo:hi]
+            # lang >= n_langs: slot decodes to UNKNOWN/an unmapped language
+            # in this domain (reference tables overlap Latn/Othr pslang
+            # spaces) -- such votes are dropped, like pslang 0 in
+            # ProcessProbV2Tote (internal/cldutil.cc:128-138)
+            valid = (qj > 0) & (lj < n_langs)
             if valid.any():
-                np.add.at(csc, base_idx[valid] + lang_j[j][lo:hi][valid], qj[valid])
+                np.add.at(csc, base_idx[valid] + lj[valid], qj[valid])
         if hint_lid is not None:
             hints_c = hint_lid[cr[c0:c1]]
             hm = hints_c >= 0
@@ -278,9 +300,14 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     rel = np.where(delta >= thr, maxrel,
                    np.where(delta <= 0, 0, np.minimum(maxrel, 100 * delta // thr)))
 
-    np.add.at(bytes_rl, (cr, win), cb)
-    np.add.at(score_rl, (cr, win), s1)
-    np.add.at(relw_rl, (cr, win), rel * cb)
+    # chunks where nothing scored attribute NO bytes (argmax of an all-zero
+    # tote is meaningless; the reference never reaches this because every
+    # scriptspan is seeded with a default-language hit -- we seed too, but
+    # later chunks of a sparse row can still be empty)
+    scored = s1 > 0
+    np.add.at(bytes_rl, (cr[scored], win[scored]), cb[scored])
+    np.add.at(score_rl, (cr[scored], win[scored]), s1[scored])
+    np.add.at(relw_rl, (cr[scored], win[scored]), rel[scored] * cb[scored])
 
 
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,
@@ -356,24 +383,59 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
             keep = repeat_filter(h, g_rid)
             g_rid, h, gb, pos = g_rid[keep], h[keep], gb[keep], pos[keep]
             g_script = scr_s[pos]
-            if model.words is not None:
-                w_rid, w32, pair32, wpos = word_grams(arr, rid_s)
+            use_ref_words = model.ref_word_delta is not None
+            have_words = use_ref_words or model.words is not None
+            if have_words:
+                w_rid, wh40, pair40, wpos = word_grams(arr, rid_s)
+                if not use_ref_words:
+                    from .hashes import fold40_to_32
+                    w32 = fold40_to_32(wh40)
+                    pair32 = np.where(pair40 != 0, fold40_to_32(pair40),
+                                      np.uint32(0))
             for s in many:
                 m = g_script == s
                 if not m.any():
                     continue
+                latin = ut.SCRIPTS[s][0] == "Latn"
                 tbl = model.group_tables[ut.SCRIPTS[s][0]]
                 found, langs3, qprobs3 = tbl.probe(h[m])
                 s_rid, s_gb, s_pos = g_rid[m], gb[m], pos[m]
-                if model.words is not None:
-                    # J5/J6: merge word + word-pair hits into the quad hit
-                    # stream before chunking (LinearizeAll analogue,
-                    # internal/scoreonescriptspan.cc:856-975); word hits
-                    # carry no bytes (delta votes only)
-                    if len(w_rid):
-                        wm = scr_s[wpos] == s
-                        keep_w = repeat_filter(w32, w_rid) & wm
-                        hits = [(s_rid, s_pos, langs3, qprobs3, s_gb)]
+                # J5/J6: merge word + word-pair hits into the quad hit
+                # stream before chunking (LinearizeAll analogue,
+                # internal/scoreonescriptspan.cc:856-975); word hits carry
+                # no bytes (delta votes only)
+                hits = []
+                # W2 seed: every span contributes one qprob-1 hit for the
+                # script's default language (DefaultLangProb,
+                # internal/scoreonescriptspan.cc:848-851) so sparse/unseen
+                # text falls back to the script default, never to lang id 0
+                seed_gid = model.lang_id.get(ut.DEFAULT_LANG[s] or "")
+                if seed_gid is not None:
+                    rows_s = np.unique(s_rid)
+                    k = len(rows_s)
+                    hits.append((rows_s, np.full(k, -1, dtype=np.int32),
+                                 np.full((k, 1), seed_gid, dtype=np.uint8),
+                                 np.ones((k, 1), dtype=np.uint8),
+                                 np.zeros(k, dtype=np.int32)))
+                if have_words and len(w_rid):
+                    wm = scr_s[wpos] == s
+                    keep_w = repeat_filter(wh40, w_rid) & wm
+                    if use_ref_words:
+                        # reference deltaocta (word), distinctocta (word +
+                        # word-pair), GetOctaHits internal/cldutil.cc:416-533
+                        probes = [(wh40, model.ref_word_delta),
+                                  (wh40, model.ref_word_distinct),
+                                  (pair40, model.ref_word_distinct)]
+                        for wh, rt in probes:
+                            if rt is None:
+                                continue
+                            sel = keep_w & (wh != 0)
+                            if not sel.any():
+                                continue
+                            _, wl, wq = rt.probe_octa(wh[sel], latin)
+                            hits.append((w_rid[sel], wpos[sel], wl, wq,
+                                         np.zeros(int(sel.sum()), dtype=np.int32)))
+                    else:
                         for wh in (w32, pair32):
                             sel = keep_w & (wh != 0)
                             if not sel.any():
@@ -381,43 +443,86 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                             _, wl3, wq3 = model.words.probe(wh[sel])
                             hits.append((w_rid[sel], wpos[sel], wl3, wq3,
                                          np.zeros(int(sel.sum()), dtype=np.int32)))
-                        if len(hits) > 1:
-                            s_rid = np.concatenate([x[0] for x in hits])
-                            all_pos = np.concatenate([x[1] for x in hits])
-                            langs3 = np.concatenate([x[2] for x in hits])
-                            qprobs3 = np.concatenate([x[3] for x in hits])
-                            s_gb = np.concatenate([x[4] for x in hits])
-                            order = np.lexsort((all_pos, s_rid))
-                            s_rid, langs3 = s_rid[order], langs3[order]
-                            qprobs3, s_gb = qprobs3[order], s_gb[order]
+                if hits:
+                    width = max(x[2].shape[1] for x in hits)
+                    width = max(width, langs3.shape[1])
+                    hits.insert(0, (s_rid, s_pos, langs3, qprobs3, s_gb))
+                    s_rid = np.concatenate([x[0] for x in hits])
+                    all_pos = np.concatenate([x[1] for x in hits])
+                    langs3 = np.concatenate(
+                        [_pad_slots(x[2], x[3], width)[0] for x in hits])
+                    qprobs3 = np.concatenate(
+                        [_pad_slots(x[2], x[3], width)[1] for x in hits])
+                    s_gb = np.concatenate([x[4] for x in hits])
+                    order = np.lexsort((all_pos, s_rid))
+                    s_rid, langs3 = s_rid[order], langs3[order]
+                    qprobs3, s_gb = qprobs3[order], s_gb[order]
                 _score_hits(s_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n, L, acc,
                             hint_lid=hint_lid, whack_map=whack_map)
 
-    # CJK pass: unigram hits (J3) + adjacent-pair bigram delta hits (J4,
-    # kCjkDeltaBi analogue) merged into one chunk stream
-    if model.cjk_uni is not None and len(present_scripts) and \
+    # CJK pass: unigram hits (J3) + adjacent-pair bigram delta hits (J4)
+    # merged into one chunk stream. With reference tables: unigrams via the
+    # flattened CjkUni DFA, bigrams via bit-exact BiHashV2 over the UTF-8
+    # bytes of the two chars probed into kCjkDeltaBi (GetBiHits,
+    # internal/cldutil.cc:248-310).
+    use_ref_cjk = model.ref_cjk_uni is not None
+    if (use_ref_cjk or model.cjk_uni is not None) and len(present_scripts) and \
             np.isin(CJK_SCRIPTS, present_scripts).any():
         mask = nb.letter & np.isin(nb.script, CJK_SCRIPTS)
         if mask.any():
             idx = np.flatnonzero(mask)
             cps = nb.cp[idx]
             g_rid = nb.rid[idx]
-            found, langs3, qprobs3 = model.cjk_uni.probe(cps)
+            if use_ref_cjk:
+                found, langs3, qprobs3 = model.ref_cjk_uni.probe(cps)
+            else:
+                found, langs3, qprobs3 = model.cjk_uni.probe(cps)
             gb = u8len[idx].astype(np.int32)
-            if model.cjk_bi is not None and len(idx) > 1:
+            bi_hits = None
+            if len(idx) > 1:
                 adj = (idx[1:] == idx[:-1] + 1) & (g_rid[1:] == g_rid[:-1])
                 if adj.any():
                     a = np.flatnonzero(adj)
-                    bih = cjk_bigram_hash(cps[a], cps[a + 1])
-                    _, bl3, bq3 = model.cjk_bi.probe(bih)
-                    all_rid = np.concatenate([g_rid, g_rid[a]])
-                    all_pos = np.concatenate([idx, idx[a]])
-                    langs3 = np.concatenate([langs3, bl3])
-                    qprobs3 = np.concatenate([qprobs3, bq3])
-                    gb = np.concatenate([gb, np.zeros(len(a), dtype=np.int32)])
-                    order = np.lexsort((all_pos, all_rid))
-                    g_rid, langs3 = all_rid[order], langs3[order]
-                    qprobs3, gb = qprobs3[order], gb[order]
+                    if model.ref_cjk_bi is not None:
+                        from .hashes import bi_hash_v2
+                        boff = T.utf8_offsets(cps)
+                        buf = T.encode_utf8(cps)
+                        bstart = boff[a]
+                        blen = boff[a + 2] - bstart  # two chars, <= 8 bytes
+                        bih = bi_hash_v2(buf, bstart, blen)
+                        _, bl3, bq3 = model.ref_cjk_bi.probe_quad(bih, latin=False)
+                        bi_hits = (a, bl3, bq3)
+                    elif model.cjk_bi is not None:
+                        bih = cjk_bigram_hash(cps[a], cps[a + 1])
+                        _, bl3, bq3 = model.cjk_bi.probe(bih)
+                        bi_hits = (a, bl3, bq3)
+            streams = [(g_rid, idx.astype(np.int64), langs3, qprobs3, gb)]
+            if bi_hits is not None:
+                a, bl3, bq3 = bi_hits
+                streams.append((g_rid[a], idx[a].astype(np.int64), bl3, bq3,
+                                np.zeros(len(a), dtype=np.int32)))
+            # W2 seed: default language of merged-CJK (ULScript_Hani) is
+            # JAPANESE (internal/generated_ulscript.cc:480), qprob 1
+            seed_gid = model.lang_id.get("ja")
+            if seed_gid is not None:
+                rows_c = np.unique(g_rid)
+                k = len(rows_c)
+                streams.append((rows_c, np.full(k, -1, dtype=np.int64),
+                                np.full((k, 1), seed_gid, dtype=np.uint8),
+                                np.ones((k, 1), dtype=np.uint8),
+                                np.zeros(k, dtype=np.int32)))
+            if len(streams) > 1:
+                width = max(x[2].shape[1] for x in streams)
+                all_rid = np.concatenate([x[0] for x in streams])
+                all_pos = np.concatenate([x[1] for x in streams])
+                langs3 = np.concatenate(
+                    [_pad_slots(x[2], x[3], width)[0] for x in streams])
+                qprobs3 = np.concatenate(
+                    [_pad_slots(x[2], x[3], width)[1] for x in streams])
+                gb = np.concatenate([x[4] for x in streams])
+                order = np.lexsort((all_pos, all_rid))
+                g_rid, langs3 = all_rid[order], langs3[order]
+                qprobs3, gb = qprobs3[order], gb[order]
             _score_hits(g_rid, langs3, qprobs3, gb, UNI_CHUNK, n, L, acc,
                         hint_lid=hint_lid, whack_map=whack_map)
 

@@ -104,6 +104,77 @@ class GramTable:
 
 
 @dataclass
+class RefTable:
+    """A reference CLD2TableSummary loaded verbatim (keys + masked-key probe,
+    internal/cldutil_shared.h:403-454), with the indirect->langprob chain
+    pre-decoded into per-slot (global lang, qprob) arrays at build time.
+
+    Per-script language numbers overlap between the Latin and non-Latin
+    domains (MakeLangProb internal/cldutil.cc:610-614, FromPerScriptNumber
+    internal/lang_script.cc:331-341), so each slot carries BOTH decodes;
+    the caller picks by the script of the span being scored. A slot keeps
+    up to 6 (lang, qprob) pairs (two langprobs for indirect >= SizeOne,
+    internal/scoreonescriptspan.cc:936-964).
+    """
+
+    keys: np.ndarray        # (n, 4) uint32 raw keyvalue (0 = empty)
+    keymask: int
+    langs_latn: np.ndarray  # (n, 4, 6) uint8 global lang ids, 255 = none
+    langs_othr: np.ndarray  # (n, 4, 6)
+    qprobs: np.ndarray      # (n, 4, 6) uint8, 0 = none
+
+    @property
+    def n_buckets(self) -> int:
+        return self.keys.shape[0]
+
+    def _probe(self, sub: np.ndarray, hashkey: np.ndarray, latin: bool):
+        mask = np.uint32(self.keymask)
+        keys4 = self.keys[sub]                                   # (n, 4)
+        match = ((hashkey[:, None] ^ keys4) & mask) == 0
+        match &= keys4 != 0                                      # empty slot
+        found = match.any(axis=1)
+        slot = np.argmax(match, axis=1)
+        langs = (self.langs_latn if latin else self.langs_othr)[sub, slot]
+        qprobs = np.where(found[:, None], self.qprobs[sub, slot], 0)
+        return found, langs, qprobs
+
+    def probe_quad(self, h32: np.ndarray, latin: bool):
+        """32-bit gram probe (QuadHashV3Lookup4): subscr = (h+(h>>12))&(n-1),
+        key = h & keymask."""
+        h = h32.astype(np.uint32)
+        sub = ((h + (h >> np.uint32(12))) & np.uint32(self.n_buckets - 1)).astype(np.int64)
+        return self._probe(sub, h & np.uint32(self.keymask), latin)
+
+    def probe_octa(self, h40: np.ndarray, latin: bool):
+        """40-bit word probe (OctaHashV3Lookup4): subscr from the low 32
+        bits, key = (h >> 4) & keymask."""
+        h = h40.astype(np.uint64)
+        low = (h + (h >> np.uint64(12))).astype(np.uint32)
+        sub = (low & np.uint32(self.n_buckets - 1)).astype(np.int64)
+        hashkey = (h >> np.uint64(4)).astype(np.uint32) & np.uint32(self.keymask)
+        return self._probe(sub, hashkey, latin)
+
+
+@dataclass
+class UniTable:
+    """CJK unigram table: sorted codepoints -> pre-decoded (lang, qprob)
+    slots (the flattened cld_generated_CjkUni DFA + kCjkCompat indirects,
+    internal/cld_generated_cjk_uni_prop_80.cc / cld2_generated_cjk_compatible.cc)."""
+
+    cps: np.ndarray     # (m,) uint32 sorted
+    langs: np.ndarray   # (m, 6) uint8 global lang ids, 255 = none
+    qprobs: np.ndarray  # (m, 6) uint8
+
+    def probe(self, cp: np.ndarray):
+        i = np.searchsorted(self.cps, cp.astype(np.uint32))
+        i = np.minimum(i, len(self.cps) - 1)
+        found = self.cps[i] == cp
+        langs = self.langs[i]
+        qprobs = np.where(found[:, None], self.qprobs[i], 0)
+        return found, langs, qprobs
+
+
+@dataclass
 class Cld2sModel:
     """The full detection model (all broadcast tables)."""
 
@@ -113,8 +184,13 @@ class Cld2sModel:
     expected_1kb: np.ndarray               # (n_langs,) int32 expected score per 1KB
     version: str = "cld2s-r1"
     tri: GramTable | None = None           # trigram table (fastText cross-check)
-    words: GramTable | None = None         # word/word-pair table (J5/J6 deltaocta analogue)
-    cjk_bi: GramTable | None = None        # CJK bigram table (J4 kCjkDeltaBi analogue)
+    words: GramTable | None = None         # legacy self-trained word table
+    cjk_bi: GramTable | None = None        # legacy self-trained CJK bigram table
+    # Reference tables parsed from the checkout (tools/parse_reference_tables.py)
+    ref_word_delta: RefTable | None = None     # kDeltaOcta_obj (J5)
+    ref_word_distinct: RefTable | None = None  # kDistinctOcta_obj (J5/J6)
+    ref_cjk_bi: RefTable | None = None         # kCjkDeltaBi_obj (J4, BiHashV2)
+    ref_cjk_uni: UniTable | None = None        # CjkUni DFA + kCjkCompat (J3)
     lang_id: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -148,6 +224,19 @@ class Cld2sModel:
             arrs["cjkbi_keys"] = self.cjk_bi.keys
             arrs["cjkbi_langs"] = self.cjk_bi.langs
             arrs["cjkbi_qprobs"] = self.cjk_bi.qprobs
+        for name, t in (("rwd", self.ref_word_delta),
+                        ("rwx", self.ref_word_distinct),
+                        ("rcb", self.ref_cjk_bi)):
+            if t is not None:
+                arrs[f"{name}_keys"] = t.keys
+                arrs[f"{name}_keymask"] = np.array([t.keymask], dtype=np.uint32)
+                arrs[f"{name}_langs_latn"] = t.langs_latn
+                arrs[f"{name}_langs_othr"] = t.langs_othr
+                arrs[f"{name}_qprobs"] = t.qprobs
+        if self.ref_cjk_uni is not None:
+            arrs["rcu_cps"] = self.ref_cjk_uni.cps
+            arrs["rcu_langs"] = self.ref_cjk_uni.langs
+            arrs["rcu_qprobs"] = self.ref_cjk_uni.qprobs
         np.savez_compressed(path, **arrs)
 
     @staticmethod
@@ -177,10 +266,26 @@ class Cld2sModel:
         if "cjkbi_keys" in z:
             cjk_bi = GramTable(keys=z["cjkbi_keys"], langs=z["cjkbi_langs"],
                                qprobs=z["cjkbi_qprobs"])
+        refs: dict[str, RefTable | None] = {}
+        for name in ("rwd", "rwx", "rcb"):
+            refs[name] = None
+            if f"{name}_keys" in z:
+                refs[name] = RefTable(
+                    keys=z[f"{name}_keys"],
+                    keymask=int(z[f"{name}_keymask"][0]),
+                    langs_latn=z[f"{name}_langs_latn"],
+                    langs_othr=z[f"{name}_langs_othr"],
+                    qprobs=z[f"{name}_qprobs"])
+        ref_uni = None
+        if "rcu_cps" in z:
+            ref_uni = UniTable(cps=z["rcu_cps"], langs=z["rcu_langs"],
+                               qprobs=z["rcu_qprobs"])
         return Cld2sModel(
             langs=[str(x) for x in z["langs"].tolist()],
             group_tables=groups, cjk_uni=cjk, tri=tri, words=words,
             cjk_bi=cjk_bi,
+            ref_word_delta=refs["rwd"], ref_word_distinct=refs["rwx"],
+            ref_cjk_bi=refs["rcb"], ref_cjk_uni=ref_uni,
             expected_1kb=z["expected_1kb"],
             version=str(z["version"][0]),
         )

@@ -35,8 +35,14 @@ TOXIC_SUFFIX = " you absolute smeghead, frakking unbelievable"
 JUNK_TEXT = "foo.jpg bar.jpg baz.jpg qux.jpg quux.jpg corge.jpg " * 6
 SHORT_TEXT = "ok then"
 # reliable English langid but symbol-ratio failure -> drop reason low_quality
+# (varied sentences, not a repeated one: the quad repeat-filter + expected-
+# score reliability check correctly distrust highly repetitive text)
 LOWQ_TEXT = ("this is a perfectly normal english sentence about the weather "
-             "and the history of the public baths of the city today. " * 3
+             "and the history of the public baths of the city today. "
+             "several visitors remarked that the gardens were quiet during "
+             "the morning hours and the fountains had been restored last "
+             "spring. the council plans another meeting about the harbour "
+             "lights and the new library wing next month. "
              + "#!=" * 150)
 
 

