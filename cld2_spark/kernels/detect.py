@@ -49,6 +49,24 @@ MIN_RELIABLE_KEEP_PERCENT = 41
 IGNORE_MAX_PERCENT = 20
 GOOD_FIRST_MIN_PERCENT = 26
 GOOD_FIRST_RELIABLE_MIN_PERCENT = 51
+KEEP_MIN_PERCENT = 2
+
+# convergence / retry (O6, internal/compact_lang_det_impl.cc:216-220,1978-2105)
+SHORT_TEXT_THRESH = 256
+GOOD_LANG1_PERCENT = 70
+GOOD_LANG1AND2_PERCENT = 93
+
+# CheapSqueeze trigger (O8, internal/compact_lang_det_impl.cc:206-214,952-971):
+# long spans that look mostly machine-predictable get re-scored with the
+# junk filter even if pass 1 converged
+SQUEEZE_MIN_BYTES = 2048        # kCheapSqueezeTestThresh >> 1
+SQUEEZE_PREDICTED_FRAC = 0.67   # kCheapSqueezeTestQuadPercent analogue
+
+# boilerplate demotion (A9, internal/compact_lang_det_impl.cc:234-235,1405-1406)
+NON_EN_BOILERPLATE_MIN_PERCENT = 17
+NON_FIGS_BOILERPLATE_MIN_PERCENT = 20
+GOOD_SECOND_MIN_BYTES = 15
+FIGS = ("fr", "it", "de", "es")
 
 _VOWELS = np.array([ord(c) for c in "aeiou"], dtype=np.uint32)
 
@@ -176,6 +194,45 @@ def cjk_bigram_hash(cp1: np.ndarray, cp2: np.ndarray) -> np.ndarray:
     return h | np.uint32(1)  # never 0 (0 = empty slot)
 
 
+def row_dedupe_filter(h: np.ndarray, g_rid: np.ndarray, max_occ: int = 2) -> np.ndarray:
+    """Keep only the first `max_occ` occurrences of each (row, hash)."""
+    n = len(h)
+    if n == 0:
+        return np.ones(0, dtype=bool)
+    order = np.lexsort((np.arange(n), h.astype(np.uint64), g_rid))
+    sh, srid = h[order], g_rid[order]
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = (sh[1:] != sh[:-1]) | (srid[1:] != srid[:-1])
+    idx = np.arange(n)
+    occ = idx - np.maximum.accumulate(np.where(new_grp, idx, 0))
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = occ < max_occ
+    return keep
+
+
+def predicted_filter(h: np.ndarray, g_rid: np.ndarray) -> np.ndarray:
+    """Drop tokens whose (previous, current) hash pair already occurred in
+    the row -- the vectorized stand-in for the retry pass's
+    CheapRepWordsInplace (kCLDFlagRepeats,
+    internal/compact_lang_det_impl.cc:610-695), which deletes words that a
+    context-hash compressor predicts. Repetitive boilerplate ("a.jpg b.jpg
+    a.jpg b.jpg ...") is predicted from its second cycle on and removed;
+    natural text repeats tokens only in fresh contexts and survives."""
+    n = len(h)
+    keep = np.ones(n, dtype=bool)
+    if n < 2:
+        return keep
+    h64 = h.astype(np.uint64)
+    pair = (h64[:-1] * np.uint64(0x9E3779B97F4A7C15)) ^ h64[1:]
+    same_row = g_rid[1:] == g_rid[:-1]
+    # row-unique sentinel for first-of-row tokens (never "predicted")
+    pair = np.where(same_row, pair,
+                    np.arange(1, n, dtype=np.uint64) << np.uint64(32))
+    first = row_dedupe_filter(pair, g_rid[1:], max_occ=1)
+    keep[1:] = first
+    return keep
+
+
 def repeat_filter(h: np.ndarray, g_rid: np.ndarray) -> np.ndarray:
     """P5: mask out grams equal to either of the previous two gram hashes in
     the same row (de-dupes `foo.jpg bar.jpg ...`; GetQuadHits repeat cache,
@@ -202,14 +259,17 @@ def _pad_slots(langs: np.ndarray, qprobs: np.ndarray, width: int):
 
 
 def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs, acc,
-                hint_lid=None, whack_map=None):
+                hint_lid=None, whack_map=None, expected=None, closeset=None):
     """Chunked scatter-add scoring: the Tote/DocTote pipeline (A1-A3).
 
     g_rid must be sorted ascending. Chunk winner takes the chunk's byte span;
-    per-chunk reliability follows ReliabilityDelta
-    (internal/cldutil.cc:553-570). hint_lid (per-row global lang id, -1 for
-    none) adds a HINT_BOOST vote to every chunk of the hinted row (J8: hints
-    bias, never force -- public/compact_lang_det.h:133-138).
+    per-chunk reliability = min(ReliabilityDelta, ReliabilityExpected)
+    (SetChunkSummary + SummaryBufferToDocTote,
+    internal/scoreonescriptspan.cc:60-96,305-315), with the delta forced to
+    100 when the chunk's top two languages are in the same close set.
+    hint_lid (per-row global lang id, -1 for none) adds a HINT_BOOST vote to
+    every chunk of the hinted row (J8: hints bias, never force --
+    public/compact_lang_det.h:133-138).
     """
     bytes_rl, score_rl, relw_rl = acc
     N = len(g_rid)
@@ -249,6 +309,7 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     lang_j = [langs3[:, j].astype(np.int64) for j in range(n_slots)]
     q_j = [qprobs3[:, j].astype(np.int16) for j in range(n_slots)]
     win = np.empty(n_chunks, dtype=np.int64)
+    win2 = np.empty(n_chunks, dtype=np.int64)
     s1 = np.empty(n_chunks, dtype=np.int32)
     s2 = np.empty(n_chunks, dtype=np.int32)
     cr = np.repeat(np.flatnonzero(present), chunks_row[present])  # chunk -> row
@@ -282,13 +343,17 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
                         if len(sel):
                             csc[(sel[:, None] * n_langs + others[None, :]).ravel()] = 0
         csm = csc.reshape(c1 - c0, n_langs)
-        win[c0:c1] = np.argmax(csm, axis=1)
+        w1 = np.argmax(csm, axis=1)
+        win[c0:c1] = w1
         if n_langs >= 2:
-            top2 = np.partition(csm, n_langs - 2, axis=1)[:, -2:]
-            s2[c0:c1] = top2[:, 0]
-            s1[c0:c1] = top2[:, 1]
+            s1[c0:c1] = csm[np.arange(c1 - c0), w1]
+            csm[np.arange(c1 - c0), w1] = np.int16(-1)
+            w2 = np.argmax(csm, axis=1)
+            win2[c0:c1] = w2
+            s2[c0:c1] = np.maximum(csm[np.arange(c1 - c0), w2], 0)
         else:
             s1[c0:c1] = csm[:, 0]
+            win2[c0:c1] = 0
             s2[c0:c1] = 0
     cb = np.bincount(cid, weights=gram_bytes, minlength=n_chunks).astype(np.int32)
     cg = np.bincount(cid, weights=is_byte, minlength=n_chunks).astype(np.int32)
@@ -299,6 +364,30 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     delta = s1 - s2
     rel = np.where(delta >= thr, maxrel,
                    np.where(delta <= 0, 0, np.minimum(maxrel, 100 * delta // thr)))
+    # top-2 in the same close set -> delta reliability 100
+    # (SetChunkSummary, internal/scoreonescriptspan.cc:91-93)
+    if closeset is not None:
+        same = (closeset[win] > 0) & (closeset[win] == closeset[win2])
+        rel = np.where(same, maxrel, rel)
+    # per-chunk ReliabilityExpected: actual = (score1 << 10) / bytes vs the
+    # winner's expected score/KB; chunk reliability is the MIN of the two
+    # (SummaryBufferToDocTote, internal/scoreonescriptspan.cc:305-315).
+    # NOTE: only sound when chunk scores have a stable scale; our
+    # self-trained quad table varies ~1.9x between seen and unseen text
+    # (build_model.py calibration), so detect_batch keeps this check at the
+    # document level (expected=None here) -- measured: enabling it per
+    # chunk costs 9 corpus cases to over-deletion.
+    if expected is not None:
+        e = expected[win].astype(np.int64)
+        a_kb = np.where(cb > 0, (s1.astype(np.int64) << 10) // np.maximum(cb, 1), 0)
+        ratio = np.where((a_kb > 0) & (e > 0),
+                         np.maximum(a_kb, e) / np.maximum(np.minimum(a_kb, e), 1), 1.0)
+        rel_score = np.where(e == 0, 100,
+                             np.where(a_kb == 0, 0,
+                                      np.where(ratio <= 1.5, 100,
+                                               np.where(ratio > 4.0, 0,
+                                                        100.0 * (4.0 - ratio) / 2.5)))).astype(np.int64)
+        rel = np.minimum(rel, rel_score)
 
     # chunks where nothing scored attribute NO bytes (argmax of an all-zero
     # tote is meaningless; the reference never reaches this because every
@@ -312,13 +401,20 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
 
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                  return_raw: bool = False, nb: T.NormBatch | None = None,
-                 lang_hints: list | None = None) -> dict[str, np.ndarray]:
+                 lang_hints: list | None = None,
+                 _repeats: bool = False, _retry: bool = True) -> dict[str, np.ndarray]:
     """Detect top-3 languages per text. Pure NumPy; one pass per script group.
 
     Returns dict of per-row arrays matching the reference result contract
     (S6, internal/compact_lang_det_impl.cc:1707-1734): lang1..3, pct1..3,
     ns1..3 (normalized score vs expected, GetNormalizedScore :1269-1273),
     rel1, text_bytes, is_reliable.
+
+    Lifecycle mirrors DetectLanguageSummaryV2 (O6): pass 1 scores all rows;
+    rows failing the convergence test (>256B and not reliably >=70% /
+    top1+2 >=93%, :1978-1991) are re-detected once with repeated-token
+    suppression (kCLDFlagRepeats semantics) and that result is final
+    (kCLDFlagFinish).
     """
     if model is None:
         from .model import default_model
@@ -333,6 +429,19 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     relw_rl = np.zeros((n, L), dtype=np.int32)
     onebytes_rl = np.zeros((n, L), dtype=np.int32)  # RTypeOne portion (A4)
     acc = (bytes_rl, score_rl, relw_rl)
+
+    closeset = np.zeros(L, dtype=np.int16)
+    for si, cs_langs in enumerate(CLOSE_SETS, start=1):
+        for c in cs_langs:
+            gid = model.lang_id.get(c)
+            if gid is not None:
+                closeset[gid] = si
+    expected = None  # see note in _score_hits: doc-level check only
+    # languages corroborated by a reference word-table hit, per row --
+    # gates the A9 boilerplate demotion (see _extract)
+    word_ev = np.zeros((n, L), dtype=bool)
+    # per-row predictable-quad fraction (squeeze trigger, O8)
+    junk_frac = np.zeros(n, dtype=np.float64)
 
     hint_lid = None
     whack_map = None
@@ -381,6 +490,16 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         if len(g_rid):
             h = quad_hash_v2(buf, bs, bl)
             keep = repeat_filter(h, g_rid)
+            if _repeats:
+                keep &= predicted_filter(h, g_rid)
+            else:
+                # squeeze trigger measurement (O8): fraction of quads a
+                # context predictor would delete; junk-heavy long rows are
+                # re-scored with the filter on even if pass 1 converges
+                dropped = keep & ~predicted_filter(h, g_rid)
+                junk = np.bincount(g_rid[dropped], minlength=n)
+                tot = np.maximum(np.bincount(g_rid[keep], minlength=n), 1)
+                junk_frac = np.maximum(junk_frac, junk / tot)
             g_rid, h, gb, pos = g_rid[keep], h[keep], gb[keep], pos[keep]
             g_script = scr_s[pos]
             use_ref_words = model.ref_word_delta is not None
@@ -420,6 +539,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                 if have_words and len(w_rid):
                     wm = scr_s[wpos] == s
                     keep_w = repeat_filter(wh40, w_rid) & wm
+                    if _repeats:
+                        keep_w &= predicted_filter(wh40, w_rid)
                     if use_ref_words:
                         # reference deltaocta (word), distinctocta (word +
                         # word-pair), GetOctaHits internal/cldutil.cc:416-533
@@ -433,7 +554,12 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                             if not sel.any():
                                 continue
                             _, wl, wq = rt.probe_octa(wh[sel], latin)
-                            hits.append((w_rid[sel], wpos[sel], wl, wq,
+                            rows_w = w_rid[sel]
+                            for j in range(wl.shape[1]):
+                                ev = (wq[:, j] > 0) & (wl[:, j] < L)
+                                if ev.any():
+                                    word_ev[rows_w[ev], wl[:, j][ev]] = True
+                            hits.append((rows_w, wpos[sel], wl, wq,
                                          np.zeros(int(sel.sum()), dtype=np.int32)))
                     else:
                         for wh in (w32, pair32):
@@ -441,7 +567,12 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                             if not sel.any():
                                 continue
                             _, wl3, wq3 = model.words.probe(wh[sel])
-                            hits.append((w_rid[sel], wpos[sel], wl3, wq3,
+                            rows_w = w_rid[sel]
+                            for j in range(wl3.shape[1]):
+                                ev = (wq3[:, j] > 0) & (wl3[:, j] < L)
+                                if ev.any():
+                                    word_ev[rows_w[ev], wl3[:, j][ev]] = True
+                            hits.append((rows_w, wpos[sel], wl3, wq3,
                                          np.zeros(int(sel.sum()), dtype=np.int32)))
                 if hits:
                     width = max(x[2].shape[1] for x in hits)
@@ -458,7 +589,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     s_rid, langs3 = s_rid[order], langs3[order]
                     qprobs3, s_gb = qprobs3[order], s_gb[order]
                 _score_hits(s_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n, L, acc,
-                            hint_lid=hint_lid, whack_map=whack_map)
+                            hint_lid=hint_lid, whack_map=whack_map,
+                            expected=expected, closeset=closeset)
 
     # CJK pass: unigram hits (J3) + adjacent-pair bigram delta hits (J4)
     # merged into one chunk stream. With reference tables: unigrams via the
@@ -524,7 +656,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                 g_rid, langs3 = all_rid[order], langs3[order]
                 qprobs3, gb = qprobs3[order], gb[order]
             _score_hits(g_rid, langs3, qprobs3, gb, UNI_CHUNK, n, L, acc,
-                        hint_lid=hint_lid, whack_map=whack_map)
+                        hint_lid=hint_lid, whack_map=whack_map,
+                        expected=expected, closeset=closeset)
 
     if return_raw:
         return {"bytes_rl": bytes_rl, "score_rl": score_rl, "relw_rl": relw_rl,
@@ -545,7 +678,34 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     mat[np.ix_(rows, others)] = 0
 
     _refine_close_pairs(model, bytes_rl, score_rl, relw_rl, onebytes_rl)
-    return _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl)
+    out = _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl, word_ev)
+    converged = out.pop("_converged")
+
+    # O6 retry: re-detect non-converged rows once with repeated-token
+    # suppression; the retry result is accepted as-is (Finish). Rows whose
+    # long text is mostly predictor-junk retry even when converged
+    # (CheapSqueeze trigger, O8).
+    squeeze = (nb.text_bytes > SQUEEZE_MIN_BYTES) & \
+        (junk_frac >= SQUEEZE_PREDICTED_FRAC)
+    if _retry and not _repeats and not (converged & ~squeeze).all():
+        idx = np.flatnonzero(~converged | squeeze)
+        texts2 = [texts[i] for i in idx.tolist()]
+        hints2 = ([lang_hints[i] for i in idx.tolist()]
+                  if lang_hints is not None else None)
+        out2 = detect_batch(texts2, model, lang_hints=hints2,
+                            _repeats=True, _retry=False)
+        # Monotone merge (deviation from the reference's unconditional
+        # kCLDFlagFinish accept, documented): with a corpus-trained quad
+        # table the squeezed pass works on tiny byte counts where fluke
+        # chunk winners loom large, so pass 2 replaces pass 1 only when it
+        # is reliable or pass 1 had no answer. The reference can accept
+        # unconditionally because its web-scale table keeps pass-2 scores
+        # well-separated.
+        better = out2["is_reliable"] | (out["lang1"][idx] == "un")
+        ridx = idx[better]
+        for k in out:
+            out[k][ridx] = out2[k][better]
+    return out
 
 
 def _refine_close_pairs(model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> None:
@@ -568,21 +728,71 @@ def _refine_close_pairs(model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> None
             mat[rows, win] = total
 
 
-def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> dict[str, np.ndarray]:
-    """ExtractLangEtc + CalcSummaryLang, vectorized (A5/A9/K1/K2)."""
-    n, L = bytes_rl.shape
-    # top-3 languages by byte count (DocTote::Sort, internal/tote.cc:221-250)
+def _remove_unreliable(model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> None:
+    """P7: RemoveUnreliableLanguages (internal/compact_lang_det_impl.cc:
+    997-1101), vectorized. Unreliable langs (rel% < 41) first try to merge
+    into their closest-alt language (kClosestAltLanguage, :252-427; e.g.
+    da -> no at 36% correlation), taking the higher of the two reliability
+    percents floored at 41; remaining unreliable langs are deleted."""
+    alt = model.closest_alt
+    if alt is not None:
+        L = bytes_rl.shape[1]
+        alt64 = alt.astype(np.int64)
+        # bounded merge rounds: one merge per row per round avoids endpoint
+        # write conflicts (the reference scans slots sequentially)
+        for _ in range(4):
+            relpct = relw_rl // np.maximum(bytes_rl, 1)
+            rows, langs = np.nonzero(
+                (bytes_rl > 0) & (relpct < MIN_RELIABLE_KEEP_PERCENT))
+            if len(rows) == 0:
+                break
+            a = alt64[langs]
+            ok = a >= 0
+            rows, langs, a = rows[ok], langs[ok], a[ok]
+            if len(rows) == 0:
+                break
+            ok = bytes_rl[rows, a] > 0
+            rows, langs, a = rows[ok], langs[ok], a[ok]
+            if len(rows) == 0:
+                break
+            # dedupe reversed pairs, then one merge per row this round
+            lo, hi = np.minimum(langs, a), np.maximum(langs, a)
+            key = rows.astype(np.int64) * (L * L) + lo * L + hi
+            _, fi = np.unique(key, return_index=True)
+            rows, langs, a = rows[fi], langs[fi], a[fi]
+            _, ri = np.unique(rows, return_index=True)
+            rows, langs, a = rows[ri], langs[ri], a[ri]
+            rel_l, rel_a = relpct[rows, langs], relpct[rows, a]
+            into_lang = (rel_a < rel_l) | ((rel_a == rel_l) & (langs < a))
+            to = np.where(into_lang, langs, a)
+            frm = np.where(into_lang, a, langs)
+            newpct = np.maximum(np.maximum(rel_l, rel_a),
+                                MIN_RELIABLE_KEEP_PERCENT)
+            newbytes = bytes_rl[rows, langs] + bytes_rl[rows, a]
+            newscore = score_rl[rows, langs] + score_rl[rows, a]
+            newone = onebytes_rl[rows, langs] + onebytes_rl[rows, a]
+            bytes_rl[rows, frm] = 0
+            score_rl[rows, frm] = 0
+            onebytes_rl[rows, frm] = 0
+            relw_rl[rows, frm] = 0
+            bytes_rl[rows, to] = newbytes
+            score_rl[rows, to] = newscore
+            onebytes_rl[rows, to] = newone
+            relw_rl[rows, to] = newpct * newbytes
+    relpct = relw_rl // np.maximum(bytes_rl, 1)
+    kill = (bytes_rl > 0) & (relpct < MIN_RELIABLE_KEEP_PERCENT)
+    for mat in (bytes_rl, score_rl, relw_rl, onebytes_rl):
+        mat[kill] = 0
+
+
+def _top3_percent(bytes_rl, tt):
+    """Top-3 langs by bytes + integer percent attribution with round-off
+    repair (DocTote::Sort + ExtractLangEtc,
+    internal/compact_lang_det_impl.cc:1345-1362)."""
+    n = bytes_rl.shape[0]
     order = np.argsort(-bytes_rl, axis=1, kind="stable")[:, :3]
     r = np.arange(n)
     b3 = np.stack([bytes_rl[r, order[:, j]] for j in range(3)], axis=1)
-    s3 = np.stack([score_rl[r, order[:, j]] for j in range(3)], axis=1)
-    w3 = np.stack([relw_rl[r, order[:, j]] for j in range(3)], axis=1)
-    o3 = np.stack([onebytes_rl[r, order[:, j]] for j in range(3)], axis=1)
-
-    tt = np.maximum(bytes_rl.sum(axis=1), 1)
-
-    # integer percent math with round-off repair (ExtractLangEtc,
-    # internal/compact_lang_det_impl.cc:1345-1362)
     p1 = b3[:, 0] * 100 // tt
     p12 = (b3[:, 0] + b3[:, 1]) * 100 // tt
     p123 = (b3[:, 0] + b3[:, 1] + b3[:, 2]) * 100 // tt
@@ -594,6 +804,38 @@ def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> dict[str, n
     fix = p1 < p2
     p1 = p1 + fix
     p2 = p2 - fix
+    return order, b3, p1, p2, p3
+
+
+def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl,
+             word_ev=None) -> dict[str, np.ndarray]:
+    """The reference post-pass (internal/compact_lang_det_impl.cc:1960-2105):
+    extract -> convergence test -> RemoveUnreliableLanguages -> re-extract
+    -> CalcSummaryLang, fully vectorized.
+
+    word_ev (n, L) bool: languages with at least one reference word-table
+    hit in the row; gates the boilerplate demotion (see below)."""
+    n, L = bytes_rl.shape
+    r = np.arange(n)
+    # denominator: pre-removal totals (ExtractLangEtc receives the
+    # document's total_text_bytes; bytes deleted by the removal pass become
+    # "ignore" percent, not a smaller denominator)
+    tt = np.maximum(bytes_rl.sum(axis=1), 1)
+
+    # ---- convergence test on the PRE-removal extraction (:1978-1991)
+    corder, cb3, cp1, cp2, _ = _top3_percent(bytes_rl, tt)
+    pre_rel1 = relw_rl[r, corder[:, 0]] // np.maximum(cb3[:, 0], 1)
+    pre_reliable = pre_rel1 >= MIN_RELIABLE_KEEP_PERCENT
+    converged = (nb.text_bytes <= SHORT_TEXT_THRESH) | (
+        pre_reliable & ((cp1 >= GOOD_LANG1_PERCENT)
+                        | (cp1 + cp2 >= GOOD_LANG1AND2_PERCENT)))
+
+    # ---- P7 removal / closest-alt merge, then re-extract
+    _remove_unreliable(model, bytes_rl, score_rl, relw_rl, onebytes_rl)
+    order, b3, p1, p2, p3 = _top3_percent(bytes_rl, tt)
+    s3 = np.stack([score_rl[r, order[:, j]] for j in range(3)], axis=1)
+    w3 = np.stack([relw_rl[r, order[:, j]] for j in range(3)], axis=1)
+    o3 = np.stack([onebytes_rl[r, order[:, j]] for j in range(3)], axis=1)
 
     # per-lang reliability percent = relw / bytes
     bsafe = np.maximum(b3, 1)
@@ -622,26 +864,68 @@ def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> dict[str, n
 
     has_text = b3[:, 0] > 0
     invalid = nb.has_replacement
+
+    # ---- CalcSummaryLang (A9, internal/compact_lang_det_impl.cc:1414-1522)
+    en = model.lang_id.get("en", -2)
+    figs = np.array([model.lang_id[c] for c in FIGS if c in model.lang_id])
+    efigs = np.concatenate([figs, [en]])
+    l1_raw = order[:, 0]
+    l2_raw = np.where(b3[:, 1] > 0, order[:, 1], -1)  # -1 = none/UNKNOWN
+    second_bytes = tt * p2 // 100
+
+    is_reliable = np.ones(n, dtype=bool)
+    is_reliable &= p1 >= KEEP_MIN_PERCENT
+
+    # The demoted-to language must be corroborated by a reference
+    # word-table hit: the reference's web-scale quad table keeps noise
+    # languages under the 17/20% thresholds, our corpus-trained one cannot,
+    # so without this gate a fluke chunk winner can steal the document
+    # (measured: en->sr on the adwords snippet). Word tables ARE the
+    # reference's own, so this uses full-strength evidence.
+    if word_ev is not None:
+        l2_backed = word_ev[r, np.maximum(l2_raw, 0)]
+    else:
+        l2_backed = np.ones(n, dtype=bool)
+
+    # English-boilerplate demotion: en + big-enough X => X
+    cond_en = ((l1_raw == en) & (l2_raw >= 0) & (l2_raw != en)
+               & (p2 >= NON_EN_BOILERPLATE_MIN_PERCENT)
+               & (second_bytes >= GOOD_SECOND_MIN_BYTES) & l2_backed)
+    # FIGS-boilerplate demotion: FIGS + big-enough non-EFIGS X => X
+    cond_figs = (~cond_en & np.isin(l1_raw, figs) & (l2_raw >= 0)
+                 & ~np.isin(l2_raw, efigs)
+                 & (p2 >= NON_FIGS_BOILERPLATE_MIN_PERCENT)
+                 & (second_bytes >= GOOD_SECOND_MIN_BYTES) & l2_backed)
+    swap = cond_en | cond_figs
+    summary = np.where(swap, np.where(l2_raw >= 0, l2_raw, l1_raw), l1_raw)
+    ret_pct = np.where(swap, p2 * 100 // (101 - p1), p1)
+    is_reliable &= ~(swap & (p2 < KEEP_MIN_PERCENT))
+    # second-language boilerplate: ignore en/FIGS second when first isn't
+    cond3 = ~swap & (l2_raw == en) & (l1_raw != en)
+    cond4 = (~swap & ~cond3 & (l2_raw >= 0) & np.isin(l2_raw, figs)
+             & ~np.isin(l1_raw, efigs))
+    ret_pct = np.where(cond3 | cond4, p1 * 100 // (101 - p2), ret_pct)
+
+    unknown = (~has_text) | invalid | (ret_pct < GOOD_FIRST_MIN_PERCENT)
+    is_reliable &= ret_pct >= GOOD_FIRST_RELIABLE_MIN_PERCENT
     ignore_pct = 100 - (p1 + p2 + p3)
-
-    is_reliable = (rel1 >= MIN_RELIABLE_KEEP_PERCENT) & has_text & ~invalid
     is_reliable &= ignore_pct <= IGNORE_MAX_PERCENT
-    is_reliable &= p1 >= GOOD_FIRST_RELIABLE_MIN_PERCENT
-
-    # summary language (CalcSummaryLang floors)
-    unknown = (~has_text) | invalid | (p1 < GOOD_FIRST_MIN_PERCENT)
+    is_reliable &= has_text & ~invalid
 
     lang_arr = np.array(model.langs + ["un"], dtype=object)
-    l1 = np.where(unknown, L, order[:, 0])
-    l2 = np.where(b3[:, 1] > 0, order[:, 1], L)
+    l1 = np.where(unknown, L, summary)
+    # keep the non-summary top language visible in slot 2 after a swap
+    l2_out = np.where(swap, l1_raw, np.where(l2_raw >= 0, l2_raw, L))
     l3 = np.where(b3[:, 2] > 0, order[:, 2], L)
 
     return {
-        "lang1": lang_arr[l1], "lang2": lang_arr[l2], "lang3": lang_arr[l3],
-        "pct1": np.where(unknown, 0, p1).astype(np.int32),
-        "pct2": p2.astype(np.int32), "pct3": p3.astype(np.int32),
+        "lang1": lang_arr[l1], "lang2": lang_arr[l2_out], "lang3": lang_arr[l3],
+        "pct1": np.where(unknown, 0, np.where(swap, p2, p1)).astype(np.int32),
+        "pct2": np.where(swap, p1, p2).astype(np.int32),
+        "pct3": p3.astype(np.int32),
         "ns1": ns3[:, 0], "ns2": ns3[:, 1], "ns3": ns3[:, 2],
         "rel1": np.where(unknown, 0, rel1).astype(np.int32),
         "text_bytes": nb.text_bytes.astype(np.int64),
         "is_reliable": is_reliable & ~unknown,
+        "_converged": converged,
     }

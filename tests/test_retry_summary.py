@@ -1,0 +1,100 @@
+"""Tests for the round-2 lifecycle features: the retry second pass (O6),
+the CheapSqueeze trigger (O8), RemoveUnreliableLanguages with the
+closest-alt merge (P7), and the CalcSummaryLang boilerplate demotions (A9).
+"""
+
+import numpy as np
+import pytest
+
+from cld2_spark.kernels.detect import (
+    MIN_RELIABLE_KEEP_PERCENT, _remove_unreliable, detect_batch,
+    predicted_filter)
+from cld2_spark.kernels.model import default_model
+
+JUNK = "foo.jpg bar.jpg baz.jpg qux.jpg quux.jpg corge.jpg " * 70  # ~3.6KB
+FR = ("le conseil municipal a décidé de restaurer les fontaines du jardin "
+      "public et la bibliothèque ouvrira une nouvelle aile au printemps "
+      "prochain. les habitants du quartier pourront consulter et emprunter "
+      "des ouvrages numériques pendant les travaux de rénovation. ")
+
+
+def test_predicted_filter_junk_vs_natural():
+    # cyclic junk: only the first cycle's pairs are unpredicted
+    h = np.tile(np.array([11, 22, 33, 44], dtype=np.uint32), 10)
+    rid = np.zeros(40, dtype=np.int64)
+    keep = predicted_filter(h, rid)
+    assert keep[:5].all()          # first cycle + one boundary pair
+    assert keep.sum() <= 6
+    # natural text: unique hashes -> everything kept
+    h2 = np.arange(100, 140, dtype=np.uint32)
+    assert predicted_filter(h2, np.zeros(40, dtype=np.int64)).all()
+    # rows are independent: the same cycle in a second row keeps its first
+    h3 = np.concatenate([h[:8], h[:8]])
+    rid3 = np.repeat([0, 1], 8)
+    keep3 = predicted_filter(h3, rid3)
+    assert keep3[8]                # first token of row 1 never "predicted"
+    assert keep3[:5].all() and keep3[8:13].all()
+
+
+def test_squeeze_trigger_junk_plus_real_text():
+    """VERDICT r1 #9: a long repetitive-junk + real-text span must detect
+    the real language (squeeze-then-rescore, not just drop)."""
+    model = default_model()
+    r = detect_batch([JUNK + FR, JUNK], model)
+    assert r["lang1"][0] == "fr"
+    assert r["lang1"][1] == "un"   # pure junk has no language
+
+
+def test_retry_noop_on_clean_reliable_text():
+    model = default_model()
+    t = ("several visitors remarked that the gardens were quiet during the "
+         "morning hours and the fountains had been restored last spring by "
+         "the city council after a long public consultation process.")
+    r1 = detect_batch([t], model, _retry=False)
+    r2 = detect_batch([t], model, _retry=True)
+    assert r1["lang1"][0] == r2["lang1"][0] == "en"
+    assert r1["pct1"][0] == r2["pct1"][0]
+
+
+def test_closest_alt_merge_da_into_no():
+    """P7: an unreliable DANISH entry merges into NORWEGIAN (its closest
+    alt at 36% correlation, kClosestAltLanguage) instead of being deleted;
+    the merged entry takes the higher reliability, floored at 41."""
+    model = default_model()
+    da, no = model.lang_id["da"], model.lang_id["no"]
+    assert model.closest_alt[da] == no  # table parsed correctly
+    L = len(model.langs)
+    bytes_rl = np.zeros((1, L), dtype=np.int64)
+    score_rl = np.zeros((1, L), dtype=np.int64)
+    relw_rl = np.zeros((1, L), dtype=np.int64)
+    one_rl = np.zeros((1, L), dtype=np.int64)
+    bytes_rl[0, da], relw_rl[0, da] = 100, 30 * 100   # unreliable da
+    bytes_rl[0, no], relw_rl[0, no] = 200, 80 * 200   # reliable no
+    score_rl[0, da], score_rl[0, no] = 50, 400
+    _remove_unreliable(model, bytes_rl, score_rl, relw_rl, one_rl)
+    assert bytes_rl[0, da] == 0                        # merged away
+    assert bytes_rl[0, no] == 300                      # bytes combined
+    assert relw_rl[0, no] // bytes_rl[0, no] >= MIN_RELIABLE_KEEP_PERCENT
+    assert score_rl[0, no] == 450
+
+
+def test_unreliable_without_alt_is_deleted():
+    model = default_model()
+    ja = model.lang_id["ja"]                           # closest alt: none
+    L = len(model.langs)
+    mats = [np.zeros((1, L), dtype=np.int64) for _ in range(4)]
+    bytes_rl, score_rl, relw_rl, one_rl = mats
+    bytes_rl[0, ja], relw_rl[0, ja] = 100, 20 * 100    # rel 20% < 41
+    _remove_unreliable(model, bytes_rl, score_rl, relw_rl, one_rl)
+    assert bytes_rl[0, ja] == 0
+
+
+def test_en_boilerplate_demotion_mixed_fr():
+    """A9: an English-boilerplate + French doc returns FRENCH (the corpus
+    fr_en_Latn case exercises the same path; this is an independent doc).
+    The demoted-to language must carry reference word-table evidence."""
+    model = default_model()
+    en_head = "France is the largest country in western europe and the third largest overall. "
+    r = detect_batch([en_head + FR], model)
+    assert r["lang1"][0] == "fr"
+    assert r["lang2"][0] == "en"   # demoted first language stays visible

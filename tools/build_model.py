@@ -105,6 +105,21 @@ def build_ref_tables(langs: list[str]) -> dict:
                    langs=lut_othr[z["cjk_uni_pslangs"]],
                    qprobs=np.where(z["cjk_uni_pslangs"] == 0, 0,
                                    z["cjk_uni_qprobs"]).astype(np.uint8))
+
+    # closest-alt merge table: reference enum ids -> our global ids
+    closest = np.full(len(langs), -1, dtype=np.int16)
+    ca = z["closest_alt"]
+    for code, gid in lang_id.items():
+        try:
+            enum_id = codes.index(code)
+        except ValueError:
+            continue
+        alt_enum = int(ca[enum_id]) if enum_id < len(ca) else -1
+        if 0 <= alt_enum < len(codes):
+            alt_gid = lang_id.get(codes[alt_enum])
+            if alt_gid is not None and alt_gid != gid:
+                closest[gid] = alt_gid
+
     return {
         "word_delta": make("word_delta"),
         "word_distinct": make("word_distinct"),
@@ -112,6 +127,7 @@ def build_ref_tables(langs: list[str]) -> dict:
         "cjk_uni": uni,
         "codes": codes,
         "expected_ref": z["expected_score"],
+        "closest_alt": closest,
     }
 
 
@@ -228,6 +244,7 @@ def main() -> None:
                        ref_word_distinct=refs["word_distinct"],
                        ref_cjk_bi=refs["cjk_bi"],
                        ref_cjk_uni=refs["cjk_uni"],
+                       closest_alt=refs["closest_alt"],
                        expected_1kb=np.zeros(len(langs), dtype=np.int32),
                        version="cld2s-20260816-ref-r2")
 

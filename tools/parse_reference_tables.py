@@ -303,6 +303,23 @@ def main() -> None:
                             "kAvgDeltaOctaScore", np.int16).reshape(614, 4)
     out["expected_score"] = score
 
+    # closest-alt-language merge table for RemoveUnreliableLanguages (P7):
+    # entries `(NN >= kMinCorrPercent) ? ALT : UNKNOWN_LANGUAGE, // SRC`
+    # subscripted by Language, kMinCorrPercent = 24
+    # (internal/compact_lang_det_impl.cc:252-427)
+    impl = (REF / "compact_lang_det_impl.cc").read_text()
+    body = impl.split("kClosestAltLanguage[] = {", 1)[1].split("};", 1)[0]
+    entries = re.findall(
+        r"\(\s*(\d+)\s*>=\s*kMinCorrPercent\s*\)\s*\?\s*(\w+)\s*:", body)
+    unknown = enum["UNKNOWN_LANGUAGE"]
+    closest = np.full(614, unknown, dtype=np.int16)
+    for i, (corr, alt) in enumerate(entries):
+        if int(corr) >= 24 and alt in enum and alt != "Unknown":
+            closest[i] = enum[alt]
+    out["closest_alt"] = closest
+    print(f"closest_alt: {len(entries)} entries, "
+          f"{int((closest != unknown).sum())} active merges")
+
     np.savez_compressed(OUT, **out)
     print(f"wrote {OUT} ({OUT.stat().st_size // 1024} KB)")
 
