@@ -112,6 +112,27 @@ def detect_summary_hinted_udf(batches: Iterator[tuple[pd.Series, pd.Series]]) ->
         yield _to_pdf(res, _SUMMARY_COLS)
 
 
+@F.pandas_udf(SUMMARY_SCHEMA)
+def detect_summary_ext_udf(batches: Iterator[tuple[pd.Series, ...]]) -> Iterator[pd.DataFrame]:
+    """ExtDetectLanguageSummary with the full CLDHints record as columns:
+    (text, lang_hint, content_language_hint, tld_hint, encoding_hint) --
+    public/compact_lang_det.h:133-138,241-271. Up to 4 merged priors per
+    row (TrimCLDLangPriors); hints bias the scoring, never force it."""
+    from cld2_spark.kernels.detect import detect_batch
+    from cld2_spark.kernels.model import default_model
+    model = default_model()
+    for texts, lang_h, cl_h, tld_h, enc_h in batches:
+        hints = [
+            {"lang": lh or None, "content_language": ch or None,
+             "tld": th or None, "encoding": eh or None}
+            if (lh or ch or th or eh) else None
+            for lh, ch, th, eh in zip(lang_h.fillna(""), cl_h.fillna(""),
+                                      tld_h.fillna(""), enc_h.fillna(""))
+        ]
+        res = detect_batch(texts.fillna("").tolist(), model, hints=hints)
+        yield _to_pdf(res, _SUMMARY_COLS)
+
+
 @F.pandas_udf(PIPELINE_SCHEMA)
 def pipeline_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     """analyze_udf minus the columns the keep/drop decision never reads."""

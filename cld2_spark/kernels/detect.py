@@ -137,8 +137,75 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
     return g_rid, byte_start, byte_len, buf, gram_bytes, pos
 
 
-HINT_BOOST = 12  # one max-qprob vote per chunk (kCLDPriorBoost analogue,
-#                  internal/compact_lang_det_impl.cc:195,200-201)
+# hint prior weights (J8/K3, internal/compact_lang_det_hint_code.cc:31-32):
+# a prior of weight n makes the language 3**n more likely; applied as an
+# n-point vote per chunk. At most 4 priors per row (TrimCLDLangPriors,
+# :975-996); duplicate-language hints add +2 (MergeCLDLangPriorsBoost).
+LANGUAGE_HINT_WEIGHT = 8   # kCLDPriorLanguageWeight
+ENCODING_HINT_WEIGHT = 4   # kCLDPriorEncodingWeight
+MAX_LANG_PRIORS = 4
+MAX_QPROB_VOTE = 12
+
+# encoding -> language (SetCLDEncodingHint, compact_lang_det_hint_code.cc:1466-1499)
+ENCODING_HINT_LANGS = {
+    "gb2312": "zh", "gbk": "zh", "gb18030": "zh", "hz-gb-2312": "zh",
+    "iso-2022-cn": "zh",
+    "big5": "zh-Hant", "big5-hkscs": "zh-Hant", "cp950": "zh-Hant",
+    "euc-jp": "ja", "shift_jis": "ja", "shift-jis": "ja", "cp932": "ja",
+    "iso-2022-jp": "ja",
+    "euc-kr": "ko", "iso-2022-kr": "ko",
+}
+
+
+def resolve_hints(model, hints: list) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row hint dicts -> (ids (n,4), weights (n,4)) prior arrays.
+
+    Each row dict may carry any of: lang (ISO code), content_language
+    (comma list of lang tags), tld, encoding. Mirrors ApplyHints
+    (internal/compact_lang_det_impl.cc:1587-1684): every source merges into
+    one prior list (duplicate language -> +2 weight), trimmed to the 4
+    largest weights. Hints bias scoring; they never force a result."""
+    n = len(hints)
+    ids = np.full((n, MAX_LANG_PRIORS), -1, dtype=np.int64)
+    ws = np.zeros((n, MAX_LANG_PRIORS), dtype=np.int16)
+    ht = model.hints
+    for i, h in enumerate(hints):
+        if not h:
+            continue
+        priors: list[list[int]] = []
+
+        def merge(gid, w, priors=priors):
+            for p in priors:
+                if p[0] == gid:
+                    p[1] += 2
+                    return
+            priors.append([gid, w])
+
+        lang = h.get("lang")
+        if lang:
+            gid = model.lang_id.get(str(lang))
+            if gid is not None:
+                merge(gid, LANGUAGE_HINT_WEIGHT)
+        cl = h.get("content_language")
+        if cl and ht is not None:
+            for tag in str(cl).split(","):
+                for gid, w in ht.lookup_tag(tag):
+                    merge(gid, w)
+        tld = h.get("tld")
+        if tld and ht is not None:
+            for gid, w in ht.lookup_tld(str(tld)):
+                merge(gid, w)
+        enc = h.get("encoding")
+        if enc:
+            code = ENCODING_HINT_LANGS.get(str(enc).lower())
+            gid = model.lang_id.get(code) if code else None
+            if gid is not None:
+                merge(gid, ENCODING_HINT_WEIGHT)
+        priors.sort(key=lambda p: -p[1])  # TrimCLDLangPriors
+        for j, (gid, w) in enumerate(priors[:MAX_LANG_PRIORS]):
+            ids[i, j] = gid
+            ws[i, j] = min(w, MAX_QPROB_VOTE)
+    return ids, ws
 
 
 def word_grams(arr: np.ndarray, rid_s: np.ndarray):
@@ -267,9 +334,9 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     (SetChunkSummary + SummaryBufferToDocTote,
     internal/scoreonescriptspan.cc:60-96,305-315), with the delta forced to
     100 when the chunk's top two languages are in the same close set.
-    hint_lid (per-row global lang id, -1 for none) adds a HINT_BOOST vote to
-    every chunk of the hinted row (J8: hints bias, never force --
-    public/compact_lang_det.h:133-138).
+    hint_lid is a (ids (n,4), weights (n,4)) prior pair from resolve_hints:
+    each prior adds its weight as a vote to every chunk of the row (J8:
+    hints bias, never force -- public/compact_lang_det.h:133-138).
     """
     bytes_rl, score_rl, relw_rl = acc
     N = len(g_rid)
@@ -329,19 +396,21 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
             if valid.any():
                 np.add.at(csc, base_idx[valid] + lj[valid], qj[valid])
         if hint_lid is not None:
-            hints_c = hint_lid[cr[c0:c1]]
-            hm = hints_c >= 0
-            if hm.any():
-                local = np.flatnonzero(hm).astype(np.int64) * n_langs
-                np.add.at(csc, local + hints_c[hm], np.int16(HINT_BOOST))
-                if whack_map:
-                    # zero the hinted close-set complement BEFORE the chunk
-                    # winner is chosen (ZeroPSLang semantics,
-                    # internal/scoreonescriptspan.cc:39-42)
-                    for hid, others in whack_map.items():
-                        sel = np.flatnonzero(hints_c == hid).astype(np.int64)
-                        if len(sel):
-                            csc[(sel[:, None] * n_langs + others[None, :]).ravel()] = 0
+            hid_c, hw_c = hint_lid[0][cr[c0:c1]], hint_lid[1][cr[c0:c1]]
+            for j in range(hid_c.shape[1]):
+                hm = hid_c[:, j] >= 0
+                if hm.any():
+                    local = np.flatnonzero(hm).astype(np.int64) * n_langs
+                    np.add.at(csc, local + hid_c[hm, j],
+                              hw_c[hm, j].astype(np.int16))
+            if whack_map:
+                # zero the hinted close-set complement BEFORE the chunk
+                # winner is chosen (ZeroPSLang semantics,
+                # internal/scoreonescriptspan.cc:39-42)
+                for hid, others in whack_map.items():
+                    sel = np.flatnonzero((hid_c == hid).any(axis=1)).astype(np.int64)
+                    if len(sel):
+                        csc[(sel[:, None] * n_langs + others[None, :]).ravel()] = 0
         csm = csc.reshape(c1 - c0, n_langs)
         w1 = np.argmax(csm, axis=1)
         win[c0:c1] = w1
@@ -401,7 +470,7 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
 
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                  return_raw: bool = False, nb: T.NormBatch | None = None,
-                 lang_hints: list | None = None,
+                 lang_hints: list | None = None, hints: list | None = None,
                  _repeats: bool = False, _retry: bool = True) -> dict[str, np.ndarray]:
     """Detect top-3 languages per text. Pure NumPy; one pass per script group.
 
@@ -445,9 +514,10 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
 
     hint_lid = None
     whack_map = None
-    if lang_hints is not None:
-        hint_lid = np.array([model.lang_id.get(h, -1) if h else -1
-                             for h in lang_hints], dtype=np.int64)
+    if hints is None and lang_hints is not None:
+        hints = [{"lang": h} if h else None for h in lang_hints]
+    if hints is not None:
+        hint_lid = resolve_hints(model, hints)
         whack_map = {}
         for langs in CLOSE_SETS:
             ids = [model.lang_id[c] for c in langs if c in model.lang_id]
@@ -670,7 +740,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         for langs in CLOSE_SETS:
             ids = [model.lang_id[c] for c in langs if c in model.lang_id]
             for hid in ids:
-                rows = np.flatnonzero(hint_lid == hid)
+                rows = np.flatnonzero((hint_lid[0] == hid).any(axis=1))
                 if len(rows) == 0:
                     continue
                 others = [i for i in ids if i != hid]
@@ -690,9 +760,9 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     if _retry and not _repeats and not (converged & ~squeeze).all():
         idx = np.flatnonzero(~converged | squeeze)
         texts2 = [texts[i] for i in idx.tolist()]
-        hints2 = ([lang_hints[i] for i in idx.tolist()]
-                  if lang_hints is not None else None)
-        out2 = detect_batch(texts2, model, lang_hints=hints2,
+        hints2 = ([hints[i] for i in idx.tolist()]
+                  if hints is not None else None)
+        out2 = detect_batch(texts2, model, hints=hints2,
                             _repeats=True, _retry=False)
         # Monotone merge (deviation from the reference's unconditional
         # kCLDFlagFinish accept, documented): with a corpus-trained quad

@@ -175,6 +175,33 @@ class UniTable:
 
 
 @dataclass
+class HintTables:
+    """Lang-tag / TLD hint lookups (J8), parsed from the reference's
+    kCLDLangTagsHintTable1/2 and kCLDTLDHintTable
+    (internal/compact_lang_det_hint_code.cc:102-970). Values are lists of
+    (global lang id, weight) priors; weight n means 3**n more likely."""
+
+    tag_full: dict[str, list[tuple[int, int]]]   # full lang-tag strings
+    tag_short: dict[str, list[tuple[int, int]]]  # truncated at first hyphen
+    tld: dict[str, list[tuple[int, int]]]
+
+    def lookup_tag(self, tag: str) -> list[tuple[int, int]]:
+        """DoLangTagLookup: full string first, then hyphen-truncated
+        (internal/compact_lang_det_hint_code.cc:1056-1091)."""
+        tag = tag.strip().lower()
+        hit = self.tag_full.get(tag)
+        if hit:
+            return hit
+        return self.tag_short.get(tag.split("-", 1)[0], [])
+
+    def lookup_tld(self, tld: str) -> list[tuple[int, int]]:
+        tld = tld.strip().lower()
+        if len(tld) > 3:
+            return []  # SetCLDTLDHint ignores >3 letters
+        return self.tld.get(tld, [])
+
+
+@dataclass
 class Cld2sModel:
     """The full detection model (all broadcast tables)."""
 
@@ -194,6 +221,7 @@ class Cld2sModel:
     # closest-alt merge targets for RemoveUnreliableLanguages (P7), global
     # lang ids, -1 = none (kClosestAltLanguage, compact_lang_det_impl.cc:252-427)
     closest_alt: np.ndarray | None = None
+    hints: HintTables | None = None
     lang_id: dict[str, int] = field(default_factory=dict)
 
     def __post_init__(self):
@@ -242,6 +270,14 @@ class Cld2sModel:
             arrs["rcu_qprobs"] = self.ref_cjk_uni.qprobs
         if self.closest_alt is not None:
             arrs["closest_alt"] = self.closest_alt
+        if self.hints is not None:
+            for nm, d in (("htf", self.hints.tag_full),
+                          ("hts", self.hints.tag_short),
+                          ("htd", self.hints.tld)):
+                keys = sorted(d)
+                flat = [d[k] + [(-1, 0)] * (2 - len(d[k])) for k in keys]
+                arrs[f"{nm}_keys"] = np.array(keys)
+                arrs[f"{nm}_vals"] = np.array(flat, dtype=np.int16)  # (m,2,2)
         np.savez_compressed(path, **arrs)
 
     @staticmethod
@@ -285,6 +321,15 @@ class Cld2sModel:
         if "rcu_cps" in z:
             ref_uni = UniTable(cps=z["rcu_cps"], langs=z["rcu_langs"],
                                qprobs=z["rcu_qprobs"])
+        hints = None
+        if "htf_keys" in z:
+            def _dict(nm):
+                out = {}
+                for k, vals in zip(z[f"{nm}_keys"].tolist(), z[f"{nm}_vals"]):
+                    out[str(k)] = [(int(g), int(w)) for g, w in vals if g >= 0]
+                return out
+            hints = HintTables(tag_full=_dict("htf"), tag_short=_dict("hts"),
+                               tld=_dict("htd"))
         return Cld2sModel(
             langs=[str(x) for x in z["langs"].tolist()],
             group_tables=groups, cjk_uni=cjk, tri=tri, words=words,
@@ -292,6 +337,7 @@ class Cld2sModel:
             ref_word_delta=refs["rwd"], ref_word_distinct=refs["rwx"],
             ref_cjk_bi=refs["rcb"], ref_cjk_uni=ref_uni,
             closest_alt=z["closest_alt"] if "closest_alt" in z else None,
+            hints=hints,
             expected_1kb=z["expected_1kb"],
             version=str(z["version"][0]),
         )

@@ -120,6 +120,27 @@ def build_ref_tables(langs: list[str]) -> dict:
             if alt_gid is not None and alt_gid != gid:
                 closest[gid] = alt_gid
 
+    # hint tables: reference enum ids -> global ids
+    def hint_dict(nm: str) -> dict:
+        out: dict[str, list[tuple[int, int]]] = {}
+        for key, lid2, w2 in zip(z[f"{nm}_keys"].tolist(),
+                                 z[f"{nm}_langs"], z[f"{nm}_weights"]):
+            priors = []
+            for eid, w in zip(lid2.tolist(), w2.tolist()):
+                if w <= 0 or not (0 <= eid < len(codes)):
+                    continue
+                gid = lang_id.get(codes[eid])
+                if gid is not None:
+                    priors.append((gid, int(w)))
+            if priors:
+                out[str(key)] = priors
+        return out
+
+    from cld2_spark.kernels.model import HintTables
+    hints = HintTables(tag_full=hint_dict("hint_tag1"),
+                       tag_short=hint_dict("hint_tag2"),
+                       tld=hint_dict("hint_tld"))
+
     return {
         "word_delta": make("word_delta"),
         "word_distinct": make("word_distinct"),
@@ -128,6 +149,7 @@ def build_ref_tables(langs: list[str]) -> dict:
         "codes": codes,
         "expected_ref": z["expected_score"],
         "closest_alt": closest,
+        "hints": hints,
     }
 
 
@@ -245,6 +267,7 @@ def main() -> None:
                        ref_cjk_bi=refs["cjk_bi"],
                        ref_cjk_uni=refs["cjk_uni"],
                        closest_alt=refs["closest_alt"],
+                       hints=refs["hints"],
                        expected_1kb=np.zeros(len(langs), dtype=np.int32),
                        version="cld2s-20260816-ref-r2")
 

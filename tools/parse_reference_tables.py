@@ -320,6 +320,33 @@ def main() -> None:
     print(f"closest_alt: {len(entries)} entries, "
           f"{int((closest != unknown).sum())} active merges")
 
+    # hint tables (J8/K3): lang-tag (full + truncated) and TLD lookups with
+    # packed (lang + weight<<10) priors, weights Wn = n qprob steps
+    # (internal/compact_lang_det_hint_code.cc:60-112,102-644,647-970)
+    hint_src = (REF / "compact_lang_det_hint_code.cc").read_text()
+
+    def parse_hint_table(name: str) -> tuple[list, list, list]:
+        body = hint_src.split(f"{name}[", 1)[1].split("};", 1)[0]
+        keys, lang_ids, weights = [], [], []
+        pat = (r'\{"([^"]+)",\s*(?:"[^"]*",\s*)?'         # key (+ opt code col)
+               r'([A-Z][A-Za-z0-9_]*)\s*\+\s*W(\d+),\s*'  # lang1 + W
+               r'(?:([A-Z][A-Za-z0-9_]*)\s*\+\s*W(\d+)|0)')  # lang2 + W | 0
+        for m in re.finditer(pat, body):
+            key, l1, w1, l2, w2 = m.groups()
+            keys.append(key)
+            lang_ids.append([enum.get(l1, 0), enum.get(l2, 0) if l2 else 0])
+            weights.append([int(w1), int(w2) if w2 else 0])
+        return keys, lang_ids, weights
+
+    for nm, cc_name in (("hint_tag1", "kCLDLangTagsHintTable1"),
+                        ("hint_tag2", "kCLDLangTagsHintTable2"),
+                        ("hint_tld", "kCLDTLDHintTable")):
+        keys, lids, ws = parse_hint_table(cc_name)
+        out[f"{nm}_keys"] = np.array(keys)
+        out[f"{nm}_langs"] = np.array(lids, dtype=np.int16)
+        out[f"{nm}_weights"] = np.array(ws, dtype=np.int16)
+        print(f"{nm}: {len(keys)} entries")
+
     np.savez_compressed(OUT, **out)
     print(f"wrote {OUT} ({OUT.stat().st_size // 1024} KB)")
 
