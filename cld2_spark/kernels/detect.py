@@ -373,8 +373,10 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     # is <= 20 grams * qprob 12 * 3 slots = 720, so int16 is safe.
     COHORT = 2048
     n_slots = langs3.shape[1]  # 3 (self-trained) or 6 (reference two-langprob)
-    lang_j = [langs3[:, j].astype(np.int64) for j in range(n_slots)]
-    q_j = [qprobs3[:, j].astype(np.int16) for j in range(n_slots)]
+    # uint8 views suffice: indexed arithmetic upcasts, np.add.at casts --
+    # avoiding 2*n_slots full-array astype copies (measured ~20% of kernel)
+    lang_j = [np.ascontiguousarray(langs3[:, j]) for j in range(n_slots)]
+    q_j = [np.ascontiguousarray(qprobs3[:, j]) for j in range(n_slots)]
     win = np.empty(n_chunks, dtype=np.int64)
     win2 = np.empty(n_chunks, dtype=np.int64)
     s1 = np.empty(n_chunks, dtype=np.int32)
@@ -394,7 +396,8 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
             # ProcessProbV2Tote (internal/cldutil.cc:128-138)
             valid = (qj > 0) & (lj < n_langs)
             if valid.any():
-                np.add.at(csc, base_idx[valid] + lj[valid], qj[valid])
+                np.add.at(csc, base_idx[valid] + lj[valid],
+                          qj[valid].astype(np.int16, copy=False))
         if hint_lid is not None:
             hid_c, hw_c = hint_lid[0][cr[c0:c1]], hint_lid[1][cr[c0:c1]]
             for j in range(hid_c.shape[1]):
@@ -804,6 +807,11 @@ def _remove_unreliable(model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> None:
     into their closest-alt language (kClosestAltLanguage, :252-427; e.g.
     da -> no at 36% correlation), taking the higher of the two reliability
     percents floored at 41; remaining unreliable langs are deleted."""
+    # sparse working set: a row carries only a handful of scored languages,
+    # so all reliability math runs on the nonzero entries, never on the
+    # full (n, L) matrices (bandwidth: the full-matrix form measurably
+    # hurt 4->16-core scaling)
+    rows0, langs0 = np.nonzero(bytes_rl > 0)
     alt = model.closest_alt
     if alt is not None:
         L = bytes_rl.shape[1]
@@ -811,9 +819,10 @@ def _remove_unreliable(model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> None:
         # bounded merge rounds: one merge per row per round avoids endpoint
         # write conflicts (the reference scans slots sequentially)
         for _ in range(4):
-            relpct = relw_rl // np.maximum(bytes_rl, 1)
-            rows, langs = np.nonzero(
-                (bytes_rl > 0) & (relpct < MIN_RELIABLE_KEEP_PERCENT))
+            b0 = bytes_rl[rows0, langs0]
+            relpct0 = relw_rl[rows0, langs0] // np.maximum(b0, 1)
+            m0 = (b0 > 0) & (relpct0 < MIN_RELIABLE_KEEP_PERCENT)
+            rows, langs = rows0[m0], langs0[m0]
             if len(rows) == 0:
                 break
             a = alt64[langs]
@@ -832,7 +841,8 @@ def _remove_unreliable(model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> None:
             rows, langs, a = rows[fi], langs[fi], a[fi]
             _, ri = np.unique(rows, return_index=True)
             rows, langs, a = rows[ri], langs[ri], a[ri]
-            rel_l, rel_a = relpct[rows, langs], relpct[rows, a]
+            rel_l = relw_rl[rows, langs] // np.maximum(bytes_rl[rows, langs], 1)
+            rel_a = relw_rl[rows, a] // np.maximum(bytes_rl[rows, a], 1)
             into_lang = (rel_a < rel_l) | ((rel_a == rel_l) & (langs < a))
             to = np.where(into_lang, langs, a)
             frm = np.where(into_lang, a, langs)
@@ -849,10 +859,12 @@ def _remove_unreliable(model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> None:
             score_rl[rows, to] = newscore
             onebytes_rl[rows, to] = newone
             relw_rl[rows, to] = newpct * newbytes
-    relpct = relw_rl // np.maximum(bytes_rl, 1)
-    kill = (bytes_rl > 0) & (relpct < MIN_RELIABLE_KEEP_PERCENT)
+    b0 = bytes_rl[rows0, langs0]
+    relpct0 = relw_rl[rows0, langs0] // np.maximum(b0, 1)
+    kill = (b0 > 0) & (relpct0 < MIN_RELIABLE_KEEP_PERCENT)
+    kr, kl = rows0[kill], langs0[kill]
     for mat in (bytes_rl, score_rl, relw_rl, onebytes_rl):
-        mat[kill] = 0
+        mat[kr, kl] = 0
 
 
 def _top3_percent(bytes_rl, tt):
@@ -860,9 +872,19 @@ def _top3_percent(bytes_rl, tt):
     repair (DocTote::Sort + ExtractLangEtc,
     internal/compact_lang_det_impl.cc:1345-1362)."""
     n = bytes_rl.shape[0]
-    order = np.argsort(-bytes_rl, axis=1, kind="stable")[:, :3]
     r = np.arange(n)
-    b3 = np.stack([bytes_rl[r, order[:, j]] for j in range(3)], axis=1)
+    # three successive argmaxes == stable argsort(-b)[:3] (first max wins
+    # ties -> lowest lang id, like DocTote::Sort), without sorting the full
+    # (n, L) matrix
+    work = bytes_rl.copy()
+    order = np.empty((n, 3), dtype=np.int64)
+    b3 = np.empty((n, 3), dtype=np.int64)
+    for j in range(3):
+        w = np.argmax(work, axis=1)
+        order[:, j] = w
+        b3[:, j] = work[r, w]
+        work[r, w] = -1
+    b3 = np.maximum(b3, 0)
     p1 = b3[:, 0] * 100 // tt
     p12 = (b3[:, 0] + b3[:, 1]) * 100 // tt
     p123 = (b3[:, 0] + b3[:, 1] + b3[:, 2]) * 100 // tt
