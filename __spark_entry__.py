@@ -299,6 +299,18 @@ def _q_conversation_features(spark, sf_dir):
     return conversation_features(spark.table("transcripts"))
 
 
+def _q_lang_spans(spark, sf_dir):
+    """Per-language character spans per turn (W4 chunk vector,
+    ResultChunkVector; UDF -> rows-only driver check)."""
+    from pyspark.sql import functions as F
+    from cld2_spark.functions.langid import detect_spans_udf
+    _register(spark, sf_dir)
+    df = spark.table("transcripts")
+    return (df.withColumn("spans", detect_spans_udf(F.col("text")))
+            .select("conv_id", "turn_idx", F.size("spans").alias("n_spans"),
+                    F.to_json("spans").alias("spans_json")))
+
+
 def _q_langid(spark, sf_dir):
     """CLD2-style langid over transcripts (UDF -> rows-only driver check)."""
     from pyspark.sql import functions as F
@@ -346,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": _q_lsh_buckets,
         "lang_histogram": _q_lang_histogram,
         "conversation_features": _q_conversation_features,
+        "lang_spans": _q_lang_spans,
         "langid": _q_langid,
         "keep_drop": _q_keep_drop,
     }

@@ -21,8 +21,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BooleanType, DoubleType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 SUMMARY_SCHEMA = StructType([
@@ -131,6 +131,37 @@ def detect_summary_ext_udf(batches: Iterator[tuple[pd.Series, ...]]) -> Iterator
         ]
         res = detect_batch(texts.fillna("").tolist(), model, hints=hints)
         yield _to_pdf(res, _SUMMARY_COLS)
+
+
+# W4 chunk vector: per-language character spans of the source text
+# (ResultChunkVector, public/compact_lang_det.h:146-153)
+SPANS_SCHEMA = ArrayType(StructType([
+    StructField("off", IntegerType()), StructField("len", IntegerType()),
+    StructField("lang", StringType()),
+]))
+
+
+@F.pandas_udf(SPANS_SCHEMA)
+def detect_spans_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Per-row language spans (the ExtDetectLanguageSummaryCheckUTF8
+    resultchunkvector output, W4 stitching; W3 sharpening not applied)."""
+    import numpy as np
+    from cld2_spark.kernels.detect import detect_batch
+    from cld2_spark.kernels.model import default_model
+    model = default_model()
+    for s in batches:
+        res = detect_batch(s.fillna("").tolist(), model, return_spans=True)
+        rid = res["span_rid"]
+        order = np.argsort(rid, kind="stable")
+        bounds = np.searchsorted(rid[order], np.arange(len(s) + 1))
+        rows = []
+        off, ln, lg = (res["span_off"][order], res["span_len"][order],
+                       res["span_lang"][order])
+        for i in range(len(s)):
+            lo, hi = bounds[i], bounds[i + 1]
+            rows.append([{"off": int(off[j]), "len": int(ln[j]),
+                          "lang": str(lg[j])} for j in range(lo, hi)])
+        yield pd.Series(rows)
 
 
 @F.pandas_udf(PIPELINE_SCHEMA)

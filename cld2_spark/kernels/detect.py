@@ -326,7 +326,8 @@ def _pad_slots(langs: np.ndarray, qprobs: np.ndarray, width: int):
 
 
 def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs, acc,
-                hint_lid=None, whack_map=None, expected=None, closeset=None):
+                hint_lid=None, whack_map=None, expected=None, closeset=None,
+                gpos=None, span_sink=None):
     """Chunked scatter-add scoring: the Tote/DocTote pipeline (A1-A3).
 
     g_rid must be sorted ascending. Chunk winner takes the chunk's byte span;
@@ -470,10 +471,22 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     np.add.at(score_rl, (cr[scored], win[scored]), s1[scored])
     np.add.at(relw_rl, (cr[scored], win[scored]), rel[scored] * cb[scored])
 
+    # chunk-vector capture (W4, ResultChunkVector): per-chunk source span
+    # from the byte-carrying grams' original positions
+    if span_sink is not None and gpos is not None:
+        smin = np.full(n_chunks, np.iinfo(np.int64).max, dtype=np.int64)
+        smax = np.full(n_chunks, -1, dtype=np.int64)
+        bidx = np.flatnonzero((gram_bytes > 0) & (gpos >= 0))
+        if len(bidx):
+            np.minimum.at(smin, cid[bidx], gpos[bidx])
+            np.maximum.at(smax, cid[bidx], gpos[bidx])
+        span_sink.append((cr[scored], win[scored], smin[scored], smax[scored]))
+
 
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                  return_raw: bool = False, nb: T.NormBatch | None = None,
                  lang_hints: list | None = None, hints: list | None = None,
+                 return_spans: bool = False,
                  _repeats: bool = False, _retry: bool = True) -> dict[str, np.ndarray]:
     """Detect top-3 languages per text. Pure NumPy; one pass per script group.
 
@@ -514,6 +527,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     word_ev = np.zeros((n, L), dtype=bool)
     # per-row predictable-quad fraction (squeeze trigger, O8)
     junk_frac = np.zeros(n, dtype=np.float64)
+    # chunk-vector capture (W4): list of (row, lang, min_pos, max_pos)
+    span_sink: list | None = [] if return_spans else None
 
     hint_lid = None
     whack_map = None
@@ -550,6 +565,14 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         score_rl[rows, lid] += b[rows]
         relw_rl[rows, lid] += 100 * b[rows]
         onebytes_rl[rows, lid] += b[rows]
+        if span_sink is not None and len(rows):
+            idx = np.flatnonzero(mask)
+            smin = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            smax = np.full(n, -1, dtype=np.int64)
+            np.minimum.at(smin, nb.rid[idx], idx)
+            np.maximum.at(smax, nb.rid[idx], idx)
+            span_sink.append((rows, np.full(len(rows), lid, dtype=np.int64),
+                              smin[rows], smax[rows]))
 
     # RTypeMany scripts: ONE compressed stream for all groups; grams are
     # dispatched to their script's table by first-char script (replaces
@@ -557,7 +580,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     many = [s for s in present_scripts.tolist()
             if ut.RTYPE[s] == ut.RTYPE_MANY and ut.SCRIPTS[s][0] in model.group_tables]
     if many:
-        arr, rid_s, scr_s = T.group_stream_with_script(
+        arr, rid_s, scr_s, orig_s = T.group_stream_with_script(
             nb, np.array(many, dtype=np.uint8))
         g_rid, bs, bl, buf, gb, pos = quad_grams(arr, rid_s)
         if len(g_rid):
@@ -661,9 +684,16 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     order = np.lexsort((all_pos, s_rid))
                     s_rid, langs3 = s_rid[order], langs3[order]
                     qprobs3, s_gb = qprobs3[order], s_gb[order]
+                    s_pos = all_pos[order]
+                gpos = None
+                if span_sink is not None:
+                    gpos = np.where(s_pos >= 0,
+                                    orig_s[np.maximum(s_pos, 0)],
+                                    np.int64(-1))
                 _score_hits(s_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n, L, acc,
                             hint_lid=hint_lid, whack_map=whack_map,
-                            expected=expected, closeset=closeset)
+                            expected=expected, closeset=closeset,
+                            gpos=gpos, span_sink=span_sink)
 
     # CJK pass: unigram hits (J3) + adjacent-pair bigram delta hits (J4)
     # merged into one chunk stream. With reference tables: unigrams via the
@@ -716,6 +746,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                                 np.full((k, 1), seed_gid, dtype=np.uint8),
                                 np.ones((k, 1), dtype=np.uint8),
                                 np.zeros(k, dtype=np.int32)))
+            cpos = idx.astype(np.int64)
             if len(streams) > 1:
                 width = max(x[2].shape[1] for x in streams)
                 all_rid = np.concatenate([x[0] for x in streams])
@@ -728,9 +759,12 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                 order = np.lexsort((all_pos, all_rid))
                 g_rid, langs3 = all_rid[order], langs3[order]
                 qprobs3, gb = qprobs3[order], gb[order]
+                cpos = all_pos[order]
             _score_hits(g_rid, langs3, qprobs3, gb, UNI_CHUNK, n, L, acc,
                         hint_lid=hint_lid, whack_map=whack_map,
-                        expected=expected, closeset=closeset)
+                        expected=expected, closeset=closeset,
+                        gpos=cpos if span_sink is not None else None,
+                        span_sink=span_sink)
 
     if return_raw:
         return {"bytes_rl": bytes_rl, "score_rl": score_rl, "relw_rl": relw_rl,
@@ -778,7 +812,54 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         ridx = idx[better]
         for k in out:
             out[k][ridx] = out2[k][better]
+    if return_spans:
+        # chunk vector from the pass-1 attribution (retry refines only the
+        # summary result; span boundaries come from the full-text chunks)
+        out.update(_build_spans(nb, model, span_sink))
     return out
+
+
+def _build_spans(nb, model, sink) -> dict[str, np.ndarray]:
+    """W4 chunk-vector stitching (SummaryBufferToVector / ItemToVector,
+    internal/scoreonescriptspan.cc:323-511): per-chunk (row, lang, span)
+    records merge into per-language character ranges of the source text;
+    consecutive same-language spans coalesce. Offsets/lengths are in
+    CHARACTERS of the original row text. Boundary sharpening (W3) is not
+    applied (documented absence, PARITY.md)."""
+    empty = {"span_rid": np.zeros(0, dtype=np.int64),
+             "span_off": np.zeros(0, dtype=np.int64),
+             "span_len": np.zeros(0, dtype=np.int64),
+             "span_lang": np.array([], dtype=object)}
+    if not sink:
+        return empty
+    rows = np.concatenate([x[0] for x in sink])
+    langs = np.concatenate([x[1] for x in sink]).astype(np.int64)
+    smin = np.concatenate([x[2] for x in sink])
+    smax = np.concatenate([x[3] for x in sink])
+    ok = (smax >= 0) & (smin <= smax)
+    rows, langs, smin, smax = rows[ok], langs[ok], smin[ok], smax[ok]
+    if len(rows) == 0:
+        return empty
+    # nb.cp position -> per-row character offset: row i's text starts at
+    # its first rid occurrence (+1 for row 0's global leading space)
+    text_start = np.searchsorted(nb.rid, np.arange(nb.n)).astype(np.int64)
+    if nb.n:
+        text_start[0] += 1
+    off = np.maximum(smin - text_start[rows], 0)
+    end = np.maximum(smax - text_start[rows] + 1, 0)
+    order = np.lexsort((off, rows))
+    rows, langs, off, end = rows[order], langs[order], off[order], end[order]
+    new = np.ones(len(rows), dtype=bool)
+    new[1:] = (rows[1:] != rows[:-1]) | (langs[1:] != langs[:-1])
+    gid = np.cumsum(new) - 1
+    g_first = np.flatnonzero(new)
+    g_end = np.zeros(len(g_first), dtype=np.int64)
+    np.maximum.at(g_end, gid, end)
+    lang_arr = np.array(model.langs, dtype=object)
+    g_off = off[g_first]
+    return {"span_rid": rows[g_first], "span_off": g_off,
+            "span_len": np.maximum(g_end - g_off, 0),
+            "span_lang": lang_arr[langs[g_first]]}
 
 
 def _refine_close_pairs(model, bytes_rl, score_rl, relw_rl, onebytes_rl) -> None:

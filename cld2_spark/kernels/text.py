@@ -93,12 +93,13 @@ def normalize_batch(texts: list[str]) -> NormBatch:
 
 
 def group_stream_with_script(nb: NormBatch, script_ids: np.ndarray):
-    """Like group_stream but also returns the per-kept-char script ids, so a
-    single pass can serve several script groups (grams are dispatched to
-    their group's table by first-char script)."""
+    """Like group_stream but also returns the per-kept-char script ids and
+    the kept chars' ORIGINAL positions in nb.cp (the OffsetMap analogue,
+    internal/offsetmap.h:25-45 -- lets chunk spans map back to the source
+    text), so a single pass can serve several script groups."""
     if len(nb.cp) == 0:
         e = np.zeros(0, dtype=np.uint32)
-        return e, nb.rid, nb.script
+        return e, nb.rid, nb.script, e.astype(np.int64)
     lut = np.zeros(ut.N_SCRIPTS, dtype=bool)
     lut[script_ids] = True
     in_group = nb.letter & lut[nb.script]
@@ -109,7 +110,8 @@ def group_stream_with_script(nb: NormBatch, script_ids: np.ndarray):
     prev_sp[1:] = is_sp[:-1]
     keep = ~(is_sp & prev_sp)
     keep[0] = True
-    return arr[keep], nb.rid[keep], nb.script[keep]
+    orig = np.flatnonzero(keep).astype(np.int64)
+    return arr[keep], nb.rid[keep], nb.script[keep], orig
 
 
 def group_stream(nb: NormBatch, script_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -89,6 +89,36 @@ def test_unreliable_without_alt_is_deleted():
     assert bytes_rl[0, ja] == 0
 
 
+def test_chunk_vector_spans_mixed_doc():
+    """W4: per-language character spans over a mixed en+fr doc tile the
+    text; the English head is labeled en at offset 0."""
+    model = default_model()
+    en_head = ("France is the largest country in western europe and the "
+               "third largest country overall in the region today. ")
+    r = detect_batch([en_head + FR, "γειά σου κόσμε τι κάνεις σήμερα"],
+                     model, return_spans=True)
+    spans0 = [(int(o), int(l), g) for rid, o, l, g in
+              zip(r["span_rid"], r["span_off"], r["span_len"], r["span_lang"])
+              if rid == 0]
+    assert spans0[0][2] == "en" and spans0[0][0] == 0
+    assert len(spans0) >= 2                       # language change detected
+    assert spans0[0][1] >= 90                     # covers the English head
+    spans1 = [(int(o), g) for rid, o, _, g in
+              zip(r["span_rid"], r["span_off"], r["span_len"], r["span_lang"])
+              if rid == 1]
+    assert spans1 == [(0, "el")]                  # RTypeOne single span
+
+
+def test_spans_udf(spark):
+    from pyspark.sql import functions as F
+    from cld2_spark.functions.langid import detect_spans_udf
+    df = spark.createDataFrame(
+        [("こんにちは世界これはテストです",), ("",)], "text string")
+    out = (df.withColumn("sp", detect_spans_udf(F.col("text")))
+           .select(F.size("sp").alias("n")).toPandas())
+    assert out.n.tolist() == [1, 0]
+
+
 def test_en_boilerplate_demotion_mixed_fr():
     """A9: an English-boilerplate + French doc returns FRENCH (the corpus
     fr_en_Latn case exercises the same path; this is an independent doc).

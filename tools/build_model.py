@@ -214,7 +214,7 @@ def main() -> None:
         nb = T.normalize_batch([train_text(snip)])
         # identical extraction to inference: one stream over all RTypeMany
         # scripts, grams dispatched by first-char script
-        arr, rid_s, scr_s = T.group_stream_with_script(nb, many_all)
+        arr, rid_s, scr_s, _orig = T.group_stream_with_script(nb, many_all)
         g_rid, bs, bl, buf, gb, pos = quad_grams(arr, rid_s)
         if len(g_rid) == 0:
             continue
