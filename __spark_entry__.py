@@ -112,6 +112,21 @@ def _q_toxicity(spark, sf_dir):
         f"FROM transcripts")
 
 
+_HTML_WRAP = ("'<div class=\"post\"><!-- c --><p>' || text || "
+              "'</p><script>var x=1;</script> &amp; &#8217;s &eacute;tape</div>'")
+
+
+def _q_strip_html(spark, sf_dir):
+    """S3/S4: HTML tag strip + entity expansion as a codegen SQL chain
+    (the is_plain_text=false path), over deterministically HTML-wrapped
+    documents."""
+    from cld2_spark.kernels.html import strip_html_sql
+    _register(spark, sf_dir)
+    return spark.sql(
+        f"SELECT doc_id, {strip_html_sql(_HTML_WRAP, 'spark')} AS clean "
+        f"FROM documents")
+
+
 def _q_turn_window(spark, sf_dir):
     _register(spark, sf_dir)
     return spark.sql(
@@ -341,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "quality_flags": _q_quality_flags,
         "toxicity": _q_toxicity,
+        "strip_html": _q_strip_html,
         "turn_window": _q_turn_window,
         "conv_rollup": _q_conv_rollup,
         "pricing_summary": _q_pricing_summary,
@@ -451,6 +467,7 @@ def _ann_lsh_duck_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from cld2_spark.kernels.html import strip_html_sql
     from cld2_spark.kernels.quality import low_quality_sql, too_short_sql
     from cld2_spark.kernels.scrub import scrub_sql, toxicity_sql
 
@@ -472,6 +489,9 @@ def oracle_sql() -> dict[str, str]:
         "toxicity": (
             f"{ctes} SELECT conv_id, turn_idx, "
             f"{toxicity_sql('text', 'duckdb')} AS toxic FROM transcripts"),
+        "strip_html": (
+            f"SELECT doc_id, {strip_html_sql(_HTML_WRAP, 'duckdb')} AS clean "
+            f"FROM documents"),
         "turn_window": (
             f"{ctes} SELECT conv_id, turn_idx, "
             f"ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn, "

@@ -591,11 +591,18 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
             else:
                 # squeeze trigger measurement (O8): fraction of quads a
                 # context predictor would delete; junk-heavy long rows are
-                # re-scored with the filter on even if pass 1 converges
-                dropped = keep & ~predicted_filter(h, g_rid)
-                junk = np.bincount(g_rid[dropped], minlength=n)
-                tot = np.maximum(np.bincount(g_rid[keep], minlength=n), 1)
-                junk_frac = np.maximum(junk_frac, junk / tot)
+                # re-scored with the filter on even if pass 1 converges.
+                # Only rows long enough to trigger are measured (the
+                # lexsort inside predicted_filter is not free).
+                big = nb.text_bytes > SQUEEZE_MIN_BYTES
+                if big.any():
+                    sel = big[g_rid] & keep
+                    if sel.any():
+                        hb, rb = h[sel], g_rid[sel]
+                        dropped = ~predicted_filter(hb, rb)
+                        junk = np.bincount(rb[dropped], minlength=n)
+                        tot = np.maximum(np.bincount(rb, minlength=n), 1)
+                        junk_frac = np.maximum(junk_frac, junk / tot)
             g_rid, h, gb, pos = g_rid[keep], h[keep], gb[keep], pos[keep]
             g_script = scr_s[pos]
             use_ref_words = model.ref_word_delta is not None
