@@ -283,7 +283,9 @@ def _q_ann_lsh(spark, sf_dir):
     from cld2_spark.operators.similarity import lsh_cosine_topk
     _register(spark, sf_dir)
     emb = spark.table("embeddings")
-    out = lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64)
+    # explicit n_planes: the DuckDB oracle inlines these exact hyperplanes
+    out = lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5, dim=64,
+                          n_planes=6)
     return out.select("qid", "nid", F.round("sim", 4).alias("sim"), "rank")
 
 

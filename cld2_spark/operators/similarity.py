@@ -58,11 +58,22 @@ def lsh_bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
 
 def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    n_planes: int = 6, n_tables: int = 3, dim: int = 64) -> DataFrame:
+                    n_planes: int | None = None, n_tables: int = 3,
+                    dim: int = 64, target_bucket_size: int = 64) -> DataFrame:
     """LSH-bucketed approximate cosine top-k (scale path).
 
     Vectors and queries are bucketed by `n_tables` independent sign-bit
-    codes; candidates = same bucket in ANY table; exact cosine re-rank."""
+    codes; candidates = same bucket in ANY table; exact cosine re-rank.
+
+    n_planes=None sizes the bucket space to the data: 2**n_planes buckets
+    per table targeting ~target_bucket_size vectors per bucket (one count()
+    job), so the within-bucket compare stays linear as n grows -- at 10^9
+    vectors that is 24 planes / 16M buckets, not a fixed 64 (VERDICT r1).
+    Pass an explicit n_planes for deterministic oracle-checked runs."""
+    if n_planes is None:
+        n_vec = vectors.count()
+        n_planes = max(6, int(np.ceil(np.log2(max(n_vec, 1) / target_bucket_size + 1))))
+        n_planes = min(n_planes, 28)
     parts_v, parts_q = [], []
     for t in range(n_tables):
         planes = _planes_literal(dim, n_planes, seed=42 + t)

@@ -105,6 +105,27 @@ def test_lsh_cosine_topk_recovers_planted_pair(vectors):
     assert 1 in got0  # planted neighbor shares sign-buckets with its twin
 
 
+def test_lsh_plane_count_scales_with_n(spark):
+    # adaptive sizing: bucket space grows with the vector count so the
+    # within-bucket compare stays ~target_bucket_size (VERDICT r1)
+    import numpy as np
+    from cld2_spark.operators import similarity as S
+    captured = []
+    orig = S._planes_literal
+    def spy(dim, n_planes, seed=42):
+        captured.append(n_planes)
+        return orig(dim, n_planes, seed)
+    S._planes_literal = spy
+    try:
+        big = spark.range(100_000).selectExpr(
+            "id AS vec_id", "array(CAST(id AS FLOAT), 1.0F) AS embedding")
+        S.lsh_cosine_topk(big, big.limit(1), k=1, dim=2,
+                          target_bucket_size=64)
+    finally:
+        S._planes_literal = orig
+    assert captured and captured[0] == int(np.ceil(np.log2(100_000 / 64 + 1)))
+
+
 def test_multimodal_features(spark):
     from cld2_spark.operators.multimodal import extract_features, frame_sample, synth_media
     media = synth_media(spark, 30)
