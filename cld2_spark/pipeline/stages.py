@@ -63,8 +63,11 @@ def with_decision(df: DataFrame) -> DataFrame:
     return df.withColumn("keep", keep).withColumn("drop_reason", reason)
 
 
-def run_pipeline(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Full per-turn chain; returns the flat verdict table (FIXTURES.md §4)."""
+def run_pipeline(df: DataFrame, text_col: str = "text",
+                 passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """Full per-turn chain; returns the flat verdict table (FIXTURES.md §4).
+    `passthrough` names extra input columns to carry into the output (e.g.
+    the event-time column for a downstream stateful streaming operator)."""
     out = with_decision(with_scrub(with_quality(with_langid(df, text_col), text_col), text_col))
     return out.select(
         "conv_id", "turn_idx",
@@ -75,6 +78,7 @@ def run_pipeline(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col(f"{LD}.ft_lang").alias("ft_lang"),
         F.col(f"{LD}.ppl").alias("ppl"),
         "keep", "drop_reason", "scrubbed_text",
+        *passthrough,
     )
 
 

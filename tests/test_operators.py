@@ -181,3 +181,36 @@ def test_streaming_pipeline(spark, tmp_path):
     out = spark.read.parquet(str(sink))
     assert out.count() == 200
     assert set(out.columns) >= {"conv_id", "turn_idx", "keep", "scrubbed_text"}
+
+
+def test_stateful_conversation_stream(spark, tmp_path):
+    """applyInPandasWithState: per-conversation counters accumulate ACROSS
+    streaming runs via the checkpointed state store (§2.9 custom stateful
+    operator)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from cld2_spark.sources.transcripts import synth_transcripts_pandas
+    from cld2_spark.streaming.stateful import start_conversation_state_stream
+
+    src, sink, ckpt = tmp_path / "src", tmp_path / "sink", tmp_path / "ckpt"
+    src.mkdir()
+    pdf = synth_transcripts_pandas(200)
+    half = len(pdf) // 2
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:half]),
+                   str(src / "b1.parquet"), coerce_timestamps="us")
+
+    q = start_conversation_state_stream(spark, str(src), str(sink), str(ckpt))
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(str(sink)).toPandas()
+    assert out1.n_turns.sum() == half
+
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[half:]),
+                   str(src / "b2.parquet"), coerce_timestamps="us")
+    q2 = start_conversation_state_stream(spark, str(src), str(sink), str(ckpt))
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(str(sink)).toPandas()
+    # latest rollup per conversation counts BOTH batches (state persisted)
+    latest = out2.sort_values("n_turns").groupby("conv_id").last()
+    assert latest.n_turns.sum() == len(pdf)
+    assert (latest.n_keep <= latest.n_turns).all()
+    assert latest.conv_alive.dtype == bool
