@@ -646,11 +646,17 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                         keep_w &= predicted_filter(wh40, w_rid)
                     if use_ref_words:
                         # reference deltaocta (word), distinctocta (word +
-                        # word-pair), GetOctaHits internal/cldutil.cc:416-533
-                        probes = [(wh40, model.ref_word_delta),
-                                  (wh40, model.ref_word_distinct),
-                                  (pair40, model.ref_word_distinct)]
-                        for wh, rt in probes:
+                        # word-pair), GetOctaHits internal/cldutil.cc:416-533.
+                        # Distinct hits additionally CARRY into following
+                        # chunks (W5 distinct-boost ring, AddDistinctBoost2 /
+                        # ScoreBoosts internal/scoreonescriptspan.cc:112-152:
+                        # the last <=4 distinct hits boost every chunk) --
+                        # approximated by re-emitting each distinct hit at
+                        # +~1/+2/+3 chunk-widths of letters down the row.
+                        probes = [(wh40, model.ref_word_delta, False),
+                                  (wh40, model.ref_word_distinct, True),
+                                  (pair40, model.ref_word_distinct, True)]
+                        for wh, rt, carry in probes:
                             if rt is None:
                                 continue
                             sel = keep_w & (wh != 0)
@@ -662,8 +668,19 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                                 ev = (wq[:, j] > 0) & (wl[:, j] < L)
                                 if ev.any():
                                     word_ev[rows_w[ev], wl[:, j][ev]] = True
-                            hits.append((rows_w, wpos[sel], wl, wq,
-                                         np.zeros(int(sel.sum()), dtype=np.int32)))
+                            zero = np.zeros(int(sel.sum()), dtype=np.int32)
+                            hits.append((rows_w, wpos[sel], wl, wq, zero))
+                            if carry:
+                                hitmask = (wq > 0).any(axis=1)
+                                if hitmask.any():
+                                    cr_, cp_, cl_, cq_ = (rows_w[hitmask],
+                                                          wpos[sel][hitmask],
+                                                          wl[hitmask],
+                                                          wq[hitmask])
+                                    for shift in (30, 60, 90):
+                                        hits.append((cr_, cp_ + shift, cl_,
+                                                     cq_, np.zeros(len(cr_),
+                                                                   dtype=np.int32)))
                     else:
                         for wh in (w32, pair32):
                             sel = keep_w & (wh != 0)
@@ -694,9 +711,10 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     s_pos = all_pos[order]
                 gpos = None
                 if span_sink is not None:
-                    gpos = np.where(s_pos >= 0,
-                                    orig_s[np.maximum(s_pos, 0)],
-                                    np.int64(-1))
+                    # clamp: carried distinct-boost copies sit past the
+                    # stream end (zero-byte, never used for spans)
+                    safe = np.clip(s_pos, 0, len(orig_s) - 1)
+                    gpos = np.where(s_pos >= 0, orig_s[safe], np.int64(-1))
                 _score_hits(s_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n, L, acc,
                             hint_lid=hint_lid, whack_map=whack_map,
                             expected=expected, closeset=closeset,
