@@ -41,21 +41,25 @@ FEATURE_SCHEMA = StructType([
 FEATURE_DIM = 16
 
 
-def _decode_payload_batch(payload: pd.Series) -> np.ndarray:
-    """STUB decoder: deterministic 16-dim feature from payload bytes.
-
-    Replace with a real decoder in production. Raises NotImplementedError
-    for kinds a real decoder would need codec support for -- callers see the
-    real control flow. Here: byte-histogram moments, vectorized.
-    """
-    feats = np.zeros((len(payload), FEATURE_DIM), dtype=np.float32)
-    for i, buf in enumerate(payload):  # bounded by batch; bytes ops are C-speed
-        if buf is None or len(buf) == 0:
-            continue
-        a = np.frombuffer(buf, dtype=np.uint8)
-        hist = np.bincount(a >> 4, minlength=16).astype(np.float32)
-        feats[i] = hist / max(len(a), 1)
-    return feats
+def _decode_payload_batch(payload: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """STUB decoder: deterministic 16-dim feature from payload bytes,
+    computed for the WHOLE Arrow batch in one pass (concatenated buffer +
+    segment bincount -- the same shape a real vectorized decoder hands to
+    its codec). Replace with a real decoder (PIL/torchaudio/ffmpeg) in
+    production without touching the plan. Returns (features, n_bytes)."""
+    bufs = [b if b is not None else b"" for b in payload]
+    n = len(bufs)
+    lens = np.fromiter((len(b) for b in bufs), count=n, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros((n, FEATURE_DIM), dtype=np.float32), lens
+    cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    rid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    counts = np.bincount(rid * FEATURE_DIM + (cat >> 4),
+                         minlength=n * FEATURE_DIM)
+    feats = (counts.reshape(n, FEATURE_DIM).astype(np.float32)
+             / np.maximum(lens, 1)[:, None].astype(np.float32))
+    return feats, lens
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -63,11 +67,11 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _decode_payload_batch(pdf["payload"])
+            feats, lens = _decode_payload_batch(pdf["payload"])
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                "n_bytes": lens,
                 "feature": list(feats),
             })
 
@@ -81,13 +85,17 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vids = pdf[pdf["kind"] == "video"]
-            rows = []
-            for mid, dur in zip(vids["media_id"], vids["duration_ms"]):
-                ts = np.arange(0, max(int(dur or 0), 0), every_ms, dtype=np.int64)
-                rows.append(pd.DataFrame({"media_id": mid, "frame_ts_ms": ts}))
-            yield (pd.concat(rows, ignore_index=True) if rows
-                   else pd.DataFrame({"media_id": pd.Series([], dtype="int64"),
-                                      "frame_ts_ms": pd.Series([], dtype="int64")}))
+            mids = vids["media_id"].to_numpy(dtype=np.int64)
+            durs = vids["duration_ms"].fillna(0).to_numpy(dtype=np.int64)
+            n_frames = np.maximum(-(-durs // every_ms), 0)
+            rid = np.repeat(np.arange(len(mids)), n_frames)
+            # frame index within each video: position minus its video's start
+            starts = np.zeros(len(mids), dtype=np.int64)
+            np.cumsum(n_frames[:-1], out=starts[1:])
+            fidx = np.arange(int(n_frames.sum()), dtype=np.int64) - starts[rid]
+            yield pd.DataFrame({"media_id": mids[rid] if len(rid) else
+                                pd.Series([], dtype="int64"),
+                                "frame_ts_ms": fidx * every_ms})
 
     return df.mapInPandas(fn, schema=StructType([
         StructField("media_id", LongType()), StructField("frame_ts_ms", LongType())]))
