@@ -85,9 +85,9 @@ def run_at(cores: int, sf_dir: str, replicate: int) -> tuple[float, int]:
     try:
         df, n = bench_transcripts(spark, sf_dir, replicate)
         run_pipeline_timed(spark, df)  # full-size warm-up
-        # best-of-3: shared-VM steal noise is +-15%; min is the honest
-        # estimator of the machine's actual capability
-        sec = min(run_pipeline_timed(spark, df) for _ in range(3))
+        # best-of-2 inside the window; cross-window min happens in main()
+        # (steal noise only ever SLOWS a run, so min estimates capability)
+        sec = min(run_pipeline_timed(spark, df) for _ in range(2))
         return sec, n
     finally:
         spark.stop()
@@ -143,8 +143,19 @@ def main() -> None:
     if SCALING:
         try:
             small, big = SCALE_N, SCALE_N * 4
-            s_sm, n_sm = run_at_pinned(small, SF_DIR, SCALING_REPLICATE)
-            s_bg, n_bg = run_at_pinned(big, SF_DIR, SCALING_REPLICATE)
+            # INTERLEAVED windows (N, 4N, N, 4N): neighbor steal on this
+            # shared VM varies minute-to-minute and only ever slows a run,
+            # so the min per side across windows estimates true capability;
+            # a single window per side has produced 0.64..0.96 for
+            # identical code purely from which minutes it landed on
+            secs_sm, secs_bg = [], []
+            n_sm = n_bg = 0
+            for _ in range(2):
+                s, n_sm = run_at_pinned(small, SF_DIR, SCALING_REPLICATE)
+                secs_sm.append(s)
+                s, n_bg = run_at_pinned(big, SF_DIR, SCALING_REPLICATE)
+                secs_bg.append(s)
+            s_sm, s_bg = min(secs_sm), min(secs_bg)
             tp_sm, tp_bg = n_sm / s_sm, n_bg / s_bg
             result["scaling"] = {
                 "n_cores": small, "n4_cores": big,
@@ -152,6 +163,8 @@ def main() -> None:
                 f"local{small}_turns_per_sec": round(tp_sm, 1),
                 f"local{big}_turns_per_sec": round(tp_bg, 1),
                 "efficiency_n_to_4n": round((tp_bg / tp_sm) / 4.0, 3),
+                "windows_sec": {f"local{small}": [round(x, 1) for x in secs_sm],
+                                f"local{big}": [round(x, 1) for x in secs_bg]},
             }
         except Exception as exc:  # never lose the main JSON line
             result["scaling"] = {"error": str(exc)[:200],
