@@ -42,3 +42,32 @@ def test_topk_join_is_broadcast(spark):
     stats = plan_stats(df)
     assert stats["broadcast_joins"] >= 1
     assert stats["sortmerge_joins"] == 0
+
+
+def test_brand_revenue_filter_pushed_and_broadcast(spark):
+    """The driver's lineitem-join-part query: selective filter reaches the
+    parquet scan, the small dim side broadcasts (no sort-merge)."""
+    import __spark_entry__ as E
+    df = E.queries()["brand_revenue"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    stats = plan_stats(df)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+    assert stats["broadcast_joins"] >= 1
+    assert stats["sortmerge_joins"] == 0
+
+
+def test_strip_html_is_pure_codegen(spark):
+    """S3/S4 chain must stay whole-stage-codegen SQL: no Python stage."""
+    import __spark_entry__ as E
+    df = E.queries()["strip_html"](spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    assert stats["python_stages"] == 0
+    assert stats["exchanges"] == 0
+
+
+def test_lang_spans_single_python_stage(spark):
+    import __spark_entry__ as E
+    df = E.queries()["lang_spans"](spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    assert stats["python_stages"] == 1
+    assert stats["exchanges"] == 0
