@@ -60,11 +60,14 @@ def save_manifest(output_dir: str, manifest: dict) -> None:
 
 def run_resumable(spark: SparkSession, input_df: DataFrame, output_dir: str,
                   n_buckets: int = 8, buckets_per_commit: int = 4,
-                  fail_after_buckets: int | None = None) -> dict:
+                  fail_after_buckets: int | None = None,
+                  iceberg_table: str | None = None) -> dict:
     """Process bucket groups, committing the manifest after each group.
 
     `fail_after_buckets` injects a crash for the resume test. Returns the
-    final manifest.
+    final manifest. `iceberg_table` routes the sink to an Iceberg table
+    when the session has an Iceberg catalog (pipeline/sink.py); the parquet
+    layout used otherwise has identical per-bucket overwrite semantics.
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     manifest = load_manifest(output_dir)
@@ -82,10 +85,8 @@ def run_resumable(spark: SparkSession, input_df: DataFrame, output_dir: str,
         out = run_pipeline(part).withColumn(
             BUCKET_COL, bucket_expr(n_buckets))
         out, obs = observed(out)
-        (out.repartition(BUCKET_COL)
-            .sortWithinPartitions("conv_id", "turn_idx")
-            .write.partitionBy(BUCKET_COL).mode("overwrite")
-            .parquet(str(Path(output_dir) / "data")))
+        from cld2_spark.pipeline.sink import write_bucketed
+        write_bucketed(out, output_dir, table=iceberg_table)
         metrics = dict(obs.get)
         group_id = f"g{min(group)}"
         for b in group:
