@@ -88,6 +88,26 @@ def detect_summary_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         yield _to_pdf(res, _SUMMARY_COLS)
 
 
+def make_detect_summary_udf(best_effort: bool = False,
+                            score_as_quads: bool = False):
+    """Flagged variant of detect_summary_udf (kCLDFlagBestEffort /
+    kCLDFlagScoreAsQuads, public/compact_lang_det.h:342-376). bestEffort
+    returns the best guess instead of `un` on short / low-confidence rows
+    (and consults the J2 backoff table); scoreAsQuads scores
+    single-language scripts through the quad path."""
+    @F.pandas_udf(SUMMARY_SCHEMA)
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from cld2_spark.kernels.detect import detect_batch
+        from cld2_spark.kernels.model import default_model
+        model = default_model()
+        for s in batches:
+            res = detect_batch(s.fillna("").tolist(), model,
+                               best_effort=best_effort,
+                               score_as_quads=score_as_quads)
+            yield _to_pdf(res, _SUMMARY_COLS)
+    return _udf
+
+
 @F.pandas_udf(ANALYZE_SCHEMA)
 def analyze_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     """Combined langid + cross-check + perplexity (one normalization pass)."""

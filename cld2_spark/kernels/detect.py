@@ -43,6 +43,9 @@ from .model import Cld2sModel
 QUAD_CHUNK = 20   # quads per scored chunk (internal/scoreonescriptspan.h:91)
 UNI_CHUNK = 50    # CJK unigrams per chunk (internal/scoreonescriptspan.h:92)
 NO_LANG = 255
+# J2 second-table votes are capped below the max quad vote: trigram-backoff
+# evidence is weaker than a full quad hit (tuned on the held-out split)
+BACKOFF_MAX_QPROB = 6
 
 # summary thresholds (internal/compact_lang_det_impl.cc:206-239,981)
 MIN_RELIABLE_KEEP_PERCENT = 41
@@ -88,8 +91,9 @@ CJK_SCRIPTS = np.array([ut.SCRIPT_ID[s] for s in ("Hani", "Hira", "Kata", "Bopo"
 def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
     """Extract quadgram positions from a compressed letter stream.
 
-    Returns (g_rid, byte_start, byte_len, buf, gram_bytes) where buf is the
-    stream's padded UTF-8 buffer. Gram selection mirrors the reference's
+    Returns (g_rid, byte_start, byte_len, buf, gram_bytes, pos, tri_len)
+    where buf is the stream's padded UTF-8 buffer and tri_len is the byte
+    length of each gram's <=3-char prefix (the J2 backoff probe key). Gram selection mirrors the reference's
     per-word walk (GetQuadHits internal/cldutil.cc:315-405): one gram per
     letter position, mid-word vowel starts skipped (kAdvanceOneCharSpaceVowel
     internal/cldutil_shared.h:462-486), short words produce one whole-word
@@ -98,7 +102,7 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
     n = len(arr)
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
-        return z, z, z, np.zeros(32, dtype=np.uint8), z, z
+        return z, z, z, np.zeros(32, dtype=np.uint8), z, z, z
     is_sp = arr == T.SPACE
     prev_sp = np.empty_like(is_sp)
     prev_sp[0] = True
@@ -106,7 +110,7 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
     word_start = (~is_sp) & prev_sp
     if not word_start.any():
         z = np.zeros(0, dtype=np.int64)
-        return z, z, z, np.zeros(32, dtype=np.uint8), z, z
+        return z, z, z, np.zeros(32, dtype=np.uint8), z, z, z
     wid = (np.cumsum(word_start, dtype=np.int32) - 1)    # word id per char
     idx = np.arange(n, dtype=np.int32)
     wstart = idx[word_start]                             # (n_words,)
@@ -121,6 +125,10 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
     boff = T.utf8_offsets(arr)
     byte_start = boff[pos]
     byte_len = np.minimum(boff[pos + glen] - byte_start, 12)
+    # J2 backoff key: byte length of the gram's <=3-char prefix (the second
+    # lookup table is probed with the prefix-trigram hash on a main-table
+    # miss; see GetQuadHits dual probe, internal/cldutil.cc:355-362)
+    tri_len = np.minimum(boff[pos + np.minimum(glen, 3)] - byte_start, 12)
     buf = T.encode_utf8(arr)
     g_rid = rid_s[pos]
 
@@ -134,7 +142,7 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray):
         row_end[:-1] = g_rid[1:] != g_rid[:-1]
         row_end[-1] = True
         gram_bytes[row_end] = byte_len[row_end]
-    return g_rid, byte_start, byte_len, buf, gram_bytes, pos
+    return g_rid, byte_start, byte_len, buf, gram_bytes, pos, tri_len
 
 
 # hint prior weights (J8/K3, internal/compact_lang_det_hint_code.cc:31-32):
@@ -486,7 +494,8 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                  return_raw: bool = False, nb: T.NormBatch | None = None,
                  lang_hints: list | None = None, hints: list | None = None,
-                 return_spans: bool = False,
+                 return_spans: bool = False, best_effort: bool = False,
+                 score_as_quads: bool = False,
                  _repeats: bool = False, _retry: bool = True) -> dict[str, np.ndarray]:
     """Detect top-3 languages per text. Pure NumPy; one pass per script group.
 
@@ -547,10 +556,15 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     u8len = nb.u8len
     present_scripts = np.unique(nb.script[nb.letter]) if n else np.array([], dtype=np.uint8)
 
-    # RTypeOne scripts: bytes score directly to the script's one language
+    # RTypeOne scripts: bytes score directly to the script's one language.
+    # scoreAsQuads (kCLDFlagScoreAsQuads, public/compact_lang_det.h:360-364 /
+    # ScoreOneScriptSpan rtype override, internal/scoreonescriptspan.cc:
+    # 1318-1320) forces them through the quad path instead (non-CJK only).
     for s in present_scripts.tolist():
         if ut.RTYPE[s] != ut.RTYPE_ONE:
             continue
+        if score_as_quads and ut.SCRIPTS[s][0] in model.group_tables:
+            continue  # handled by the RTypeMany pass below
         lang = ut.DEFAULT_LANG[s]
         lid = model.lang_id.get(lang)
         if lid is None:
@@ -577,14 +591,17 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     # RTypeMany scripts: ONE compressed stream for all groups; grams are
     # dispatched to their script's table by first-char script (replaces
     # CLD2's per-scriptspan loop with a batched pass)
+    quad_rtypes = (ut.RTYPE_MANY, ut.RTYPE_ONE) if score_as_quads \
+        else (ut.RTYPE_MANY,)
     many = [s for s in present_scripts.tolist()
-            if ut.RTYPE[s] == ut.RTYPE_MANY and ut.SCRIPTS[s][0] in model.group_tables]
+            if ut.RTYPE[s] in quad_rtypes and ut.SCRIPTS[s][0] in model.group_tables]
     if many:
         arr, rid_s, scr_s, orig_s = T.group_stream_with_script(
             nb, np.array(many, dtype=np.uint8))
-        g_rid, bs, bl, buf, gb, pos = quad_grams(arr, rid_s)
+        g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s)
         if len(g_rid):
             h = quad_hash_v2(buf, bs, bl)
+            h3 = quad_hash_v2(buf, bs, tri_len)  # J2 backoff key (prefix tri)
             keep = repeat_filter(h, g_rid)
             if _repeats:
                 keep &= predicted_filter(h, g_rid)
@@ -604,6 +621,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                         tot = np.maximum(np.bincount(rb, minlength=n), 1)
                         junk_frac = np.maximum(junk_frac, junk / tot)
             g_rid, h, gb, pos = g_rid[keep], h[keep], gb[keep], pos[keep]
+            h3 = h3[keep]
             g_script = scr_s[pos]
             use_ref_words = model.ref_word_delta is not None
             have_words = use_ref_words or model.words is not None
@@ -621,6 +639,20 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                 latin = ut.SCRIPTS[s][0] == "Latn"
                 tbl = model.group_tables[ut.SCRIPTS[s][0]]
                 found, langs3, qprobs3 = tbl.probe(h[m])
+                # J2 dual lookup (GetQuadHits internal/cldutil.cc:355-362):
+                # grams missing from the main table probe the second table.
+                # The reference's table 2 is overflow space for the same
+                # quads; ours (self-trained, no size constraint) is a
+                # prefix-trigram backoff. Weak-evidence votes, so they are
+                # consulted only under bestEffort ("give best-effort answer")
+                # -- measured: +4 held-out cases there, -1 on the default
+                # path (documented deviation; PARITY.md).
+                bt = (model.quad_backoff or {}).get(ut.SCRIPTS[s][0])
+                if bt is not None and best_effort and not found.all():
+                    miss = ~found
+                    _, bl3, bq3 = bt.probe(h3[m][miss])
+                    langs3[miss] = bl3
+                    qprobs3[miss] = np.minimum(bq3, BACKOFF_MAX_QPROB)
                 s_rid, s_gb, s_pos = g_rid[m], gb[m], pos[m]
                 # J5/J6: merge word + word-pair hits into the quad hit
                 # stream before chunking (LinearizeAll analogue,
@@ -810,7 +842,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     mat[np.ix_(rows, others)] = 0
 
     _refine_close_pairs(model, bytes_rl, score_rl, relw_rl, onebytes_rl)
-    out = _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl, word_ev)
+    out = _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl, word_ev,
+                   best_effort=best_effort)
     converged = out.pop("_converged")
 
     # O6 retry: re-detect non-converged rows once with repeated-token
@@ -825,6 +858,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         hints2 = ([hints[i] for i in idx.tolist()]
                   if hints is not None else None)
         out2 = detect_batch(texts2, model, hints=hints2,
+                            best_effort=best_effort,
+                            score_as_quads=score_as_quads,
                             _repeats=True, _retry=False)
         # Monotone merge (deviation from the reference's unconditional
         # kCLDFlagFinish accept, documented): with a corpus-trained quad
@@ -1006,13 +1041,18 @@ def _top3_percent(bytes_rl, tt):
 
 
 def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl,
-             word_ev=None) -> dict[str, np.ndarray]:
+             word_ev=None, best_effort=False) -> dict[str, np.ndarray]:
     """The reference post-pass (internal/compact_lang_det_impl.cc:1960-2105):
     extract -> convergence test -> RemoveUnreliableLanguages -> re-extract
     -> CalcSummaryLang, fully vectorized.
 
     word_ev (n, L) bool: languages with at least one reference word-table
-    hit in the row; gates the boilerplate demotion (see below)."""
+    hit in the row; gates the boilerplate demotion (see below).
+
+    best_effort (kCLDFlagBestEffort, public/compact_lang_det.h:348,371-376):
+    skip RemoveUnreliableLanguages (:1998-2000) and skip the
+    percent-below-threshold -> UNKNOWN gate in CalcSummaryLang (:1493), so
+    short / low-confidence rows return the best guess instead of `un`."""
     n, L = bytes_rl.shape
     r = np.arange(n)
     # denominator: pre-removal totals (ExtractLangEtc receives the
@@ -1029,7 +1069,10 @@ def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl,
                         | (cp1 + cp2 >= GOOD_LANG1AND2_PERCENT)))
 
     # ---- P7 removal / closest-alt merge, then re-extract
-    _remove_unreliable(model, bytes_rl, score_rl, relw_rl, onebytes_rl)
+    # (skipped under bestEffort: "if (!FlagBestEffort(flags))
+    #  RemoveUnreliableLanguages(...)" internal/compact_lang_det_impl.cc:1998)
+    if not best_effort:
+        _remove_unreliable(model, bytes_rl, score_rl, relw_rl, onebytes_rl)
     order, b3, p1, p2, p3 = _top3_percent(bytes_rl, tt)
     s3 = np.stack([score_rl[r, order[:, j]] for j in range(3)], axis=1)
     w3 = np.stack([relw_rl[r, order[:, j]] for j in range(3)], axis=1)
@@ -1073,6 +1116,12 @@ def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl,
 
     is_reliable = np.ones(n, dtype=bool)
     is_reliable &= p1 >= KEEP_MIN_PERCENT
+    # top language must itself be reliable (ExtractLangEtc:
+    # "*is_reliable = reliable_percent >= kMinReliableKeepPercent",
+    # internal/compact_lang_det_impl.cc:1376-1377). Vacuous after the
+    # removal pass (survivors are >= 41 by construction); load-bearing
+    # under bestEffort, which skips removal.
+    is_reliable &= rel3[:, 0] >= MIN_RELIABLE_KEEP_PERCENT
 
     # The demoted-to language must be corroborated by a reference
     # word-table hit: the reference's web-scale quad table keeps noise
@@ -1104,7 +1153,11 @@ def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl,
              & ~np.isin(l1_raw, efigs))
     ret_pct = np.where(cond3 | cond4, p1 * 100 // (101 - p2), ret_pct)
 
-    unknown = (~has_text) | invalid | (ret_pct < GOOD_FIRST_MIN_PERCENT)
+    # bestEffort skips the low-percent -> UNKNOWN gate (reference :1493:
+    # "(return_percent < kGoodFirstMinPercent) && !FlagBestEffort(flags)")
+    unknown = (~has_text) | invalid
+    if not best_effort:
+        unknown = unknown | (ret_pct < GOOD_FIRST_MIN_PERCENT)
     is_reliable &= ret_pct >= GOOD_FIRST_RELIABLE_MIN_PERCENT
     ignore_pct = 100 - (p1 + p2 + p3)
     is_reliable &= ignore_pct <= IGNORE_MAX_PERCENT

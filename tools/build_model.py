@@ -197,8 +197,12 @@ def main() -> None:
     # reference blob is missing)
     group_counts: dict[str, dict[int, Counter]] = defaultdict(lambda: defaultdict(Counter))
     group_totals: dict[str, Counter] = defaultdict(Counter)
+    # J2 second table: prefix-trigram hashes of the SAME kept quad stream
+    # (probed on a main-table miss at inference, detect.py)
+    backoff_counts: dict[str, dict[int, Counter]] = defaultdict(lambda: defaultdict(Counter))
     many_all = np.array([s for s in range(ut.N_SCRIPTS)
-                         if ut.RTYPE[s] == ut.RTYPE_MANY], dtype=np.uint8)
+                         if ut.RTYPE[s] in (ut.RTYPE_MANY, ut.RTYPE_ONE)],
+                        dtype=np.uint8)
 
     for snip in corpus:
         lang = snip["lang"]
@@ -208,31 +212,41 @@ def main() -> None:
         if script in ("Hans", "Hant", "Hani"):
             continue  # CJK fully covered by the reference tables
         sid = ut.SCRIPT_ID.get(script)
-        if sid is None or ut.RTYPE[sid] != ut.RTYPE_MANY:
-            continue  # RTypeOne scripts need no table
+        # RTypeOne scripts need no table on the default path (A4 byte
+        # scoring), but scoreAsQuads (public/compact_lang_det.h:360-364)
+        # forces them through the quad path, so they are trained too
+        if sid is None or ut.RTYPE[sid] not in (ut.RTYPE_MANY, ut.RTYPE_ONE):
+            continue
         lid = lang_id[lang]
         nb = T.normalize_batch([train_text(snip)])
-        # identical extraction to inference: one stream over all RTypeMany
+        # identical extraction to inference: one stream over all scorable
         # scripts, grams dispatched by first-char script
         arr, rid_s, scr_s, _orig = T.group_stream_with_script(nb, many_all)
-        g_rid, bs, bl, buf, gb, pos = quad_grams(arr, rid_s)
+        g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s)
         if len(g_rid) == 0:
             continue
         hs = quad_hash_v2(buf, bs, bl)
+        h3 = quad_hash_v2(buf, bs, tri_len)
         keep = repeat_filter(hs, g_rid)
-        hs, pos = hs[keep], pos[keep]
+        hs, h3, pos = hs[keep], h3[keep], pos[keep]
         m = scr_s[pos] == sid
         gname = ut.SCRIPTS[sid][0]
         for h in hs[m].tolist():
             group_counts[gname][h][lid] += 1
+        for h in h3[m].tolist():
+            backoff_counts[gname][h][lid] += 1
         group_totals[gname][lid] += int(m.sum())
 
     group_tables = {}
+    backoff_tables = {}
     for gname, counts in group_counts.items():
         totals = {l: float(c) for l, c in group_totals[gname].items()}
         plain = {h: dict(c) for h, c in counts.items()}
         group_tables[gname] = GramTable.build(plain, totals)
-        print(f"group {gname}: {len(plain)} distinct quads, {len(totals)} langs, "
+        bplain = {h: dict(c) for h, c in backoff_counts[gname].items()}
+        backoff_tables[gname] = GramTable.build(bplain, totals)
+        print(f"group {gname}: {len(plain)} distinct quads "
+              f"(+{len(bplain)} backoff trigrams), {len(totals)} langs, "
               f"{group_tables[gname].n_buckets} buckets")
 
     # ---- trigram table for the fastText-style cross-check (all scripts,
@@ -261,6 +275,7 @@ def main() -> None:
     print(f"tri: {len(tri_counts)} distinct trigrams, {tri_table.n_buckets} buckets")
 
     model = Cld2sModel(langs=langs, group_tables=group_tables, cjk_uni=None,
+                       quad_backoff=backoff_tables,
                        tri=tri_table, words=None, cjk_bi=None,
                        ref_word_delta=refs["word_delta"],
                        ref_word_distinct=refs["word_distinct"],
