@@ -334,9 +334,11 @@ def _q_langid(spark, sf_dir):
     from cld2_spark.functions.langid import detect_summary_udf
     _register(spark, sf_dir)
     df = spark.table("transcripts")
+    # lang1 in this driver row = the per-turn answer (summary_lang); the
+    # sorted top-1 and its percent ride along for inspection
     return (df.withColumn("ld", detect_summary_udf(F.col("text")))
             .select("conv_id", "turn_idx",
-                    F.col("ld.lang1").alias("lang1"),
+                    F.col("ld.summary_lang").alias("lang1"),
                     F.col("ld.pct1").alias("pct1"),
                     F.col("ld.is_reliable").alias("is_reliable")))
 

@@ -25,6 +25,10 @@ from pyspark.sql.types import (
     StructField, StructType,
 )
 
+# lang1..3/pct1..3 are SORTED by byte count (the reference's
+# language3/percent3 arrays); summary_lang/summary_pct carry the
+# CalcSummaryLang answer, which may differ from lang1 after an A9
+# boilerplate demotion (reference returns it separately too)
 SUMMARY_SCHEMA = StructType([
     StructField("lang1", StringType()), StructField("lang2", StringType()),
     StructField("lang3", StringType()),
@@ -35,6 +39,8 @@ SUMMARY_SCHEMA = StructType([
     StructField("rel1", IntegerType()),
     StructField("text_bytes", LongType()),
     StructField("is_reliable", BooleanType()),
+    StructField("summary_lang", StringType()),
+    StructField("summary_pct", IntegerType()),
 ])
 
 ANALYZE_SCHEMA = StructType(
@@ -49,7 +55,9 @@ _SUMMARY_COLS = [f.name for f in SUMMARY_SCHEMA.fields]
 _ANALYZE_COLS = [f.name for f in ANALYZE_SCHEMA.fields]
 
 # slim schema for the keep/drop pipeline: only what the decision consumes
-# (less Arrow traffic + pandas assembly per batch)
+# (less Arrow traffic + pandas assembly per batch). `lang1` here is the
+# pipeline's per-turn language answer = the kernel's summary_lang (the
+# FIXTURES.md contract name predates the sorted-array refactor).
 PIPELINE_SCHEMA = StructType([
     StructField("lang1", StringType()),
     StructField("pct1", IntegerType()),
@@ -60,6 +68,12 @@ PIPELINE_SCHEMA = StructType([
     StructField("tri_grams", LongType()),
 ])
 _PIPELINE_COLS = [f.name for f in PIPELINE_SCHEMA.fields]
+
+
+def _pipeline_pdf(res: dict) -> pd.DataFrame:
+    out = dict(res)
+    out["lang1"] = res["summary_lang"]
+    return _to_pdf(out, _PIPELINE_COLS)
 
 
 def _to_pdf(res: dict, cols: list[str]) -> pd.DataFrame:
@@ -74,7 +88,7 @@ def detect_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     model = default_model()
     for s in batches:
         res = detect_batch(s.fillna("").tolist(), model)
-        yield pd.Series(res["lang1"])
+        yield pd.Series(res["summary_lang"])
 
 
 @F.pandas_udf(SUMMARY_SCHEMA)
@@ -192,4 +206,4 @@ def pipeline_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     model = default_model()
     for s in batches:
         res = analyze_batch(s.fillna("").tolist(), model)
-        yield _to_pdf(res, _PIPELINE_COLS)
+        yield _pipeline_pdf(res)

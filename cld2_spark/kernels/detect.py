@@ -500,9 +500,13 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     """Detect top-3 languages per text. Pure NumPy; one pass per script group.
 
     Returns dict of per-row arrays matching the reference result contract
-    (S6, internal/compact_lang_det_impl.cc:1707-1734): lang1..3, pct1..3,
-    ns1..3 (normalized score vs expected, GetNormalizedScore :1269-1273),
-    rel1, text_bytes, is_reliable.
+    (S6, internal/compact_lang_det_impl.cc:1707-1734): lang1..3 / pct1..3
+    SORTED by byte count (language3/percent3, DocTote::Sort order, so
+    pct1 >= pct2 >= pct3 always), ns1..3 (normalized score vs expected,
+    GetNormalizedScore :1269-1273), rel1, text_bytes, is_reliable, plus
+    summary_lang / summary_pct -- the CalcSummaryLang answer (the
+    reference's separate return value, which may differ from lang1 after
+    an A9 boilerplate demotion).
 
     Lifecycle mirrors DetectLanguageSummaryV2 (O6): pass 1 scores all rows;
     rows failing the convergence test (>256B and not reliably >=70% /
@@ -868,7 +872,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         # is reliable or pass 1 had no answer. The reference can accept
         # unconditionally because its web-scale table keeps pass-2 scores
         # well-separated.
-        better = out2["is_reliable"] | (out["lang1"][idx] == "un")
+        better = out2["is_reliable"] | (out["summary_lang"][idx] == "un")
         ridx = idx[better]
         for k in out:
             out[k][ridx] = out2[k][better]
@@ -1164,19 +1168,29 @@ def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl,
     is_reliable &= has_text & ~invalid
 
     lang_arr = np.array(model.langs + ["un"], dtype=object)
-    l1 = np.where(unknown, L, summary)
-    # keep the non-summary top language visible in slot 2 after a swap
-    l2_out = np.where(swap, l1_raw, np.where(l2_raw >= 0, l2_raw, L))
-    l3 = np.where(b3[:, 2] > 0, order[:, 2], L)
+    # lang1..3/pct1..3 stay SORTED by byte count (the reference's
+    # language3/percent3 contract: DocTote::Sort order, never reordered by
+    # CalcSummaryLang); the A9-demoted summary language is returned as its
+    # own field, exactly like the reference's separate return value
+    # (internal/compact_lang_det_impl.cc:2008-2012). pct1 >= pct2 >= pct3
+    # is an invariant again (ADVICE r2 #5).
+    scored_row = has_text & ~invalid
+    l1_out = np.where(scored_row, l1_raw, L)
+    l2_out = np.where(scored_row & (l2_raw >= 0), l2_raw, L)
+    l3_out = np.where(scored_row & (b3[:, 2] > 0), order[:, 2], L)
+    s_out = np.where(unknown, L, summary)
 
     return {
-        "lang1": lang_arr[l1], "lang2": lang_arr[l2_out], "lang3": lang_arr[l3],
-        "pct1": np.where(unknown, 0, np.where(swap, p2, p1)).astype(np.int32),
-        "pct2": np.where(swap, p1, p2).astype(np.int32),
-        "pct3": p3.astype(np.int32),
+        "lang1": lang_arr[l1_out], "lang2": lang_arr[l2_out],
+        "lang3": lang_arr[l3_out],
+        "pct1": np.where(scored_row, p1, 0).astype(np.int32),
+        "pct2": np.where(scored_row, p2, 0).astype(np.int32),
+        "pct3": np.where(scored_row, p3, 0).astype(np.int32),
         "ns1": ns3[:, 0], "ns2": ns3[:, 1], "ns3": ns3[:, 2],
         "rel1": np.where(unknown, 0, rel1).astype(np.int32),
         "text_bytes": nb.text_bytes.astype(np.int64),
         "is_reliable": is_reliable & ~unknown,
+        "summary_lang": lang_arr[s_out],
+        "summary_pct": np.where(unknown, 0, ret_pct).astype(np.int32),
         "_converged": converged,
     }

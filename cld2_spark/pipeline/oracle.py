@@ -33,15 +33,18 @@ def oracle_labels(transcripts: pd.DataFrame, text_col: str = "text") -> pd.DataF
     toxic = S.toxicity_mask_pandas(texts).to_numpy()
     scrubbed = S.scrub_pandas(texts)
 
+    # the pipeline's `lang1` column is the per-turn answer = the kernel's
+    # summary_lang (same mapping as functions/langid._pipeline_pdf)
+    lang = res["summary_lang"]
     keep, reason = decision_pandas(
-        too_short=too_short, lang1=res["lang1"], is_reliable=res["is_reliable"],
+        too_short=too_short, lang1=lang, is_reliable=res["is_reliable"],
         rel1=res["rel1"], ft_lang=res["ft_lang"], ppl=res["ppl"],
         tri_grams=res["tri_grams"], low_quality=low_quality, toxic=toxic)
 
     return pd.DataFrame({
         "conv_id": df["conv_id"],
         "turn_idx": df["turn_idx"],
-        "lang1": res["lang1"],
+        "lang1": lang,
         "pct1": res["pct1"].astype(np.int32),
         "rel1": res["rel1"].astype(np.int32),
         "is_reliable": res["is_reliable"],

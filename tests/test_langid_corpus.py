@@ -45,7 +45,7 @@ def test_all_cases_match_expected(results):
     for i, p in enumerate(pairs):
         want = (VERSION_CANARY_LANG if p["category"] == "version_canary"
                 else p["expected_lang"])
-        got = res["lang1"][i]
+        got = res["summary_lang"][i]  # the reference unit test checks the summary answer
         if got != want:
             if p["case_id"] in KNOWN_MISSES:
                 k_want, k_got = KNOWN_MISSES[p["case_id"]]
@@ -65,7 +65,7 @@ def test_held_out_accuracy(results):
     scored = [p for p in pairs if p["category"] not in ("bad_utf8", "version_canary")]
     held = [(p["expected_lang"], p["text"][len(p["text"]) // 2:]) for p in scored]
     res = detect_batch([t for _, t in held])
-    ok = sum(res["lang1"][i] == want for i, (want, _) in enumerate(held))
+    ok = sum(res["summary_lang"][i] == want for i, (want, _) in enumerate(held))
     assert ok / len(held) >= 0.72, f"held-out accuracy {ok}/{len(held)}"
 
 
@@ -81,7 +81,7 @@ def test_held_out_accuracy_best_effort(results):
     scored = [p for p in pairs if p["category"] not in ("bad_utf8", "version_canary")]
     held = [(p["expected_lang"], p["text"][len(p["text"]) // 2:]) for p in scored]
     res = detect_batch([t for _, t in held], best_effort=True)
-    ok = sum(res["lang1"][i] == want for i, (want, _) in enumerate(held))
+    ok = sum(res["summary_lang"][i] == want for i, (want, _) in enumerate(held))
     assert ok / len(held) >= 0.77, f"best-effort held-out accuracy {ok}/{len(held)}"
 
 
@@ -106,10 +106,10 @@ def test_script1to1_cases_fully_reliable(results):
 def test_percentages_well_formed(results):
     _, res = results
     p1, p2, p3 = res["pct1"], res["pct2"], res["pct3"]
-    # A9 boilerplate demotion may report the demoted-to language first with
-    # a smaller percent than the demoted boilerplate (slot 2), so p1 >= p2
-    # is NOT an invariant; the top-2 are still >= p3 and the sum bounded.
-    assert (np.maximum(p1, p2) >= p3).all()
+    # pct1..3 follow the reference's sorted language3/percent3 contract
+    # (the A9-demoted summary language is a separate field), so the sorted
+    # invariant holds unconditionally again (ADVICE r2 #5)
+    assert (p1 >= p2).all() and (p2 >= p3).all()
     assert ((p1 + p2 + p3) <= 100).all()
     assert (p1 <= 100).all() and (p2 >= 0).all() and (p3 >= 0).all()
 

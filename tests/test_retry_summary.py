@@ -126,5 +126,8 @@ def test_en_boilerplate_demotion_mixed_fr():
     model = default_model()
     en_head = "France is the largest country in western europe and the third largest overall. "
     r = detect_batch([en_head + FR], model)
-    assert r["lang1"][0] == "fr"
-    assert r["lang2"][0] == "en"   # demoted first language stays visible
+    # the summary answer is the demoted-to language; lang1..3/pct1..3 stay
+    # sorted by bytes (reference contract, ADVICE r2 #5)
+    assert r["summary_lang"][0] == "fr"
+    assert set((r["lang1"][0], r["lang2"][0])) == {"en", "fr"}
+    assert r["pct1"][0] >= r["pct2"][0]
