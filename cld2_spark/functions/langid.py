@@ -178,7 +178,7 @@ SPANS_SCHEMA = ArrayType(StructType([
 @F.pandas_udf(SPANS_SCHEMA)
 def detect_spans_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Per-row language spans (the ExtDetectLanguageSummaryCheckUTF8
-    resultchunkvector output, W4 stitching; W3 sharpening not applied)."""
+    resultchunkvector output: W4 stitching + W3 boundary sharpening)."""
     import numpy as np
     from cld2_spark.kernels.detect import detect_batch
     from cld2_spark.kernels.model import default_model

@@ -488,7 +488,69 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
         if len(bidx):
             np.minimum.at(smin, cid[bidx], gpos[bidx])
             np.maximum.at(smax, cid[bidx], gpos[bidx])
+        _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3, gram_bytes,
+                            gpos, closeset, n_chunks, smin, smax)
         span_sink.append((cr[scored], win[scored], smin[scored], smax[scored]))
+
+
+def _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3, gram_bytes,
+                        gpos, closeset, n_chunks, smin, smax) -> None:
+    """W3 boundary sharpening (SharpenBoundaries / BetterBoundary,
+    internal/scoreonescriptspan.cc:780-845,671-774): at each chunk boundary
+    where the winner changed (and the two winners are not in the same close
+    set), slide an 8-hit ++++---- window over the linearized hit stream
+    from the prior chunk's start to the next chunk's start; the window sum
+    of (score(lang0) - score(lang1)) is maximal at the sharpest language
+    transition, and the boundary moves there (first strict maximum, both a
+    positive and a negative diff required in the window -- the reference's
+    has_plus/has_minus guard). Runs only when a chunk vector is requested,
+    like the reference (`if (vec != NULL)` in ProcessHitBuffer:1095-1103).
+    DEVIATION (documented): the reference also shifts the chunk byte counts
+    feeding the doc tote when sharpening ran; we adjust only the emitted
+    spans so detection results are identical with and without spans
+    (batch-stability invariant, tests/test_properties.py)."""
+    if n_chunks < 2:
+        return
+    prev = np.arange(n_chunks - 1)
+    cur = prev + 1
+    bmask = (cr[cur] == cr[prev]) & scored[cur] & scored[prev] \
+        & (win[cur] != win[prev])
+    if closeset is not None:
+        same = (closeset[win[prev]] > 0) & \
+               (closeset[win[prev]] == closeset[win[cur]])
+        bmask &= ~same
+    bounds = np.flatnonzero(bmask) + 1
+    if len(bounds) == 0:
+        return
+    starts = np.searchsorted(cid, np.arange(n_chunks + 1))
+    for c in bounds.tolist():
+        lo, hi = int(starts[c - 1]), int(starts[c + 1])
+        k = hi - lo
+        if k <= 8:
+            continue  # degenerate case, no change (BetterBoundary:677)
+        l0, l1 = win[c - 1], win[c]
+        sl = slice(lo, hi)
+        d = ((langs3[sl] == l0) * qprobs3[sl]).sum(axis=1, dtype=np.int64) \
+            - ((langs3[sl] == l1) * qprobs3[sl]).sum(axis=1, dtype=np.int64)
+        cs = np.zeros(k + 1, dtype=np.int64)
+        np.cumsum(d, out=cs[1:])
+        i = np.arange(k - 8)
+        running = (cs[i + 4] - cs[i]) - (cs[i + 8] - cs[i + 4])
+        cp = np.zeros(k + 1, dtype=np.int64)
+        np.cumsum(d > 0, out=cp[1:])
+        cn = np.zeros(k + 1, dtype=np.int64)
+        np.cumsum(d < 0, out=cn[1:])
+        valid = ((cp[i + 8] - cp[i]) > 0) & ((cn[i + 8] - cn[i]) > 0)
+        r = np.where(valid, running, 0)
+        if r.max() <= 0:
+            continue  # keep the original boundary
+        b = lo + int(np.argmax(r)) + 4
+        gsl = gpos[sl]
+        vb = (gram_bytes[sl] > 0) & (gsl >= 0)
+        left, right = vb[:b - lo], vb[b - lo:]
+        if left.any() and right.any():
+            smax[c - 1] = gsl[:b - lo][left].max()
+            smin[c] = gsl[b - lo:][right].min()
 
 
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,
@@ -888,8 +950,8 @@ def _build_spans(nb, model, sink) -> dict[str, np.ndarray]:
     internal/scoreonescriptspan.cc:323-511): per-chunk (row, lang, span)
     records merge into per-language character ranges of the source text;
     consecutive same-language spans coalesce. Offsets/lengths are in
-    CHARACTERS of the original row text. Boundary sharpening (W3) is not
-    applied (documented absence, PARITY.md)."""
+    CHARACTERS of the original row text. Chunk boundaries at language
+    changes arrive pre-sharpened (W3, `_sharpen_boundaries`)."""
     empty = {"span_rid": np.zeros(0, dtype=np.int64),
              "span_off": np.zeros(0, dtype=np.int64),
              "span_len": np.zeros(0, dtype=np.int64),

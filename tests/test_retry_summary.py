@@ -131,3 +131,32 @@ def test_en_boilerplate_demotion_mixed_fr():
     assert r["summary_lang"][0] == "fr"
     assert set((r["lang1"][0], r["lang2"][0])) == {"en", "fr"}
     assert r["pct1"][0] >= r["pct2"][0]
+
+
+def test_w3_boundary_sharpening_mid_chunk():
+    """W3 (SharpenBoundaries/BetterBoundary, internal/scoreonescriptspan.cc:
+    780-845,671-774): when the en->fr language change lands mid-chunk, the
+    8-hit ++++---- window moves the span boundary from the chunk edge to
+    the transition. For this doc the true boundary is at char 120; the
+    chunk-granular boundary sits at char 134 (measured with sharpening
+    disabled); sharpened output must land within ~one word of the truth."""
+    import json
+    from pathlib import Path
+    data = Path(__file__).parent / "data" / "cld2_unittest_pairs.jsonl"
+    pairs = {json.loads(l)["case_id"]: json.loads(l)["text"]
+             for l in data.open()}
+    en, fr = pairs["en_Latn"], pairs["fr_Latn"]
+    text = en[:120].rstrip() + " " + fr[:250].lstrip()
+    true_boundary = len(en[:120].rstrip())  # 120
+    r = detect_batch([text], return_spans=True)
+    spans = [(int(o), int(l), g) for o, l, g in
+             zip(r["span_off"], r["span_len"], r["span_lang"])]
+    assert spans[0][2] == "en" and spans[-1][2] == "fr"
+    en_end = spans[0][0] + spans[0][1]
+    fr_start = spans[-1][0]
+    assert abs(en_end - true_boundary) <= 8, spans    # not 134 (chunk edge)
+    assert abs(fr_start - (true_boundary + 1)) <= 8, spans
+    # sharpening only refines spans: the verdict is unchanged with/without
+    plain = detect_batch([text])
+    assert plain["summary_lang"][0] == r["summary_lang"][0]
+    assert plain["pct1"][0] == r["pct1"][0]
