@@ -60,10 +60,10 @@ GOOD_LANG1_PERCENT = 70
 GOOD_LANG1AND2_PERCENT = 93
 
 # CheapSqueeze trigger (O8, internal/compact_lang_det_impl.cc:206-214,952-971):
-# long spans that look mostly machine-predictable get re-scored with the
-# junk filter even if pass 1 converged
+# rows longer than kCheapSqueezeTestThresh>>1 whose first 256 stream bytes
+# are >=25% spaces or >=67% predictor-predictable get squeezed (48-byte
+# chunk deletion, kernels/squeeze.py) and re-scored
 SQUEEZE_MIN_BYTES = 2048        # kCheapSqueezeTestThresh >> 1
-SQUEEZE_PREDICTED_FRAC = 0.67   # kCheapSqueezeTestQuadPercent analogue
 
 # boilerplate demotion (A9, internal/compact_lang_det_impl.cc:234-235,1405-1406)
 NON_EN_BOILERPLATE_MIN_PERCENT = 17
@@ -600,8 +600,6 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     # languages corroborated by a reference word-table hit, per row --
     # gates the A9 boilerplate demotion (see _extract)
     word_ev = np.zeros((n, L), dtype=bool)
-    # per-row predictable-quad fraction (squeeze trigger, O8)
-    junk_frac = np.zeros(n, dtype=np.float64)
     # chunk-vector capture (W4): list of (row, lang, min_pos, max_pos)
     span_sink: list | None = [] if return_spans else None
 
@@ -671,21 +669,6 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
             keep = repeat_filter(h, g_rid)
             if _repeats:
                 keep &= predicted_filter(h, g_rid)
-            else:
-                # squeeze trigger measurement (O8): fraction of quads a
-                # context predictor would delete; junk-heavy long rows are
-                # re-scored with the filter on even if pass 1 converges.
-                # Only rows long enough to trigger are measured (the
-                # lexsort inside predicted_filter is not free).
-                big = nb.text_bytes > SQUEEZE_MIN_BYTES
-                if big.any():
-                    sel = big[g_rid] & keep
-                    if sel.any():
-                        hb, rb = h[sel], g_rid[sel]
-                        dropped = ~predicted_filter(hb, rb)
-                        junk = np.bincount(rb[dropped], minlength=n)
-                        tot = np.maximum(np.bincount(rb, minlength=n), 1)
-                        junk_frac = np.maximum(junk_frac, junk / tot)
             g_rid, h, gb, pos = g_rid[keep], h[keep], gb[keep], pos[keep]
             h3 = h3[keep]
             g_script = scr_s[pos]
@@ -914,13 +897,30 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
 
     # O6 retry: re-detect non-converged rows once with repeated-token
     # suppression; the retry result is accepted as-is (Finish). Rows whose
-    # long text is mostly predictor-junk retry even when converged
-    # (CheapSqueeze trigger, O8).
-    squeeze = (nb.text_bytes > SQUEEZE_MIN_BYTES) & \
-        (junk_frac >= SQUEEZE_PREDICTED_FRAC)
+    # long text triggers the CheapSqueeze test (O8: first 256 stream bytes
+    # >=25% spaces or >=67% predictor-predictable,
+    # internal/compact_lang_det_impl.cc:952-971 at :1867-1877) are squeezed
+    # (48-byte chunk deletion, kernels/squeeze.py) and retried even when
+    # pass 1 converged.
+    squeeze = np.zeros(n, dtype=bool)
+    squeezed_text: dict[int, str] = {}
+    if _retry and not _repeats:
+        big = np.flatnonzero(nb.text_bytes > SQUEEZE_MIN_BYTES)
+        if len(big):
+            from .squeeze import cheap_squeeze, squeeze_trigger_test
+            # trigger + squeeze operate on the row's letters+spaces stream
+            # (the reference's scriptspan form), not the raw text
+            s_arr, s_rid = T.group_stream(nb, present_scripts)
+            for i in big.tolist():
+                row = s_arr[s_rid == i]
+                sbuf = T.encode_utf8(row).tobytes()
+                if squeeze_trigger_test(sbuf):
+                    squeeze[i] = True
+                    squeezed_text[i] = cheap_squeeze(
+                        sbuf.decode("utf-8", errors="ignore"))
     if _retry and not _repeats and not (converged & ~squeeze).all():
         idx = np.flatnonzero(~converged | squeeze)
-        texts2 = [texts[i] for i in idx.tolist()]
+        texts2 = [squeezed_text.get(i, texts[i]) for i in idx.tolist()]
         hints2 = ([hints[i] for i in idx.tolist()]
                   if hints is not None else None)
         out2 = detect_batch(texts2, model, hints=hints2,

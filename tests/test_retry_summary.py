@@ -160,3 +160,36 @@ def test_w3_boundary_sharpening_mid_chunk():
     plain = detect_batch([text])
     assert plain["summary_lang"][0] == r["summary_lang"][0]
     assert plain["pct1"][0] == r["pct1"][0]
+
+
+def test_cheap_squeeze_space_padded_junk():
+    """O8 exact trigger (VERDICT r2 #4): a >4KB doc of space-padded
+    repetitive junk (~50% spaces -- the >=25%-spaces trigger arm; the old
+    quad-fraction trigger never fired on it) is squeezed by 48-byte-chunk
+    deletion (kernels/squeeze.py) and the embedded real language found."""
+    spacey = "aaa   bbb   aaa   bbb   aaa   bbb   " * 130   # ~4.7KB
+    r = detect_batch([spacey + FR, spacey])
+    assert r["summary_lang"][0] == "fr"
+    assert r["summary_lang"][1] == "un"    # pure padded junk has no language
+
+
+def test_squeeze_kernel_units():
+    """Unit probes of the squeeze kernel against the reference constants."""
+    from cld2_spark.kernels.squeeze import cheap_squeeze, squeeze_trigger_test
+    # trigger: first 256 bytes >= 25% spaces
+    assert squeeze_trigger_test(("ab  " * 80).encode())        # 50% spaces
+    assert not squeeze_trigger_test(b"short text")             # < 256 bytes
+    assert not squeeze_trigger_test(
+        ("the quick brown fox jumps over the lazy dog and runs far away "
+         "while the sun sets slowly behind the old stone bridge today "
+         "with many other animals nearby watching the scene unfold "
+         "in the golden evening light of a long calm summer day here"
+         ).encode()[:260])                                     # natural text
+    # squeeze deletes the repetitive tail, keeps the natural head
+    natural = ("several visitors remarked that the gardens were quiet "
+               "during the morning hours and the fountains had been "
+               "restored by the city council after a long consultation ")
+    junk = "aaa bbb aaa bbb " * 40
+    out = cheap_squeeze(natural + junk)
+    assert "gardens" in out
+    assert len(out) < len(natural) + len(junk) // 2
