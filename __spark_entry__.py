@@ -385,24 +385,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _minhash_duck_ctes() -> str:
-    """DuckDB CTEs mirroring operators.dedup.minhash_signatures/_lsh_pairs."""
+    """DuckDB CTEs mirroring operators.dedup.minhash_signatures/_lsh_pairs
+    (including the sketch-first signature-agreement prefilter, VERDICT
+    r2 #7)."""
     from cld2_spark.operators.dedup import (MERSENNE31, minhash_band_exprs,
-                                            shingle_hash_expr)
+                                            minhash_min_exprs,
+                                            shingle_hash_expr,
+                                            sketch_agree_min)
     bands = minhash_band_exprs("duckdb", "hs")
     band_cols = ", ".join(f"{e} AS band{b}" for b, e in enumerate(bands))
     assert str(MERSENNE31) in bands[0]
+    mins = ", ".join(minhash_min_exprs("duckdb", "hs"))
     stacked = " UNION ALL ".join(
         f"SELECT '{b}|' || band{b} AS band_key, doc_id AS id FROM mh_sigs"
         for b in range(N_BANDS))
+    agree = ("len(list_filter(list_zip(x.mh, y.mh), p -> p[1] = p[2]))"
+             f" >= {sketch_agree_min(50)}")
     return (
         f"mh_base AS (SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS st "
         f"  FROM dup_docs WHERE length(text) >= 5), "
         f"mh_hs AS (SELECT doc_id, st, "
         f"  list_transform(st, s -> {shingle_hash_expr('s', 'duckdb')}) AS hs "
         f"  FROM mh_base), "
-        f"mh_sigs AS (SELECT doc_id, {band_cols} FROM mh_hs), "
+        f"mh_sigs AS (SELECT doc_id, {band_cols}, [{mins}] AS mh FROM mh_hs), "
         f"mh_stacked AS ({stacked}), "
-        f"{_capped_pairs_duck('mh_stacked')}")
+        f"{_capped_pairs_duck('mh_stacked')}, "
+        f"mh_surv AS (SELECT a, b FROM cand "
+        f"  JOIN mh_sigs x ON cand.a = x.doc_id "
+        f"  JOIN mh_sigs y ON cand.b = y.doc_id WHERE {agree})")
 
 
 def _simhash_duck_ctes() -> str:
@@ -534,8 +544,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT a, b, jacc_pct FROM ("
             f"  SELECT a, b, CAST(FLOOR(len(list_intersect(sa.st, sb.st)) * 100 / "
             f"       (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))) AS INT) AS jacc_pct "
-            f"  FROM cand JOIN mh_hs sa ON cand.a = sa.doc_id "
-            f"  JOIN mh_hs sb ON cand.b = sb.doc_id"
+            f"  FROM mh_surv JOIN mh_hs sa ON mh_surv.a = sa.doc_id "
+            f"  JOIN mh_hs sb ON mh_surv.b = sb.doc_id"
             f") WHERE jacc_pct >= 50"),
         "dedup_simhash": (
             f"{ctes}, {_simhash_duck_ctes()} "

