@@ -103,12 +103,15 @@ def detect_summary_udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
 
 
 def make_detect_summary_udf(best_effort: bool = False,
-                            score_as_quads: bool = False):
+                            score_as_quads: bool = False,
+                            is_plain_text: bool = True):
     """Flagged variant of detect_summary_udf (kCLDFlagBestEffort /
-    kCLDFlagScoreAsQuads, public/compact_lang_det.h:342-376). bestEffort
-    returns the best guess instead of `un` on short / low-confidence rows
-    (and consults the J2 backoff table); scoreAsQuads scores
-    single-language scripts through the quad path."""
+    kCLDFlagScoreAsQuads / is_plain_text, public/compact_lang_det.h:
+    342-376,177-190). bestEffort returns the best guess instead of `un`
+    on short / low-confidence rows (and consults the J2 backoff table);
+    scoreAsQuads scores single-language scripts through the quad path;
+    is_plain_text=False strips tags and expands the FULL verbatim entity
+    table before detection."""
     @F.pandas_udf(SUMMARY_SCHEMA)
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         from cld2_spark.kernels.detect import detect_batch
@@ -117,7 +120,8 @@ def make_detect_summary_udf(best_effort: bool = False,
         for s in batches:
             res = detect_batch(s.fillna("").tolist(), model,
                                best_effort=best_effort,
-                               score_as_quads=score_as_quads)
+                               score_as_quads=score_as_quads,
+                               is_plain_text=is_plain_text)
             yield _to_pdf(res, _SUMMARY_COLS)
     return _udf
 

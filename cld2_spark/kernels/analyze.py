@@ -16,10 +16,15 @@ from .detect import detect_batch
 from .model import Cld2sModel
 
 
-def analyze_batch(texts: list[str], model: Cld2sModel | None = None) -> dict[str, np.ndarray]:
+def analyze_batch(texts: list[str], model: Cld2sModel | None = None,
+                  is_plain_text: bool = True) -> dict[str, np.ndarray]:
     if model is None:
         from .model import default_model
         model = default_model()
+    if not is_plain_text:
+        # S3/S4 pre-pass: tag strip + FULL verbatim entity table (html.py)
+        from .html import html_to_text_batch
+        texts = html_to_text_batch(texts)
     nb = T.normalize_batch(texts)
     out = detect_batch(texts, model, nb=nb)
     cc = crosscheck_batch(texts, model, nb=nb)

@@ -557,7 +557,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                  return_raw: bool = False, nb: T.NormBatch | None = None,
                  lang_hints: list | None = None, hints: list | None = None,
                  return_spans: bool = False, best_effort: bool = False,
-                 score_as_quads: bool = False,
+                 score_as_quads: bool = False, is_plain_text: bool = True,
                  _repeats: bool = False, _retry: bool = True) -> dict[str, np.ndarray]:
     """Detect top-3 languages per text. Pure NumPy; one pass per script group.
 
@@ -579,6 +579,12 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     if model is None:
         from .model import default_model
         model = default_model()
+    if not is_plain_text:
+        # S3/S4 pre-pass (the reference scanner's is_plain_text=false path):
+        # strip tags, expand the FULL verbatim entity table (html.py)
+        from .html import html_to_text_batch
+        texts = html_to_text_batch(texts)
+        nb = None
     if nb is None:
         nb = T.normalize_batch(texts)
     n = nb.n

@@ -78,6 +78,74 @@ def strip_html_sql(col: str, dialect: str) -> str:
     return expr
 
 
+# ---- full-table expansion (S4 long tail, VERDICT r2 #8) -------------------
+# The SQL chain above stays deliberately short (each entity is one codegen
+# regexp_replace link and the DuckDB oracle mirrors it); the COMPLETE
+# reference table -- kNameToEntity, 265 case-sensitive entries parsed
+# verbatim into reference_tables.npz -- drives the kernel-side expansion
+# used by the analyze/detect normalize path when is_plain_text=False
+# (ReadEntity/EntityToBuffer, internal/getonescriptspan.cc:393-469).
+
+_FULL_ENTITIES: dict[str, str] | None = None
+
+
+def full_entity_table() -> dict[str, str]:
+    """Lazy singleton of the verbatim reference entity table."""
+    global _FULL_ENTITIES
+    if _FULL_ENTITIES is None:
+        from pathlib import Path
+
+        import numpy as np
+        z = np.load(Path(__file__).resolve().parent.parent / "model"
+                    / "reference_tables.npz", allow_pickle=False)
+        _FULL_ENTITIES = {
+            str(n): chr(int(c))
+            for n, c in zip(z["entity_names"].tolist(), z["entity_cps"])}
+    return _FULL_ENTITIES
+
+
+import re as _re
+
+_ENT_RE = _re.compile(r"&(?:#(\d+)|#[xX]([0-9a-fA-F]+)|([A-Za-z][A-Za-z0-9]*));")
+_TAG_RES = [
+    _re.compile(r"<!--([^-]|-[^-])*-->"),
+    _re.compile(r"(?is)<script[^>]*>.*?</script>"),
+    _re.compile(r"(?is)<style[^>]*>.*?</style>"),
+    _re.compile(r"<[^>]*>"),
+]
+
+
+def expand_entities(text: str) -> str:
+    """Expand every numeric entity plus the complete named table; unknown
+    names stay verbatim (like an unrecognized `&foo` in the scanner)."""
+    tbl = full_entity_table()
+
+    def repl(m: "_re.Match[str]") -> str:
+        dec, hx, name = m.groups()
+        if dec is not None:
+            cp = int(dec)
+            return chr(cp) if 0 < cp < 0x110000 else m.group(0)
+        if hx is not None:
+            cp = int(hx, 16)
+            return chr(cp) if 0 < cp < 0x110000 else m.group(0)
+        ch = tbl.get(name)
+        return ch if ch is not None else m.group(0)
+
+    return _ENT_RE.sub(repl, text)
+
+
+def html_to_text_batch(texts: list[str]) -> list[str]:
+    """The is_plain_text=False pre-pass for the langid kernels: strip
+    comments / script / style / tags (each tag -> one space, a word
+    boundary like the scanner) and expand entities via the full table."""
+    out = []
+    for t in texts:
+        for pat in _TAG_RES:
+            t = pat.sub(" ", t)
+        out.append(expand_entities(t))
+    return out
+
+
 def strip_html_pandas(s):
     """Same chain over a pandas Series (oracle-of-the-oracle for tests)."""
     import re

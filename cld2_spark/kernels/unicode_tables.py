@@ -137,7 +137,16 @@ def _build() -> None:
     for lo, hi, name in _RANGES:
         script[lo : min(hi, MAX_CP - 1) + 1] = SCRIPT_ID[name]
 
-    # letter/mark property + 1:1 lowercase map from unicodedata
+    # letter/mark property + SIMPLE (1:1) lowercase map. The reference's
+    # utf8repl_lettermarklower table implements Unicode SIMPLE lowercase
+    # (verified by compiling UTF8GenericReplace against the table itself:
+    # I-dot->i, AumlE->aumlE 1:1, but ligature fi, 'n-apostrophe, Greek iota
+    # diacritic combos, and eszett stay UNCHANGED -- i.e. the full-mapping
+    # expansion cases of SpecialCasing.txt are NOT applied). Python's
+    # str.lower() is the FULL mapping; the two differ only on codepoints
+    # whose full lowercase is multi-char, and among those only U+0130
+    # (Turkish I-with-dot) has a nontrivial simple lowercase: 'i' (F7,
+    # VERDICT r2 #9).
     letter = np.zeros(MAX_CP, dtype=bool)
     lower = np.arange(MAX_CP, dtype=np.uint32)
     # only need per-codepoint properties where a script is assigned
@@ -151,6 +160,7 @@ def _build() -> None:
             lo = c.lower()
             if len(lo) == 1:
                 lower[cp] = ord(lo)
+    lower[0x0130] = ord("i")  # the one full!=simple case with a 1:1 target
     _CACHE["script"] = script
     _CACHE["letter"] = letter
     _CACHE["lower"] = lower

@@ -56,5 +56,9 @@ def write_bucketed(df: DataFrame, output_dir: str,
         else:
             sorted_df.writeTo(table).overwritePartitions()
         return
+    # dynamic overwrite is set on the writer itself (ADVICE r2 #4): a
+    # direct call under the default static mode would wipe every
+    # previously-written bucket partition, breaking per-bucket idempotency
     (sorted_df.write.partitionBy(BUCKET_COL).mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
      .parquet(str(Path(output_dir) / "data")))

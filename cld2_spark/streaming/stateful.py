@@ -64,9 +64,20 @@ def update_conversation_state(key: tuple, pdfs: Iterator[pd.DataFrame],
         n_turns += len(pdf)
         n_keep += int(pdf["keep"].sum())
         if len(pdf):
-            last_ts = max(last_ts, float(pdf["ts"].astype("int64").max()) / 1e9)
+            # normalize to ns first: pandas may deliver datetime64[us]
+            # (ADVICE r2 #3 -- a raw astype('int64') would be off 1000x)
+            ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+            last_ts = max(last_ts, float(ts_ns.max()) / 1e9)
     state.update((n_turns, n_keep, last_ts))
-    state.setTimeoutTimestamp(int(last_ts * 1000) + STATE_TTL_MS)
+    # clamp to just past the watermark: a backfilled batch more than
+    # STATE_TTL behind it would otherwise compute a timeout earlier than
+    # the watermark, which Spark rejects (IllegalArgumentException)
+    timeout_ms = int(last_ts * 1000) + STATE_TTL_MS
+    try:
+        timeout_ms = max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+    except Exception:
+        pass  # no watermark configured (batch-mode tests)
+    state.setTimeoutTimestamp(timeout_ms)
     rate = (100 * n_keep) // max(n_turns, 1)
     alive = n_turns < MIN_TURNS_FOR_VERDICT or rate >= MIN_CONV_KEEP_PCT
     yield pd.DataFrame({

@@ -48,3 +48,23 @@ def test_rerun_is_idempotent(spark, tmp_path):
     m = run_resumable(spark, df, out, n_buckets=4, buckets_per_commit=2)
     assert len(m["completed_buckets"]) == 4
     assert spark.read.parquet(f"{out}/data").count() == n1 == 200
+
+
+def test_write_bucketed_direct_call_preserves_other_buckets(spark, tmp_path):
+    """ADVICE r2 #4: write_bucketed sets dynamic partition overwrite on the
+    writer itself -- a direct call under the session default (static) must
+    not wipe previously written bucket partitions."""
+    from pathlib import Path
+    from cld2_spark.pipeline.sink import write_bucketed
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    d = str(tmp_path / "sink")
+    a = spark.createDataFrame([("c1", 0, 0)], "conv_id string, turn_idx int, bucket int")
+    b = spark.createDataFrame([("c2", 0, 1)], "conv_id string, turn_idx int, bucket int")
+    try:
+        write_bucketed(a, d)
+        write_bucketed(b, d)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    kept = {p.name for p in Path(d, "data").iterdir() if p.name.startswith("bucket=")}
+    assert kept == {"bucket=0", "bucket=1"}

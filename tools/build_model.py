@@ -342,16 +342,16 @@ def main() -> None:
              for line in (REPO / "tests" / "data" / "cld2_unittest_pairs.jsonl").open()]
     scored = [p for p in pairs if p["category"] not in ("bad_utf8", "version_canary")]
     res = detect_batch([p["text"] for p in scored], model)
-    ok = sum(res["lang1"][i] == p["expected_lang"] for i, p in enumerate(scored))
+    ok = sum(res["summary_lang"][i] == p["expected_lang"] for i, p in enumerate(scored))
     print(f"full-corpus accuracy: {ok}/{len(scored)}")
     held = [(p["expected_lang"], p["text"][len(p["text"]) // 2:]) for p in scored]
     res_h = detect_batch([t for _, t in held], model)
-    ok_h = sum(res_h["lang1"][i] == want for i, (want, _) in enumerate(held))
+    ok_h = sum(res_h["summary_lang"][i] == want for i, (want, _) in enumerate(held))
     print(f"held-out (unseen halves) accuracy: {ok_h}/{len(held)}")
     for i, p in enumerate(scored):
-        if res["lang1"][i] != p["expected_lang"]:
+        if res["summary_lang"][i] != p["expected_lang"]:
             print(f"  full-miss {p['case_id']}: want {p['expected_lang']} "
-                  f"got {res['lang1'][i]}")
+                  f"got {res['summary_lang'][i]}")
 
 
 if __name__ == "__main__":

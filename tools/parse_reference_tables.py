@@ -347,6 +347,18 @@ def main() -> None:
         out[f"{nm}_weights"] = np.array(ws, dtype=np.int16)
         print(f"{nm}: {len(keys)} entries")
 
+    # named-entity table (S4 long tail, VERDICT r2 #8): kNameToEntity,
+    # alphabetical (name, codepoint) pairs used by ReadEntity/EntityToBuffer
+    # (internal/getonescriptspan.cc:393-469, internal/generated_entities.cc)
+    ent_src = _strip_comments((REF / "generated_entities.cc").read_text())
+    ent_body = ent_src.split("kNameToEntity[", 1)[1].split("};", 1)[0]
+    ents = re.findall(r'\{"([^"]+)",\s*(\d+)\}', ent_body)
+    n_decl = int(re.search(r"kNameToEntitySize = (\d+)", ent_src).group(1))
+    assert len(ents) == n_decl, (len(ents), n_decl)
+    out["entity_names"] = np.array([e[0] for e in ents])
+    out["entity_cps"] = np.array([int(e[1]) for e in ents], dtype=np.uint32)
+    print(f"entities: {len(ents)} named entries")
+
     np.savez_compressed(OUT, **out)
     print(f"wrote {OUT} ({OUT.stat().st_size // 1024} KB)")
 
