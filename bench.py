@@ -150,7 +150,9 @@ def main() -> None:
             # identical code purely from which minutes it landed on
             secs_sm, secs_bg = [], []
             n_sm = n_bg = 0
-            for _ in range(2):
+            # >=3 pairs per side (VERDICT r2 #1): more windows = better odds
+            # that each side catches at least one steal-free minute
+            for _ in range(int(os.environ.get("CLD2S_SCALE_WINDOWS", "3"))):
                 s, n_sm = run_at_pinned(small, SF_DIR, SCALING_REPLICATE)
                 secs_sm.append(s)
                 s, n_bg = run_at_pinned(big, SF_DIR, SCALING_REPLICATE)

@@ -394,8 +394,9 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     for c0 in range(0, n_chunks, COHORT):
         c1 = min(c0 + COHORT, n_chunks)
         lo, hi = np.searchsorted(cid, (c0, c1))
-        csc = np.zeros((c1 - c0) * n_langs, dtype=np.int16)
+        size = (c1 - c0) * n_langs
         base_idx = (cid[lo:hi] - c0) * n_langs
+        idx_parts, w_parts = [], []
         for j in range(n_slots):
             qj = q_j[j][lo:hi]
             lj = lang_j[j][lo:hi]
@@ -405,8 +406,17 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
             # ProcessProbV2Tote (internal/cldutil.cc:128-138)
             valid = (qj > 0) & (lj < n_langs)
             if valid.any():
-                np.add.at(csc, base_idx[valid] + lj[valid],
-                          qj[valid].astype(np.int16, copy=False))
+                idx_parts.append(base_idx[valid] + lj[valid])
+                w_parts.append(qj[valid])
+        # ONE weighted bincount replaces n_slots np.add.at scatter passes
+        # (measured 6-15x faster at this fan-in; sums are <= 720 so the
+        # float64->int16 cast is exact)
+        if idx_parts:
+            csc = np.bincount(np.concatenate(idx_parts),
+                              weights=np.concatenate(w_parts),
+                              minlength=size).astype(np.int16)
+        else:
+            csc = np.zeros(size, dtype=np.int16)
         if hint_lid is not None:
             hid_c, hw_c = hint_lid[0][cr[c0:c1]], hint_lid[1][cr[c0:c1]]
             for j in range(hid_c.shape[1]):
@@ -475,9 +485,14 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     # scriptspan is seeded with a default-language hit -- we seed too, but
     # later chunks of a sparse row can still be empty)
     scored = s1 > 0
-    np.add.at(bytes_rl, (cr[scored], win[scored]), cb[scored])
-    np.add.at(score_rl, (cr[scored], win[scored]), s1[scored])
-    np.add.at(relw_rl, (cr[scored], win[scored]), rel[scored] * cb[scored])
+    # flat weighted bincounts instead of 2D np.add.at (same 6-15x win);
+    # values are int32-bounded (TEXT_LIMIT * 100), exact in float64
+    flat = cr[scored] * np.int64(n_langs) + win[scored]
+    size = n_rows * n_langs
+    for mat, w in ((bytes_rl, cb[scored]), (score_rl, s1[scored]),
+                   (relw_rl, rel[scored] * cb[scored])):
+        np.add(mat, np.bincount(flat, weights=w, minlength=size)
+               .reshape(n_rows, n_langs), out=mat, casting="unsafe")
 
     # chunk-vector capture (W4, ResultChunkVector): per-chunk source span
     # from the byte-carrying grams' original positions
@@ -640,8 +655,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         if lid is None:
             continue
         mask = nb.letter & (nb.script == s)
-        b = np.zeros(n, dtype=np.int64)
-        np.add.at(b, nb.rid[mask], u8len[mask])
+        b = np.bincount(nb.rid[mask], weights=u8len[mask],
+                        minlength=n).astype(np.int64)
         rows = np.flatnonzero(b)
         # A4: score = bytes, reliability 100 (ScoreEntireScriptSpan,
         # internal/scoreonescriptspan.cc:1132-1160)
@@ -915,10 +930,14 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         if len(big):
             from .squeeze import cheap_squeeze, squeeze_trigger_test
             # trigger + squeeze operate on the row's letters+spaces stream
-            # (the reference's scriptspan form), not the raw text
-            s_arr, s_rid = T.group_stream(nb, present_scripts)
-            for i in big.tolist():
-                row = s_arr[s_rid == i]
+            # (the reference's scriptspan form), not the raw text. Only the
+            # big rows are re-normalized -- a whole-batch group_stream here
+            # measurably slowed batches containing one long row.
+            nb_big = T.normalize_batch([texts[i] for i in big.tolist()])
+            scripts_big = np.unique(nb_big.script[nb_big.letter])
+            s_arr, s_rid = T.group_stream(nb_big, scripts_big)
+            for j, i in enumerate(big.tolist()):
+                row = s_arr[s_rid == j]
                 sbuf = T.encode_utf8(row).tobytes()
                 if squeeze_trigger_test(sbuf):
                     squeeze[i] = True

@@ -36,12 +36,14 @@ def pad_buffer(buf: bytes | np.ndarray, overshoot: int = 24) -> np.ndarray:
 
 
 def _load32(buf: np.ndarray, off: np.ndarray) -> np.ndarray:
-    """Vectorized UNALIGNED_LOAD32 (little-endian) at byte offsets `off`."""
-    o = off.astype(np.int64)
-    return (buf[o].astype(np.uint32)
-            | (buf[o + 1].astype(np.uint32) << np.uint32(8))
-            | (buf[o + 2].astype(np.uint32) << np.uint32(16))
-            | (buf[o + 3].astype(np.uint32) << np.uint32(24)))
+    """Vectorized UNALIGNED_LOAD32 (little-endian) at byte offsets `off`:
+    one windowed row-gather + reinterpret instead of four byte-gathers
+    (~2x; callers pad buffers so off+3 is always in range)."""
+    if len(buf) < 4:
+        buf = np.concatenate([buf, np.zeros(4, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(buf, 4)
+    rows = np.ascontiguousarray(win[off.astype(np.int64)])
+    return rows.view("<u4").ravel()
 
 
 def quad_hash_v2_mix(buf: np.ndarray, start: np.ndarray, bytecount: np.ndarray,

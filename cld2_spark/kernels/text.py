@@ -75,17 +75,15 @@ def normalize_batch(texts: list[str]) -> NormBatch:
 
     # per-row UTF-8 byte counts of the original text
     u8len = (1 + (cp > 0x7F).astype(np.int8) + (cp > 0x7FF) + (cp > 0xFFFF)).astype(np.int8)
-    tb = np.zeros(n, dtype=np.int64)
-    np.add.at(tb, rid, u8len)
+    tb = np.bincount(rid, weights=u8len, minlength=n).astype(np.int64)
     tb -= 1  # subtract the trailing wrapper space owned by each row
     if n:
         tb[0] -= 1  # row 0 also owns the global leading space
     tb = np.maximum(tb, 0)
 
-    repl = np.zeros(n, dtype=bool)
     bad = cp == REPLACEMENT_CHAR
-    if bad.any():
-        np.logical_or.at(repl, rid[bad], True)
+    repl = (np.bincount(rid[bad], minlength=n) > 0) if bad.any() \
+        else np.zeros(n, dtype=bool)
 
     return NormBatch(n=n, cp=cp, rid=rid, u8len=u8len, script=script,
                      letter=letter, lower=lower, text_bytes=tb,
