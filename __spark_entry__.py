@@ -405,7 +405,9 @@ def _minhash_duck_ctes() -> str:
         f"mh_base AS (SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS st "
         f"  FROM dup_docs WHERE length(text) >= 5), "
         f"mh_hs AS (SELECT doc_id, st, "
-        f"  list_transform(st, s -> {shingle_hash_expr('s', 'duckdb')}) AS hs "
+        f"  list_transform(st, s -> {shingle_hash_expr('s', 'duckdb')}) AS hs, "
+        f"  list_distinct(list_transform(st, s -> "
+        f"    {shingle_hash_expr('s', 'duckdb')})) AS hset "
         f"  FROM mh_base), "
         f"mh_sigs AS (SELECT doc_id, {band_cols}, [{mins}] AS mh FROM mh_hs), "
         f"mh_stacked AS ({stacked}), "
@@ -542,8 +544,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": (
             f"{ctes}, {_minhash_duck_ctes()} "
             f"SELECT a, b, jacc_pct FROM ("
-            f"  SELECT a, b, CAST(FLOOR(len(list_intersect(sa.st, sb.st)) * 100 / "
-            f"       (len(sa.st) + len(sb.st) - len(list_intersect(sa.st, sb.st)))) AS INT) AS jacc_pct "
+            f"  SELECT a, b, CAST(FLOOR(len(list_intersect(sa.hset, sb.hset)) * 100 / "
+            f"       (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)))) AS INT) AS jacc_pct "
             f"  FROM mh_surv JOIN mh_hs sa ON mh_surv.a = sa.doc_id "
             f"  JOIN mh_hs sb ON mh_surv.b = sb.doc_id"
             f") WHERE jacc_pct >= 50"),

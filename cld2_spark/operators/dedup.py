@@ -227,9 +227,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             .where(agree >= sketch_agree_min(min_jaccard_pct))
             .select("a", "b"))
     # stage 2: exact Jaccard, survivors only (the shingle-set relation
-    # stays out of the all-candidates join path)
-    sets = base.select(F.col(id_col).alias("id"),
-                       F.array_distinct(F.expr(_shingles_expr(text_col, k))).alias("s"))
+    # stays out of the all-candidates join path). Jaccard is computed over
+    # the 60-bit shingle HASHES, not the shingle strings: int64 arrays
+    # intersect several times faster and ship ~3x fewer bytes, and both
+    # engines derive the identical hashes, so results agree bit-for-bit
+    # (a cross-shingle hash collision would alter both sides identically).
+    sh = f"array_distinct({_shingles_expr(text_col, k)})"
+    hs = (f"array_distinct(transform({sh}, "
+          f"s -> {shingle_hash_expr('s', 'spark')}))")
+    sets = base.select(F.col(id_col).alias("id"), F.expr(hs).alias("s"))
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
     union = F.size(F.col("sa.s")) + F.size(F.col("sb.s")) - inter
