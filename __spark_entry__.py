@@ -26,6 +26,22 @@ DUP_DOCS_SQL = ("SELECT doc_id, text FROM documents "
                 "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
                 "WHERE doc_id % 3 = 0")
 
+# embeddings ++ deterministically perturbed near-duplicates of every 5th
+# vector (double add then float round: bit-identical in Spark and DuckDB)
+# -> the embedding-dedup query has real work (the synthetic embeddings have
+# no natural near-dups; max pairwise cosine is ~0.51)
+_PERT = "CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT)"
+DUP_EMBS_SQL = {
+    "spark": ("SELECT vec_id, embedding FROM embeddings UNION ALL "
+              f"SELECT vec_id + 1000000 AS vec_id, "
+              f"transform(embedding, x -> {_PERT}) AS embedding "
+              f"FROM embeddings WHERE vec_id % 5 = 0"),
+    "duckdb": ("SELECT vec_id, embedding FROM embeddings UNION ALL "
+               f"SELECT vec_id + 1000000 AS vec_id, "
+               f"list_transform(embedding, x -> {_PERT}) AS embedding "
+               f"FROM embeddings WHERE vec_id % 5 = 0"),
+}
+
 _SHINGLE_SPARK = ("transform(sequence(1, greatest(length(text) - 4, 1)), "
                   "i -> substring(text, i, 5))")
 _SHINGLE_DUCK = ("list_transform(range(1, greatest(length(text) - 3, 2)), "
@@ -60,6 +76,7 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
     spark.sql(transcripts_view_sql("spark", "documents")) \
         .createOrReplaceTempView("transcripts")
     spark.sql(DUP_DOCS_SQL).createOrReplaceTempView("dup_docs")
+    spark.sql(DUP_EMBS_SQL["spark"]).createOrReplaceTempView("dup_embs")
 
 
 def _lsh_buckets_duck_sql() -> str:
@@ -82,7 +99,8 @@ def _duck_ctes() -> str:
     from cld2_spark.sources.transcripts import transcripts_view_sql
 
     return (f"WITH transcripts AS ({transcripts_view_sql('duckdb', 'documents')}), "
-            f"dup_docs AS ({DUP_DOCS_SQL})")
+            f"dup_docs AS ({DUP_DOCS_SQL}), "
+            f"dup_embs AS ({DUP_EMBS_SQL['duckdb']})")
 
 
 # ---------------------------------------------------------------- queries ----
@@ -289,6 +307,28 @@ def _q_ann_lsh(spark, sf_dir):
     return out.select("qid", "nid", F.round("sim", 4).alias("sim"), "rank")
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over dup_embs (planted perturbed
+    copies): sign-LSH bucket candidates + star cap + exact cosine verify
+    (operators/similarity.embedding_dup_pairs -- the dedup mode)."""
+    from cld2_spark.operators.similarity import embedding_dup_pairs
+    _register(spark, sf_dir)
+    return embedding_dup_pairs(spark.table("dup_embs"), threshold=0.98,
+                               n_planes=8, n_tables=2, dim=64)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF approximate cosine top-k (scale path #2: hash-sampled centroid
+    cells + n_probe nearest-cell search + exact rerank)."""
+    from pyspark.sql import functions as F
+    from cld2_spark.operators.similarity import ivf_cosine_topk
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    out = ivf_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
+                          cent_mod=31, n_probe=4)
+    return out.select("qid", "nid", F.round("sim", 4).alias("sim"), "rank")
+
+
 def _q_lang_histogram(spark, sf_dir):
     """Language distribution over transcripts (langid UDF + groupBy)."""
     from cld2_spark.operators.textstats import lang_distribution
@@ -374,7 +414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": _q_brand_revenue,
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "lsh_buckets": _q_lsh_buckets,
         "lang_histogram": _q_lang_histogram,
         "conversation_features": _q_conversation_features,
@@ -446,6 +488,65 @@ def _simhash_duck_ctes() -> str:
         f"sh_fp AS (SELECT doc_id, {majority} AS fp FROM sh_h), "
         f"sh_stacked AS ({stacked}), "
         f"{_capped_pairs_duck('sh_stacked')}")
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+
+def _duck_norm(a: str) -> str:
+    return (f"sqrt(list_sum(list_transform({a}, "
+            f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+
+
+def _dedup_embedding_duck_ctes() -> str:
+    """DuckDB CTEs mirroring operators.similarity.embedding_dup_pairs
+    (2 tables x 8 planes, star-capped buckets)."""
+    from cld2_spark.operators.similarity import _planes_literal
+    parts = []
+    for t in range(2):
+        planes = _planes_literal(64, 8, seed=77 + t)
+        bits = []
+        for i, p in enumerate(planes):
+            arr = "[" + ", ".join(f"{x}" for x in p) + "]"
+            dot = (f"list_sum(list_transform(list_zip(embedding, {arr}), "
+                   f"z -> CAST(z[1] AS DOUBLE) * z[2]))")
+            bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        parts.append(f"SELECT '{t}_' || CAST({' + '.join(bits)} AS VARCHAR) "
+                     f"AS band_key, vec_id AS id FROM dup_embs")
+    stacked = " UNION ALL ".join(parts)
+    return f"emb_stacked AS ({stacked}), {_capped_pairs_duck('emb_stacked')}"
+
+
+def _ann_ivf_duck_sql() -> str:
+    """DuckDB mirror of operators.similarity.ivf_cosine_topk
+    (cent_mod=31, n_probe=4, k=5, queries vec_id < 10)."""
+    from cld2_spark.operators.similarity import hash_id_expr
+    h = hash_id_expr("vec_id", "duckdb")
+    csim = f"{_duck_dot('v.embedding', 'c.cv')} / ({_duck_norm('v.embedding')} * {_duck_norm('c.cv')})"
+    qsim = f"{_duck_dot('q.embedding', 'c.cv')} / ({_duck_norm('q.embedding')} * {_duck_norm('c.cv')})"
+    sim = f"{_duck_dot('qa.qv', 'va.nv')} / ({_duck_norm('qa.qv')} * {_duck_norm('va.nv')})"
+    return (
+        f"WITH cents AS (SELECT vec_id AS cell, embedding AS cv "
+        f"  FROM embeddings WHERE ({h}) % 31 = 0), "
+        f"va AS (SELECT nid, nv, cell FROM ("
+        f"  SELECT v.vec_id AS nid, v.embedding AS nv, c.cell, "
+        f"  ROW_NUMBER() OVER (PARTITION BY v.vec_id "
+        f"    ORDER BY {csim} DESC, c.cell ASC) AS crank "
+        f"  FROM embeddings v CROSS JOIN cents c) WHERE crank <= 1), "
+        f"qa AS (SELECT qid, qv, cell FROM ("
+        f"  SELECT q.vec_id AS qid, q.embedding AS qv, c.cell, "
+        f"  ROW_NUMBER() OVER (PARTITION BY q.vec_id "
+        f"    ORDER BY {qsim} DESC, c.cell ASC) AS crank "
+        f"  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q "
+        f"  CROSS JOIN cents c) WHERE crank <= 4), "
+        f"pairs AS (SELECT qa.qid, va.nid, {sim} AS sim "
+        f"  FROM va JOIN qa ON va.cell = qa.cell WHERE va.nid != qa.qid), "
+        f"dd AS (SELECT qid, nid, MAX(sim) AS sim FROM pairs GROUP BY qid, nid), "
+        f"rk AS (SELECT qid, nid, sim, CAST(ROW_NUMBER() OVER "
+        f"  (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS INT) AS rank FROM dd) "
+        f"SELECT qid, nid, ROUND(sim, 4) AS sim, rank FROM rk WHERE rank <= 5")
 
 
 def _ann_lsh_duck_sql() -> str:
@@ -557,6 +658,16 @@ def oracle_sql() -> dict[str, str]:
             f"  JOIN sh_fp fb ON cand.b = fb.doc_id"
             f") WHERE hamming <= 3"),
         "ann_lsh": _ann_lsh_duck_sql(),
+        "ann_ivf": _ann_ivf_duck_sql(),
+        "dedup_embedding": (
+            f"{ctes}, {_dedup_embedding_duck_ctes()} "
+            f"SELECT a, b, ROUND(sim, 4) AS sim FROM ("
+            f"  SELECT a, b, "
+            f"  {_duck_dot('ea.embedding', 'eb.embedding')} / "
+            f"  ({_duck_norm('ea.embedding')} * {_duck_norm('eb.embedding')}) AS sim "
+            f"  FROM cand JOIN dup_embs ea ON cand.a = ea.vec_id "
+            f"  JOIN dup_embs eb ON cand.b = eb.vec_id"
+            f") WHERE sim >= 0.98"),
         "token_stats": (
             "SELECT doc_id, "
             "length(string_split_regex(trim(text), '\\s+')) AS n_tokens, "

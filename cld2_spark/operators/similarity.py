@@ -1,14 +1,23 @@
-"""Similarity search over embedding columns (array<float>).
+"""Similarity search + embedding dedup over embedding columns (array<float>).
 
-Two paths:
+Paths:
   - `cosine_topk`: brute-force cosine top-k -- the correctness baseline.
     Broadcast the (small) query side; the big side streams map-side, dot
     products run in whole-stage codegen (zip_with/aggregate), top-k via
     window. Zero Python.
-  - `lsh_cosine_topk`: the scale path -- random-hyperplane LSH sign buckets;
+  - `lsh_cosine_topk`: scale path #1 -- random-hyperplane LSH sign buckets;
     only vectors sharing a bucket (across any of `n_tables` tables) are
     compared. At 10^9+ vectors this turns the quadratic join into a
     per-bucket join; planes are a tiny deterministic broadcast literal.
+  - `ivf_cosine_topk`: scale path #2 -- IVF (inverted file): a
+    deterministic hash-sample of the vectors acts as centroids, every
+    vector is assigned to its nearest centroid in one broadcast pass, and
+    a query probes only its `n_probe` nearest cells. No global sort and no
+    count() anywhere; the centroid relation is tiny and broadcast.
+  - `embedding_dup_pairs`: embedding-cosine NEAR-DUP pairs (the dedup
+    mode): sign-LSH bucket candidates (near-identical vectors agree on
+    every hyperplane sign with probability -> 1), band-bucket star cap,
+    exact cosine verification.
 """
 
 from __future__ import annotations
@@ -121,3 +130,84 @@ def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def hash_id_expr(col: str, dialect: str) -> str:
+    """Portable deterministic 60-bit hash of an id column (md5-based, so
+    Spark and DuckDB agree bit-for-bit -- same trick as the shingle hash)."""
+    if dialect == "spark":
+        return (f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 15), "
+                f"16, 10) AS BIGINT)")
+    return f"('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def ivf_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                    cent_mod: int = 31, n_probe: int = 4,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate cosine top-k (scale path #2).
+
+    Centroids = the ~1/cent_mod deterministic hash sample of the vectors
+    (id-hash % cent_mod == 0): no global sort, no count() job, and the
+    sample is stable under reruns/appends. Every vector joins its
+    single highest-cosine centroid (broadcast cross pass, linear);
+    queries probe their `n_probe` nearest cells; candidates are reranked
+    by exact cosine. Choose cent_mod ~ n_vectors / target_cells (a
+    hash-sampled centroid set is the standard IVF bootstrap when a
+    trained codebook is unavailable)."""
+    h = hash_id_expr(id_col, "spark")
+    cents = (vectors.where(F.expr(f"{h} % {cent_mod} = 0"))
+             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")))
+    csim = F.expr(_dot("v", "cv")) / (F.expr(_norm("v")) * F.expr(_norm("cv")))
+
+    def assign(df: DataFrame, idname: str, top: int) -> DataFrame:
+        base = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias("v"))
+        j = base.crossJoin(F.broadcast(cents)).withColumn("csim", csim)
+        w = Window.partitionBy(idname).orderBy(F.desc("csim"), F.asc("cell"))
+        return (j.withColumn("crank", F.row_number().over(w))
+                .where(F.col("crank") <= top)
+                .select(idname, "cell", "v"))
+
+    va = assign(vectors, "nid", 1).select("nid", F.col("v").alias("nv"), "cell")
+    qa = assign(queries, "qid", n_probe).select(
+        "qid", F.col("v").alias("qv"), "cell")
+    sim = F.expr(_dot("qv", "nv")) / (F.expr(_norm("qv")) * F.expr(_norm("nv")))
+    cand = (va.join(qa, "cell")
+            .where(F.col("nid") != F.col("qid"))
+            .select("qid", "nid", sim.alias("sim"))
+            .groupBy("qid", "nid").agg(F.max("sim").alias("sim")))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def embedding_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        n_planes: int = 8, n_tables: int = 2, dim: int = 64,
+                        bucket_cap: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup mode).
+
+    Near-identical vectors land in the same sign-LSH bucket in (almost)
+    every table; candidates come from bucket collisions across `n_tables`
+    tables with the band-bucket star cap (a 10K-copy embedding group costs
+    10K pairs), then exact cosine verifies. Group consumers take connected
+    components over the verified pairs (see dedup.capped_band_pairs)."""
+    from cld2_spark.operators.dedup import capped_band_pairs
+
+    band_cols = []
+    for t in range(n_tables):
+        planes = _planes_literal(dim, n_planes, seed=77 + t)
+        band_cols.append(
+            F.concat(F.lit(f"{t}_"),
+                     F.expr(lsh_bucket_expr(vec_col, planes)).cast("string")))
+    ids = (vectors.select(F.col(id_col).alias("id"),
+                          F.explode(F.array(*band_cols)).alias("band_key"))
+           .select("band_key", "id"))
+    cand = capped_band_pairs(ids, bucket_cap)
+    va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    sim = F.expr(_dot("va", "vb")) / (F.expr(_norm("va")) * F.expr(_norm("vb")))
+    return (cand.join(va, "a").join(vb, "b")
+            .withColumn("__sim", sim)
+            .where(F.col("__sim") >= threshold)
+            .select("a", "b", F.round("__sim", 4).alias("sim")))

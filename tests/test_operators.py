@@ -242,3 +242,32 @@ def test_dedup_cache_release(spark):
     assert len(D._live_caches) == first_round
     D.release_dedup_caches()
     assert not D._live_caches
+
+
+def test_ivf_cosine_topk_recovers_planted_pair(vectors):
+    from cld2_spark.operators.similarity import ivf_cosine_topk
+    q = vectors.where(F.col("vec_id") < 2)
+    out = ivf_cosine_topk(vectors, q, k=3, cent_mod=3, n_probe=2).toPandas()
+    # with 2-of-~7-cell probing the planted twin shares a cell with its
+    # query essentially always (near-identical vectors assign identically)
+    got0 = out[(out.qid == 0)].sort_values("rank").nid.tolist()
+    assert 1 in got0
+    assert (out.groupby("qid")["rank"].min() == 1).all()
+
+
+def test_embedding_dup_pairs_finds_planted_dups(spark):
+    from cld2_spark.operators.similarity import embedding_dup_pairs
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, 16).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # plant near-dups of vectors 0..4 (tiny relative perturbation)
+    rows += [(100 + i, [float(x * 1.001 + 0.0005) for x in base[i]])
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_dup_pairs(df, threshold=0.99, dim=16).toPandas()
+    pairs = set(zip(out.a, out.b))
+    found = sum((i, 100 + i) in pairs for i in range(5))
+    assert found >= 4          # LSH recall: near-identical signs collide
+    assert (out.sim >= 0.99).all()
+    # unrelated vectors never pair at this threshold
+    assert all(b >= 100 for _, b in pairs)
