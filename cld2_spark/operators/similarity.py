@@ -172,7 +172,9 @@ def ivf_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     qa = assign(queries, "qid", n_probe).select(
         "qid", F.col("v").alias("qv"), "cell")
     sim = F.expr(_dot("qv", "nv")) / (F.expr(_norm("qv")) * F.expr(_norm("nv")))
-    cand = (va.join(qa, "cell")
+    # the probed query side (|queries| x n_probe rows) is the small side of
+    # an ANN batch: broadcast it so the big vector side never shuffles
+    cand = (va.join(F.broadcast(qa), "cell")
             .where(F.col("nid") != F.col("qid"))
             .select("qid", "nid", sim.alias("sim"))
             .groupBy("qid", "nid").agg(F.max("sim").alias("sim")))

@@ -71,3 +71,29 @@ def test_lang_spans_single_python_stage(spark):
     stats = plan_stats(df)
     assert stats["python_stages"] == 1
     assert stats["exchanges"] == 0
+
+
+def test_ann_ivf_centroids_broadcast(spark):
+    """IVF assignment must broadcast the tiny centroid relation -- the big
+    vector side streams map-side; no sort-merge join anywhere."""
+    import __spark_entry__ as E
+    df = E.queries()["ann_ivf"](spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or stats["broadcast_joins"] >= 1
+    assert stats["sortmerge_joins"] == 0, plan
+    assert stats["python_stages"] == 0
+
+
+def test_dedup_embedding_candidate_join_is_ids_only(spark):
+    """The band self-join must exchange only (band_key, id) -- embedding
+    arrays never ride the candidate shuffle (the 100TB-safe shape)."""
+    import __spark_entry__ as E
+    df = E.queries()["dedup_embedding"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    # every exchange on the candidate path partitions by band_key or by
+    # the pair ids; none carries the embedding column
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding" not in m.group(1), m.group(0)
+    assert plan_stats(df)["python_stages"] == 0
