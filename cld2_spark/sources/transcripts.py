@@ -139,3 +139,32 @@ SELECT
   {ts} AS ts
 FROM {documents_rel}
 """
+
+
+TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+
+
+def read_transcripts(spark, path: str, fmt: str = "parquet"):
+    """Schema-enforced batch reader for transcript tables in any of the
+    wire formats a large ingestion estate actually carries (S1 source
+    scan): parquet (the native layout), jsonl, or headered csv. The schema
+    is IMPOSED, never inferred -- inference is a full extra pass at 100TB
+    and type drift between files silently corrupts downstream hashing.
+
+    CSV caveat (documented): free text containing quotes/newlines must
+    have been written by a quote-escaping writer (Spark's own csv writer
+    round-trips; hand-rolled exports may not)."""
+    if fmt == "parquet":
+        return spark.read.schema(TRANSCRIPT_DDL).parquet(path)
+    if fmt in ("json", "jsonl"):
+        return (spark.read.schema(TRANSCRIPT_DDL)
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+                .json(path))
+    if fmt == "csv":
+        return (spark.read.schema(TRANSCRIPT_DDL)
+                .option("header", True).option("escape", '"')
+                .option("multiLine", True)
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+                .csv(path))
+    raise ValueError(f"unsupported transcript format: {fmt}")

@@ -27,6 +27,40 @@ def stream_transcripts(spark: SparkSession, source_dir: str,
             .withWatermark("ts", watermark))
 
 
+def start_windowed_stats_stream(spark: SparkSession, source_dir: str,
+                                sink_dir: str, checkpoint_dir: str,
+                                window: str = "1 hour",
+                                watermark: str = "10 minutes",
+                                max_files_per_trigger: int | None = None,
+                                trigger_once: bool = True):
+    """Streaming tumbling-window aggregation with late-data handling
+    (SURVEY.md §2.9: watermark + windowed agg; batch equivalent is the
+    `events_windowed` driver query).
+
+    Append output mode: a window's row is emitted exactly once, when the
+    watermark passes the window end; rows arriving later than the
+    watermark allows are DROPPED by the engine -- the correctness contract
+    a 10^12-turn streaming deployment needs (state is bounded by the
+    watermark horizon, not by stream length)."""
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir).withWatermark("ts", watermark)
+    agg = (src.groupBy(F.window("ts", window), "role")
+           .agg(F.count("*").alias("n_turns"),
+                F.sum(F.length("text")).alias("total_chars")))
+    out = agg.select(F.col("window.start").alias("window_start"), "role",
+                     "n_turns", "total_chars")
+    writer = (out.writeStream.outputMode("append").format("parquet")
+              .option("path", sink_dir)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_pipeline_stream(spark: SparkSession, source_dir: str, sink_dir: str,
                           checkpoint_dir: str, trigger_once: bool = True):
     """Run the full pipeline as a stream; parquet sink via foreachBatch

@@ -1,0 +1,98 @@
+"""Streaming windowed aggregation with watermark late-data semantics
+(SURVEY.md §2.9) and the multi-format transcript source readers."""
+
+import datetime as dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _turns(rows):
+    return pd.DataFrame(
+        [{"conv_id": c, "turn_idx": i, "role": r, "text": t, "tool": "",
+          "ts": ts} for c, i, r, t, ts in rows])
+
+
+def _write(pdf, path):
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   path, coerce_timestamps="us")
+
+
+def test_windowed_stream_emits_on_watermark_and_drops_late(spark, tmp_path):
+    """Append-mode windowed agg: a window emits once the watermark passes
+    its end; a row older than the watermark is dropped by the engine.
+
+    batch 0 (file 1): three 10:00-11:00 rows + one 13:00 row that advances
+    the watermark to 12:50; the 10:00 windows are emitted and their state
+    evicted at the end of the next batch. batch 1 (file 2): an on-time
+    13:05 row (commits the watermark forward). batch 2 (file 3): one LATE
+    10:30 row, now behind both the watermark and the evicted state -- it
+    must neither re-open the 10:00 window nor appear anywhere."""
+    from cld2_spark.streaming.stream import start_windowed_stats_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    _write(_turns([("c1", 0, "user", "aaaa", t(10, 0)),
+                   ("c1", 1, "assistant", "bb", t(10, 15)),
+                   ("c1", 2, "user", "cc", t(10, 30)),
+                   ("c2", 0, "user", "dd", t(13, 0))]),
+           str(src / "f1.parquet"))
+    # later mtimes -> later micro-batches (the file source orders by
+    # modification time)
+    import os
+    import time as _time
+    _write(_turns([("c2", 1, "user", "ee", t(13, 5))]),
+           str(src / "f2.parquet"))
+    _write(_turns([("c3", 0, "user", "LATE-ROW", t(10, 30))]),
+           str(src / "f3.parquet"))
+    now = _time.time()
+    os.utime(str(src / "f1.parquet"), (now - 120, now - 120))
+    os.utime(str(src / "f2.parquet"), (now - 60, now - 60))
+    os.utime(str(src / "f3.parquet"), (now, now))
+
+    q = start_windowed_stats_stream(
+        spark, str(src), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+        window="1 hour", watermark="10 minutes", max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "sink")).toPandas()
+    w10 = out[out.window_start == pd.Timestamp("2026-01-01 10:00:00")]
+    # the 10:00 windows were finalized with exactly the on-time rows and
+    # each (window, role) emitted ONCE; the late row never re-opened them
+    assert int(w10.n_turns.sum()) == 3, out
+    assert int(w10[w10.role == "user"].n_turns.iloc[0]) == 2
+    assert not w10.duplicated(["window_start", "role"]).any()
+    # the 13:00 window never passed the watermark -> not emitted (append)
+    assert (out.window_start != pd.Timestamp("2026-01-01 13:00:00")).all()
+
+
+@pytest.mark.parametrize("fmt", ["jsonl", "csv"])
+def test_transcript_source_formats_roundtrip(spark, tmp_path, fmt):
+    """jsonl/csv transcript sources produce the identical frame as the
+    parquet layout (schema imposed, never inferred)."""
+    from cld2_spark.sources.transcripts import read_transcripts, spark_transcripts
+
+    df = spark_transcripts(spark, 60)
+    pdir = str(tmp_path / "p")
+    df.write.parquet(pdir)
+    odir = str(tmp_path / fmt)
+    base = spark.read.parquet(pdir)
+    if fmt == "jsonl":
+        base.write.json(odir, timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    else:
+        # the csv WRITER trims leading/trailing whitespace by default --
+        # disable so free text round-trips byte-identical
+        base.write.option("header", True).option("escape", '"') \
+            .option("ignoreLeadingWhiteSpace", False) \
+            .option("ignoreTrailingWhiteSpace", False) \
+            .csv(odir, timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    got = (read_transcripts(spark, odir, fmt)
+           .orderBy("conv_id", "turn_idx").toPandas())
+    want = base.orderBy("conv_id", "turn_idx").toPandas()
+    assert got.conv_id.tolist() == want.conv_id.tolist()
+    assert got.text.fillna("").tolist() == want.text.fillna("").tolist()
+    assert got.ts.tolist() == want.ts.tolist()
+    assert got.dtypes.equals(want.dtypes)
