@@ -428,21 +428,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _minhash_duck_ctes() -> str:
     """DuckDB CTEs mirroring operators.dedup.minhash_signatures/_lsh_pairs
-    (including the sketch-first signature-agreement prefilter, VERDICT
-    r2 #7)."""
+    (int64 hash-set Jaccard verification)."""
     from cld2_spark.operators.dedup import (MERSENNE31, minhash_band_exprs,
-                                            minhash_min_exprs,
-                                            shingle_hash_expr,
-                                            sketch_agree_min)
+                                            shingle_hash_expr)
     bands = minhash_band_exprs("duckdb", "hs")
     band_cols = ", ".join(f"{e} AS band{b}" for b, e in enumerate(bands))
     assert str(MERSENNE31) in bands[0]
-    mins = ", ".join(minhash_min_exprs("duckdb", "hs"))
     stacked = " UNION ALL ".join(
         f"SELECT '{b}|' || band{b} AS band_key, doc_id AS id FROM mh_sigs"
         for b in range(N_BANDS))
-    agree = ("len(list_filter(list_zip(x.mh, y.mh), p -> p[1] = p[2]))"
-             f" >= {sketch_agree_min(50)}")
     return (
         f"mh_base AS (SELECT doc_id, list_distinct({_SHINGLE_DUCK}) AS st "
         f"  FROM dup_docs WHERE length(text) >= 5), "
@@ -451,12 +445,9 @@ def _minhash_duck_ctes() -> str:
         f"  list_distinct(list_transform(st, s -> "
         f"    {shingle_hash_expr('s', 'duckdb')})) AS hset "
         f"  FROM mh_base), "
-        f"mh_sigs AS (SELECT doc_id, {band_cols}, [{mins}] AS mh FROM mh_hs), "
+        f"mh_sigs AS (SELECT doc_id, {band_cols} FROM mh_hs), "
         f"mh_stacked AS ({stacked}), "
-        f"{_capped_pairs_duck('mh_stacked')}, "
-        f"mh_surv AS (SELECT a, b FROM cand "
-        f"  JOIN mh_sigs x ON cand.a = x.doc_id "
-        f"  JOIN mh_sigs y ON cand.b = y.doc_id WHERE {agree})")
+        f"{_capped_pairs_duck('mh_stacked')}")
 
 
 def _simhash_duck_ctes() -> str:
@@ -647,8 +638,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT a, b, jacc_pct FROM ("
             f"  SELECT a, b, CAST(FLOOR(len(list_intersect(sa.hset, sb.hset)) * 100 / "
             f"       (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)))) AS INT) AS jacc_pct "
-            f"  FROM mh_surv JOIN mh_hs sa ON mh_surv.a = sa.doc_id "
-            f"  JOIN mh_hs sb ON mh_surv.b = sb.doc_id"
+            f"  FROM cand JOIN mh_hs sa ON cand.a = sa.doc_id "
+            f"  JOIN mh_hs sb ON cand.b = sb.doc_id"
             f") WHERE jacc_pct >= 50"),
         "dedup_simhash": (
             f"{ctes}, {_simhash_duck_ctes()} "

@@ -686,12 +686,17 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s)
         if len(g_rid):
             h = quad_hash_v2(buf, bs, bl)
-            h3 = quad_hash_v2(buf, bs, tri_len)  # J2 backoff key (prefix tri)
+            # J2 backoff key (prefix trigram): only ever consumed under
+            # bestEffort with a backoff table -- skip the second full-stream
+            # hash pass on the default hot path
+            use_backoff = best_effort and bool(model.quad_backoff)
+            h3 = quad_hash_v2(buf, bs, tri_len) if use_backoff else None
             keep = repeat_filter(h, g_rid)
             if _repeats:
                 keep &= predicted_filter(h, g_rid)
             g_rid, h, gb, pos = g_rid[keep], h[keep], gb[keep], pos[keep]
-            h3 = h3[keep]
+            if h3 is not None:
+                h3 = h3[keep]
             g_script = scr_s[pos]
             use_ref_words = model.ref_word_delta is not None
             have_words = use_ref_words or model.words is not None
@@ -717,8 +722,9 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                 # consulted only under bestEffort ("give best-effort answer")
                 # -- measured: +4 held-out cases there, -1 on the default
                 # path (documented deviation; PARITY.md).
-                bt = (model.quad_backoff or {}).get(ut.SCRIPTS[s][0])
-                if bt is not None and best_effort and not found.all():
+                bt = (model.quad_backoff or {}).get(ut.SCRIPTS[s][0]) \
+                    if use_backoff else None
+                if bt is not None and not found.all():
                     miss = ~found
                     _, bl3, bq3 = bt.probe(h3[m][miss])
                     langs3[miss] = bl3

@@ -120,14 +120,19 @@ def expand_entities(text: str) -> str:
     names stay verbatim (like an unrecognized `&foo` in the scanner)."""
     tbl = full_entity_table()
 
+    def valid_cp(cp: int) -> bool:
+        # exclude surrogates: a lone chr(0xD800) poisons the whole Arrow
+        # batch downstream (strict utf-32 encode in normalize_batch)
+        return 0 < cp < 0x110000 and not (0xD800 <= cp <= 0xDFFF)
+
     def repl(m: "_re.Match[str]") -> str:
         dec, hx, name = m.groups()
         if dec is not None:
             cp = int(dec)
-            return chr(cp) if 0 < cp < 0x110000 else m.group(0)
+            return chr(cp) if valid_cp(cp) else m.group(0)
         if hx is not None:
             cp = int(hx, 16)
-            return chr(cp) if 0 < cp < 0x110000 else m.group(0)
+            return chr(cp) if valid_cp(cp) else m.group(0)
         ch = tbl.get(name)
         return ch if ch is not None else m.group(0)
 

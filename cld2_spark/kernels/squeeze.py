@@ -141,13 +141,25 @@ def cheap_squeeze(text: str, chunksize: int = CHUNKSIZE) -> str:
         space_n = _count_spaces4(space_cum, src, src + ln)
         if space_n >= space_thresh or pred >= predict_thresh:
             if not skipping:
-                # keep->skip transition: backscan kept text to a space
-                tail = kept[-1] if kept else b""
-                k = tail.rfind(b" ", max(0, len(tail) - MAX_SPACE_SCAN))
+                # keep->skip transition: backscan the kept OUTPUT to a
+                # space (BackscanToSpace scans the contiguous dst buffer,
+                # up to kMaxSpaceScan bytes -- so the scan may cross kept
+                # chunk boundaries)
+                window = min(MAX_SPACE_SCAN, kept_len)
+                tail = b"".join(kept)[-window:] if window else b""
+                k = tail.rfind(b" ")
                 if k >= 0:
                     drop = len(tail) - (k + 1)
-                    kept[-1] = tail[:k + 1]
-                    kept_len -= drop
+                    while drop and kept:
+                        last = kept[-1]
+                        if len(last) <= drop:
+                            drop -= len(last)
+                            kept_len -= len(last)
+                            kept.pop()
+                        else:
+                            kept[-1] = last[:len(last) - drop]
+                            kept_len -= drop
+                            drop = 0
                 if kept_len == 0:
                     kept = [b" "]  # force a leading space (reference :820)
                     kept_len = 1

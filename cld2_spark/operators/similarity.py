@@ -82,8 +82,21 @@ def estimate_rows(df: DataFrame, probe_rows: int = 64) -> int:
     head = df.limit(probe_rows).collect()
     if not head:
         return 1
-    import sys
-    width = max(sum(sys.getsizeof(str(r)) for r in head) // len(head), 16)
+    # width = mean serialized payload bytes per probed row, halved for a
+    # typical parquet compression allowance (NOT sys.getsizeof of the repr,
+    # whose per-object overheads inflate width ~10x); sizing only picks a
+    # power of two, so the residual error costs a plane or two
+    def row_bytes(r) -> int:
+        total = 0
+        for v in r:
+            if isinstance(v, str):
+                total += len(v.encode("utf-8", errors="ignore"))
+            elif isinstance(v, (list, tuple)):
+                total += 4 * len(v)
+            else:
+                total += 8
+        return total
+    width = max(sum(row_bytes(r) for r in head) // (2 * len(head)), 8)
     return max(size // width, len(head), 1)
 
 
@@ -194,8 +207,10 @@ def embedding_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
     tables with the band-bucket star cap (a 10K-copy embedding group costs
     10K pairs), then exact cosine verifies. Group consumers take connected
     components over the verified pairs (see dedup.capped_band_pairs)."""
-    from cld2_spark.operators.dedup import capped_band_pairs
+    from cld2_spark.operators.dedup import (capped_band_pairs,
+                                            release_dedup_caches)
 
+    release_dedup_caches()  # same cache lifecycle as the dedup operators
     band_cols = []
     for t in range(n_tables):
         planes = _planes_literal(dim, n_planes, seed=77 + t)

@@ -47,10 +47,20 @@ def with_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     return S.scrub_spark_columns(df, text_col, "scrubbed_text")
 
 
+def _answer_field(df: DataFrame) -> str:
+    """The per-turn language ANSWER inside the langid struct: pipeline_udf
+    already maps lang1 = summary_lang; analyze_udf keeps the reference
+    surface (sorted lang1 + separate summary_lang), so the decision must
+    read summary_lang there -- both paths otherwise diverge on A9-demoted
+    rows (and from the single-node oracle)."""
+    fields = [f.name for f in df.schema[LD].dataType.fields]
+    return f"{LD}.summary_lang" if "summary_lang" in fields else f"{LD}.lang1"
+
+
 def with_decision(df: DataFrame) -> DataFrame:
     cols: dict[str, Column] = {
         "too_short": F.col("too_short"),
-        "lang1": F.col(f"{LD}.lang1"),
+        "lang1": F.col(_answer_field(df)),
         "is_reliable": F.col(f"{LD}.is_reliable"),
         "rel1": F.col(f"{LD}.rel1"),
         "ft_lang": F.col(f"{LD}.ft_lang"),
@@ -71,7 +81,7 @@ def run_pipeline(df: DataFrame, text_col: str = "text",
     out = with_decision(with_scrub(with_quality(with_langid(df, text_col), text_col), text_col))
     return out.select(
         "conv_id", "turn_idx",
-        F.col(f"{LD}.lang1").alias("lang1"),
+        F.col(_answer_field(out)).alias("lang1"),
         F.col(f"{LD}.pct1").alias("pct1"),
         F.col(f"{LD}.rel1").alias("rel1"),
         F.col(f"{LD}.is_reliable").alias("is_reliable"),

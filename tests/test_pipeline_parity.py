@@ -78,3 +78,33 @@ def test_ordering_invariant(outputs):
     key = pd.MultiIndex.from_frame(got[["conv_id", "turn_idx"]])
     assert key.is_monotonic_increasing
     assert not key.duplicated().any()
+
+
+def test_slim_and_full_langid_paths_decide_identically(spark):
+    """with_langid(slim=False) attaches the full analyze struct (sorted
+    lang1 + separate summary_lang); the decision must read the summary
+    answer there, agreeing with the slim path on every row -- including
+    A9-demoted docs where sorted lang1 != summary_lang (round-3 review)."""
+    from pyspark.sql import functions as F
+    from cld2_spark.pipeline.stages import (with_decision, with_langid,
+                                            with_quality, with_scrub)
+    en_head = ("France is the largest country in western europe and the "
+               "third largest overall. ")
+    fr = ("le conseil municipal a décidé de restaurer les fontaines du "
+          "jardin public et la bibliothèque ouvrira une nouvelle aile au "
+          "printemps prochain. les habitants du quartier pourront consulter "
+          "et emprunter des ouvrages numériques pendant les travaux.")
+    rows = [("c1", 0, "user", en_head + fr, "", None),
+            ("c1", 1, "assistant", fr, "", None),
+            ("c2", 0, "user", "short", "", None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+    def verdicts(slim):
+        out = with_decision(with_scrub(with_quality(
+            with_langid(df, slim=slim))))
+        return (out.orderBy("conv_id", "turn_idx")
+                .select("keep", "drop_reason").collect())
+
+    assert verdicts(True) == verdicts(False)
