@@ -65,3 +65,25 @@ def test_analyze_matches_detect_fields(texts):
     assert list(a["lang1"]) == list(d["lang1"])
     assert np.array_equal(a["pct1"], d["pct1"])
     assert np.array_equal(a["is_reliable"], d["is_reliable"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400))
+def test_html_mode_never_crashes(text):
+    """is_plain_text=False must survive arbitrary text: hostile entities
+    (incl. surrogate &#xD800;), unterminated tags, mixed scripts."""
+    res = detect_batch([text + " &#xD800; &#x110000; <b", "<p>&amp;</p>"],
+                       is_plain_text=False)
+    assert len(res["lang1"]) == 2
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300),
+       st.integers(min_value=0, max_value=200))
+def test_squeeze_kernel_never_crashes(text, pad):
+    from cld2_spark.kernels.squeeze import cheap_squeeze, squeeze_trigger_test
+    t = text + " ab " * pad
+    squeeze_trigger_test(t.encode("utf-8"))
+    out = cheap_squeeze(t)
+    assert isinstance(out, str)
+    out.encode("utf-8")  # always valid text
