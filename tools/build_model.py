@@ -222,7 +222,11 @@ def main() -> None:
         # identical extraction to inference: one stream over all scorable
         # scripts, grams dispatched by first-char script
         arr, rid_s, scr_s, _orig = T.group_stream_with_script(nb, many_all)
-        g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s)
+        # TRAIN without the mid-word vowel skip: trained grams are a strict
+        # superset of what inference probes (quad_grams vowel_skip doc),
+        # raising the unseen-text hit rate at zero inference cost
+        g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s,
+                                                          vowel_skip=False)
         if len(g_rid) == 0:
             continue
         hs = quad_hash_v2(buf, bs, bl)
