@@ -19,7 +19,7 @@ from cld2_spark.kernels.detect import detect_batch
 
 DATA = Path(__file__).parent / "data"
 
-# Expected canary language for model build cld2s-20260816-ref-r2.
+# Expected canary language for model build cld2s-20260816-ref-r3.
 # Update when the table is rebuilt (see reference comment cited above).
 VERSION_CANARY_LANG = "es"
 
@@ -58,7 +58,7 @@ def test_all_cases_match_expected(results):
 
 def test_held_out_accuracy(results):
     """The quad table is trained on the FIRST half of each eval snippet;
-    the second halves are unseen. Gate: >=72% top-1 on these sub-128-byte
+    the second halves are unseen. Gate: >=74% top-1 on these sub-128-byte
     fragments (the reference's own design floor is ~200 bytes, README.md:7;
     most misses are statistically-close pairs on ~60-125 chars)."""
     pairs, _ = results
@@ -66,7 +66,7 @@ def test_held_out_accuracy(results):
     held = [(p["expected_lang"], p["text"][len(p["text"]) // 2:]) for p in scored]
     res = detect_batch([t for _, t in held])
     ok = sum(res["summary_lang"][i] == want for i, (want, _) in enumerate(held))
-    assert ok / len(held) >= 0.72, f"held-out accuracy {ok}/{len(held)}"
+    assert ok / len(held) >= 0.74, f"held-out accuracy {ok}/{len(held)}"
 
 
 def test_held_out_accuracy_best_effort(results):

@@ -246,9 +246,9 @@ def main() -> None:
     for gname, counts in group_counts.items():
         totals = {l: float(c) for l, c in group_totals[gname].items()}
         plain = {h: dict(c) for h, c in counts.items()}
-        group_tables[gname] = GramTable.build(plain, totals)
+        group_tables[gname] = GramTable.build(plain, totals, shrink=1.0)
         bplain = {h: dict(c) for h, c in backoff_counts[gname].items()}
-        backoff_tables[gname] = GramTable.build(bplain, totals)
+        backoff_tables[gname] = GramTable.build(bplain, totals, shrink=1.0)
         print(f"group {gname}: {len(plain)} distinct quads "
               f"(+{len(bplain)} backoff trigrams), {len(totals)} langs, "
               f"{group_tables[gname].n_buckets} buckets")
@@ -288,7 +288,7 @@ def main() -> None:
                        closest_alt=refs["closest_alt"],
                        hints=refs["hints"],
                        expected_1kb=np.zeros(len(langs), dtype=np.int32),
-                       version="cld2s-20260816-ref-r2")
+                       version="cld2s-20260816-ref-r3")
 
     # ---- expected score per 1KB per language (ReliabilityExpected input).
     # MUST be calibrated on text the quad table has NOT seen: on training
