@@ -221,6 +221,19 @@ def _q_minhash_pairs(spark, sf_dir):
                              min_jaccard_pct=50, bucket_cap=BUCKET_CAP)
 
 
+def _q_dedup_groups(spark, sf_dir):
+    """Near-dup GROUP recovery: min-label connected components over the
+    verified MinHash pair list (the consumer side of the band-bucket star
+    cap -- capped buckets connect members only through the representative,
+    so whole-group dedup requires transitive closure)."""
+    from cld2_spark.operators.dedup import (connected_components,
+                                            minhash_lsh_pairs)
+    _register(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark.table("dup_docs"), "text", "doc_id",
+                              min_jaccard_pct=50, bucket_cap=BUCKET_CAP)
+    return connected_components(pairs)
+
+
 def _q_token_stats(spark, sf_dir):
     _register(spark, sf_dir)
     return spark.sql(
@@ -408,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_groups": _q_dedup_groups,
         "token_stats": _q_token_stats,
         "ann_cosine": _q_ann_cosine,
         "events_windowed": _q_events_windowed,
@@ -641,6 +655,25 @@ def oracle_sql() -> dict[str, str]:
             f"  FROM cand JOIN mh_hs sa ON cand.a = sa.doc_id "
             f"  JOIN mh_hs sb ON cand.b = sb.doc_id"
             f") WHERE jacc_pct >= 50"),
+        "dedup_groups": (
+            # same WITH-list as minhash_pairs plus a recursive min-label
+            # walk: group_id = smallest doc id transitively reachable over
+            # the verified pair list (the CC oracle; UNION dedup bounds the
+            # recursion by the finite (id, label) pair set)
+            f"{ctes}, {_minhash_duck_ctes()}, "
+            f"vp AS (SELECT a, b FROM ("
+            f"  SELECT a, b, CAST(FLOOR(len(list_intersect(sa.hset, sb.hset)) * 100 / "
+            f"       (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)))) AS INT) AS jacc_pct "
+            f"  FROM cand JOIN mh_hs sa ON cand.a = sa.doc_id "
+            f"  JOIN mh_hs sb ON cand.b = sb.doc_id"
+            f") WHERE jacc_pct >= 50), "
+            f"cc_edges AS (SELECT a AS src, b AS dst FROM vp "
+            f"  UNION SELECT b, a FROM vp), "
+            f"walk(id, lab) AS ("
+            f"  SELECT src, src FROM cc_edges UNION "
+            f"  SELECT e.src, w.lab FROM cc_edges e JOIN walk w ON w.id = e.dst) "
+            f"SELECT id AS doc_id, MIN(lab) AS group_id FROM walk GROUP BY id"
+        ).replace("WITH ", "WITH RECURSIVE ", 1),
         "dedup_simhash": (
             f"{ctes}, {_simhash_duck_ctes()} "
             f"SELECT a, b, hamming FROM ("

@@ -341,7 +341,7 @@ def _pad_slots(langs: np.ndarray, qprobs: np.ndarray, width: int):
 
 def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs, acc,
                 hint_lid=None, whack_map=None, expected=None, closeset=None,
-                gpos=None, span_sink=None):
+                gpos=None, span_sink=None, distinct_mask=None):
     """Chunked scatter-add scoring: the Tote/DocTote pipeline (A1-A3).
 
     g_rid must be sorted ascending. Chunk winner takes the chunk's byte span;
@@ -352,6 +352,14 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     hint_lid is a (ids (n,4), weights (n,4)) prior pair from resolve_hints:
     each prior adds its weight as a vote to every chunk of the row (J8:
     hints bias, never force -- public/compact_lang_det.h:133-138).
+    distinct_mask flags distinct-table hits (W5): the last <=4 of them form
+    a ring whose langprobs are re-added to EVERY chunk's tote until evicted
+    by newer distinct hits (AddDistinctBoost2/ScoreBoosts,
+    internal/scoreonescriptspan.cc:112-152; the context -- and so the ring
+    -- persists across scriptspans of a document, compact_lang_det_impl.cc
+    :1768 "carries state across scriptspans", so it resets per row here).
+    A distinct hit therefore counts twice in its own chunk (once linear,
+    once from the ring), exactly like the reference.
     """
     bytes_rl, score_rl, relw_rl = acc
     N = len(g_rid)
@@ -397,6 +405,51 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     s1 = np.empty(n_chunks, dtype=np.int32)
     s2 = np.empty(n_chunks, dtype=np.int32)
     cr = np.repeat(np.flatnonzero(present), chunks_row[present])  # chunk -> row
+    # byte/gram totals per chunk come from the REAL hit stream only (ring
+    # re-adds below carry no bytes and are not counted as grams, matching
+    # AddScoreCount which counts base hits only, scoreonescriptspan.cc:232)
+    cb = np.bincount(cid, weights=gram_bytes, minlength=n_chunks).astype(np.int32)
+    cg = np.bincount(cid, weights=is_byte, minlength=n_chunks).astype(np.int32)
+
+    ring_ext = None  # mask of injected ring hits (excluded from W3/W4 below)
+    if distinct_mask is not None and distinct_mask.any() and n_chunks:
+        # W5 exact: per chunk, re-add the langprobs of the last <=4 distinct
+        # hits seen so far in this row's stream (the 4-entry ring). Ring
+        # content at a chunk's ScoreBoosts = distinct hits with stream index
+        # <= the chunk's last hit, minus those evicted by 4 newer ones.
+        d_glob = np.flatnonzero(distinct_mask)
+        cum_d = np.cumsum(distinct_mask, dtype=np.int64)
+        hi_c = np.searchsorted(cid, np.arange(1, n_chunks + 1)) - 1
+        r_c = cum_d[hi_c]                      # distinct hits through chunk end
+        cum_d_ex = np.concatenate((np.zeros(1, dtype=np.int64), cum_d))
+        d_row0 = cum_d_ex[firsts[cr]]          # distinct hits before the row
+        ex_cid, ex_src = [], []
+        for k in range(1, 5):
+            j = r_c - k
+            ok = j >= d_row0
+            if ok.any():
+                ex_cid.append(np.flatnonzero(ok).astype(np.int32))
+                ex_src.append(d_glob[j[ok]])
+        if ex_cid:
+            ec = np.concatenate(ex_cid)
+            es = np.concatenate(ex_src)
+            cid = np.concatenate([cid, ec])
+            langs3 = np.concatenate([langs3, langs3[es]])
+            qprobs3 = np.concatenate([qprobs3, qprobs3[es]])
+            gram_bytes = np.concatenate(
+                [gram_bytes, np.zeros(len(ec), dtype=gram_bytes.dtype)])
+            if gpos is not None:
+                gpos = np.concatenate([gpos, np.full(len(ec), -1, dtype=gpos.dtype)])
+            ring_ext = np.zeros(len(cid), dtype=bool)
+            ring_ext[N:] = True
+            order = np.argsort(cid, kind="stable")
+            cid, langs3, qprobs3 = cid[order], langs3[order], qprobs3[order]
+            gram_bytes, ring_ext = gram_bytes[order], ring_ext[order]
+            if gpos is not None:
+                gpos = gpos[order]
+            lang_j = [np.ascontiguousarray(langs3[:, j]) for j in range(n_slots)]
+            q_j = [np.ascontiguousarray(qprobs3[:, j]) for j in range(n_slots)]
+
     for c0 in range(0, n_chunks, COHORT):
         c1 = min(c0 + COHORT, n_chunks)
         lo, hi = np.searchsorted(cid, (c0, c1))
@@ -452,9 +505,6 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
             s1[c0:c1] = csm[:, 0]
             win2[c0:c1] = 0
             s2[c0:c1] = 0
-    cb = np.bincount(cid, weights=gram_bytes, minlength=n_chunks).astype(np.int32)
-    cg = np.bincount(cid, weights=is_byte, minlength=n_chunks).astype(np.int32)
-
     # ReliabilityDelta (internal/cldutil.cc:553-570)
     maxrel = np.where(cg < 8, 12 * cg, 100)
     thr = np.clip((cg * 5) >> 3, 3, 16)
@@ -509,8 +559,16 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
         if len(bidx):
             np.minimum.at(smin, cid[bidx], gpos[bidx])
             np.maximum.at(smax, cid[bidx], gpos[bidx])
-        _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3, gram_bytes,
-                            gpos, closeset, n_chunks, smin, smax)
+        if ring_ext is not None:
+            # W3 slides over hitbuffer->linear, which never contains ring
+            # re-adds (they live in ScoringContext, not the hit stream)
+            keep_h = ~ring_ext
+            _sharpen_boundaries(cid[keep_h], cr, win, scored, langs3[keep_h],
+                                qprobs3[keep_h], gram_bytes[keep_h],
+                                gpos[keep_h], closeset, n_chunks, smin, smax)
+        else:
+            _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3,
+                                gram_bytes, gpos, closeset, n_chunks, smin, smax)
         span_sink.append((cr[scored], win[scored], smin[scored], smax[scored]))
 
 
@@ -752,7 +810,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     hits.append((rows_s, np.full(k, -1, dtype=np.int32),
                                  np.full((k, 1), seed_gid, dtype=np.uint8),
                                  np.ones((k, 1), dtype=np.uint8),
-                                 np.zeros(k, dtype=np.int32)))
+                                 np.zeros(k, dtype=np.int32), None))
                 if have_words and len(w_rid):
                     wm = scr_s[wpos] == s
                     keep_w = repeat_filter(wh40, w_rid) & wm
@@ -761,16 +819,14 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     if use_ref_words:
                         # reference deltaocta (word), distinctocta (word +
                         # word-pair), GetOctaHits internal/cldutil.cc:416-533.
-                        # Distinct hits additionally CARRY into following
-                        # chunks (W5 distinct-boost ring, AddDistinctBoost2 /
-                        # ScoreBoosts internal/scoreonescriptspan.cc:112-152:
-                        # the last <=4 distinct hits boost every chunk) --
-                        # approximated by re-emitting each distinct hit at
-                        # +~1/+2/+3 chunk-widths of letters down the row.
+                        # Distinct hits are flagged: _score_hits re-adds the
+                        # last <=4 of them to every chunk's tote until ring
+                        # eviction (W5 exact, AddDistinctBoost2/ScoreBoosts,
+                        # internal/scoreonescriptspan.cc:112-152).
                         probes = [(wh40, model.ref_word_delta, False),
                                   (wh40, model.ref_word_distinct, True),
                                   (pair40, model.ref_word_distinct, True)]
-                        for wh, rt, carry in probes:
+                        for wh, rt, dis in probes:
                             if rt is None:
                                 continue
                             sel = keep_w & (wh != 0)
@@ -783,18 +839,11 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                                 if ev.any():
                                     word_ev[rows_w[ev], wl[:, j][ev]] = True
                             zero = np.zeros(int(sel.sum()), dtype=np.int32)
-                            hits.append((rows_w, wpos[sel], wl, wq, zero))
-                            if carry:
-                                hitmask = (wq > 0).any(axis=1)
-                                if hitmask.any():
-                                    cr_, cp_, cl_, cq_ = (rows_w[hitmask],
-                                                          wpos[sel][hitmask],
-                                                          wl[hitmask],
-                                                          wq[hitmask])
-                                    for shift in (30, 60, 90):
-                                        hits.append((cr_, cp_ + shift, cl_,
-                                                     cq_, np.zeros(len(cr_),
-                                                                   dtype=np.int32)))
+                            # only ACTUAL table hits enter the ring; misses
+                            # decode to all-zero qprobs and must not evict
+                            hitmask = (wq > 0).any(axis=1) if dis else None
+                            hits.append((rows_w, wpos[sel], wl, wq, zero,
+                                         hitmask))
                     else:
                         for wh in (w32, pair32):
                             sel = keep_w & (wh != 0)
@@ -807,11 +856,13 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                                 if ev.any():
                                     word_ev[rows_w[ev], wl3[:, j][ev]] = True
                             hits.append((rows_w, wpos[sel], wl3, wq3,
-                                         np.zeros(int(sel.sum()), dtype=np.int32)))
+                                         np.zeros(int(sel.sum()), dtype=np.int32),
+                                         None))
+                dmask = None
                 if hits:
                     width = max(x[2].shape[1] for x in hits)
                     width = max(width, langs3.shape[1])
-                    hits.insert(0, (s_rid, s_pos, langs3, qprobs3, s_gb))
+                    hits.insert(0, (s_rid, s_pos, langs3, qprobs3, s_gb, None))
                     s_rid = np.concatenate([x[0] for x in hits])
                     all_pos = np.concatenate([x[1] for x in hits])
                     langs3 = np.concatenate(
@@ -819,20 +870,27 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     qprobs3 = np.concatenate(
                         [_pad_slots(x[2], x[3], width)[1] for x in hits])
                     s_gb = np.concatenate([x[4] for x in hits])
+                    dmask = np.concatenate(
+                        [x[5] if x[5] is not None
+                         else np.zeros(len(x[0]), dtype=bool) for x in hits])
                     order = np.lexsort((all_pos, s_rid))
                     s_rid, langs3 = s_rid[order], langs3[order]
                     qprobs3, s_gb = qprobs3[order], s_gb[order]
                     s_pos = all_pos[order]
+                    dmask = dmask[order]
+                    if not dmask.any():
+                        dmask = None
                 gpos = None
                 if span_sink is not None:
-                    # clamp: carried distinct-boost copies sit past the
-                    # stream end (zero-byte, never used for spans)
+                    # clamp: seed hits sit at position -1 (zero-byte,
+                    # never used for spans)
                     safe = np.clip(s_pos, 0, len(orig_s) - 1)
                     gpos = np.where(s_pos >= 0, orig_s[safe], np.int64(-1))
                 _score_hits(s_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n, L, acc,
                             hint_lid=hint_lid, whack_map=whack_map,
                             expected=expected, closeset=closeset,
-                            gpos=gpos, span_sink=span_sink)
+                            gpos=gpos, span_sink=span_sink,
+                            distinct_mask=dmask)
 
     # CJK pass: unigram hits (J3) + adjacent-pair bigram delta hits (J4)
     # merged into one chunk stream. With reference tables: unigrams via the

@@ -320,3 +320,62 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 # Backwards-compatible alias (round-1 name)
 simhash64_batch = simhash62_batch
+
+
+def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
+                         max_iter: int = 12) -> DataFrame:
+    """Duplicate-GROUP assignment: min-label connected components over a
+    verified near-dup pair list -- the consumer side of the star-reduction
+    contract above (a member of a capped bucket is connected to its group
+    only transitively through the bucket representative, so group recovery
+    REQUIRES transitive closure, not just the raw pair list).
+
+    Returns (doc_id, group_id): every id appearing in `pairs`, labeled with
+    the smallest id reachable from it. Keep-one-per-group dedup is then
+    `WHERE doc_id != group_id` -> drop list.
+
+    Algorithm: iterative min-label propagation over the undirected edge
+    list (the DataFrame form of the MapReduce CC rounds of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    joins labels to neighbors and takes the elementwise min; rounds needed
+    = graph diameter. Post-cap duplicate groups are stars through their
+    representative (diameter <= 2), so 2-3 rounds converge; `max_iter`
+    bounds adversarial chains.
+
+    100TB design: every round is ONE shuffle of two narrow two-column
+    relations on the node id; edges are persisted and reused across rounds;
+    convergence is detected with a per-round single-scalar aggregate (sum
+    of label-changed flags), never a collect of the labels themselves.
+    Lineage depth is bounded by max_iter (no checkpoint needed at <=12
+    rounds; localCheckpoint each ~10th round if raised).
+
+    Cache lifecycle: the returned label relation is already materialized
+    (by the final convergence probe) and stays cached; long-lived sessions
+    should .unpersist() it after consuming. Intermediate rounds and the
+    edge list are unpersisted here.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("lab", F.col("id")))
+    try:
+        for _ in range(max_iter):
+            nbr = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                   .select(F.col("dst").alias("id"), "lab"))
+            new_labels = (labels.union(nbr).groupBy("id")
+                          .agg(F.min("lab").alias("lab")).persist())
+            changed = (labels.withColumnRenamed("lab", "old")
+                       .join(new_labels, "id")
+                       .where(F.col("lab") != F.col("old"))
+                       .limit(1).count())
+            prev, labels = labels, new_labels
+            if hasattr(prev, "unpersist") and prev is not new_labels:
+                prev.unpersist()
+            if changed == 0:
+                break
+        return labels.select(F.col("id").alias("doc_id"),
+                             F.col("lab").alias("group_id"))
+    finally:
+        edges.unpersist()

@@ -1,0 +1,91 @@
+"""W5 distinct-boost ring: exact 4-entry-ring semantics in _score_hits.
+
+Reference: AddDistinctBoost2 keeps the last 4 distinct-hit langprobs in a
+ring (internal/scoreonescriptspan.cc:112-121); ScoreBoosts re-adds every
+live ring slot to each chunk's tote (:125-152). The ScoringContext that
+holds the ring is initialized once per document and "carries state across
+scriptspans" (internal/compact_lang_det_impl.cc:1766-1779), so a distinct
+hit boosts its own chunk (a second time, on top of its linear add) and
+every later chunk of the row until four newer distinct hits evict it.
+"""
+
+import numpy as np
+
+from cld2_spark.kernels.detect import _score_hits
+
+
+def _run(g_rid, langs, qprobs, gbytes, dmask, n_rows=1, n_langs=4,
+         chunk_size=2):
+    acc = tuple(np.zeros((n_rows, n_langs), dtype=np.int32) for _ in range(3))
+    _score_hits(np.asarray(g_rid, dtype=np.int32),
+                np.asarray(langs, dtype=np.uint8).reshape(-1, 1),
+                np.asarray(qprobs, dtype=np.uint8).reshape(-1, 1),
+                np.asarray(gbytes, dtype=np.int32),
+                chunk_size, n_rows, n_langs, acc,
+                distinct_mask=np.asarray(dmask, dtype=bool))
+    return acc  # (bytes_rl, score_rl, relw_rl)
+
+
+def test_ring_boosts_own_and_all_later_chunks():
+    # 10 base grams of lang 1 (qprob 1 each) -> 5 chunks of 2; one distinct
+    # hit (lang 2, qprob 4, zero bytes) after the first base gram (chunk 0).
+    g_rid = [0] * 11
+    langs = [1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+    qprob = [1, 4, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+    gbyte = [1, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+    dmask = [False, True] + [False] * 9
+    byts, score, _ = _run(g_rid, langs, qprob, gbyte, dmask)
+    # linear add (4) + one ring re-add in each of the 5 chunks (5*4);
+    # the boosted language out-scores the 2 base votes in every chunk, so
+    # winner-take-all also hands it all 10 byte credits
+    assert score[0, 2] == 4 + 5 * 4
+    assert byts[0, 2] == 10
+    assert score[0, 1] == 0
+
+
+def test_ring_eviction_after_four_newer_hits():
+    # D0 lands in chunk 0; four newer distinct hits land in chunk 2.
+    # Chunk 2's ScoreBoosts runs AFTER its linear scan pushed the four
+    # newer hits, so D0 is already evicted there: D0 re-adds in chunks
+    # 0 and 1 only, the newer hits re-add in chunks 2 and 3.
+    g_rid = [0] * 13
+    #        b  D0 b  b  b  D  D  D  D  b  b  b  b      (b = base lang 1)
+    langs = [1, 2, 1, 1, 1, 3, 3, 3, 3, 1, 1, 1, 1]
+    qprob = [1, 4, 1, 1, 1, 2, 2, 2, 2, 1, 1, 1, 1]
+    gbyte = [1, 0, 1, 1, 1, 0, 0, 0, 0, 1, 1, 1, 1]
+    dmask = [False, True, False, False, False, True, True, True, True,
+             False, False, False, False]
+    _, score, _ = _run(g_rid, langs, qprob, gbyte, dmask)
+    # 8 base grams -> 4 chunks of 2. D0: linear 4 + ring in chunks 0, 1.
+    assert score[0, 2] == 4 + 2 * 4
+    # each D (qprob 2): linear + ring re-add in chunks 2 and 3
+    assert score[0, 3] == 4 * 2 + 4 * 2 * 2
+
+
+def test_ring_resets_per_row():
+    # row 0 has the distinct hit; row 1 must see none of it
+    g_rid = [0, 0, 0, 1, 1]
+    langs = [1, 2, 1, 1, 1]
+    qprob = [1, 4, 1, 1, 1]
+    gbyte = [1, 0, 1, 1, 1]
+    dmask = [False, True, False, False, False]
+    _, score, _ = _run(g_rid, langs, qprob, gbyte, dmask, n_rows=2)
+    assert score[0, 2] == 4 + 4  # linear + own-chunk ring re-add
+    assert score[1, 2] == 0
+
+
+def test_no_distinct_mask_matches_mask_of_false():
+    g_rid = [0] * 6
+    langs = [1, 1, 2, 1, 1, 1]
+    qprob = [1, 1, 4, 1, 1, 1]
+    gbyte = [1, 1, 1, 1, 1, 1]
+    acc_a = tuple(np.zeros((1, 4), dtype=np.int32) for _ in range(3))
+    acc_b = tuple(np.zeros((1, 4), dtype=np.int32) for _ in range(3))
+    args = (np.asarray(g_rid, dtype=np.int32),
+            np.asarray(langs, dtype=np.uint8).reshape(-1, 1),
+            np.asarray(qprob, dtype=np.uint8).reshape(-1, 1),
+            np.asarray(gbyte, dtype=np.int32), 2, 1, 4)
+    _score_hits(*args, acc_a, distinct_mask=None)
+    _score_hits(*args, acc_b, distinct_mask=np.zeros(6, dtype=bool))
+    for a, b in zip(acc_a, acc_b):
+        np.testing.assert_array_equal(a, b)

@@ -271,3 +271,27 @@ def test_embedding_dup_pairs_finds_planted_dups(spark):
     assert (out.sim >= 0.99).all()
     # unrelated vectors never pair at this threshold
     assert all(b >= 100 for _, b in pairs)
+
+
+def test_connected_components_groups(spark):
+    from cld2_spark.operators.dedup import connected_components
+    # two components: a 4-chain (diameter 3 -> needs >1 round) and a star;
+    # min-label must cross the whole chain
+    pairs = spark.createDataFrame(
+        [("d3", "d2"), ("d2", "d1"), ("d1", "d0"),   # chain d0-d1-d2-d3
+         ("x9", "x5"), ("x9", "x7")],                # star around x9
+        "a string, b string")
+    out = {r.doc_id: r.group_id
+           for r in connected_components(pairs).collect()}
+    assert out == {"d0": "d0", "d1": "d0", "d2": "d0", "d3": "d0",
+                   "x5": "x5", "x7": "x5", "x9": "x5"}
+
+
+def test_connected_components_max_iter_caps_rounds(spark):
+    from cld2_spark.operators.dedup import connected_components
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    pairs = spark.createDataFrame(chain, "a string, b string")
+    out = {r.doc_id: r.group_id
+           for r in connected_components(pairs, max_iter=1).collect()}
+    # one round propagates labels only one hop: the far end is NOT n0 yet
+    assert out["n1"] == "n0" and out["n6"] != "n0"
