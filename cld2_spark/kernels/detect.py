@@ -865,10 +865,9 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     hits.insert(0, (s_rid, s_pos, langs3, qprobs3, s_gb, None))
                     s_rid = np.concatenate([x[0] for x in hits])
                     all_pos = np.concatenate([x[1] for x in hits])
-                    langs3 = np.concatenate(
-                        [_pad_slots(x[2], x[3], width)[0] for x in hits])
-                    qprobs3 = np.concatenate(
-                        [_pad_slots(x[2], x[3], width)[1] for x in hits])
+                    padded = [_pad_slots(x[2], x[3], width) for x in hits]
+                    langs3 = np.concatenate([p[0] for p in padded])
+                    qprobs3 = np.concatenate([p[1] for p in padded])
                     s_gb = np.concatenate([x[4] for x in hits])
                     dmask = np.concatenate(
                         [x[5] if x[5] is not None
@@ -1222,9 +1221,13 @@ def _extract(nb, model, bytes_rl, score_rl, relw_rl, onebytes_rl,
     tt = np.maximum(bytes_rl.sum(axis=1), 1)
 
     # ---- convergence test on the PRE-removal extraction (:1978-1991)
-    corder, cb3, cp1, cp2, _ = _top3_percent(bytes_rl, tt)
+    corder, cb3, cp1, cp2, cp3 = _top3_percent(bytes_rl, tt)
     pre_rel1 = relw_rl[r, corder[:, 0]] // np.maximum(cb3[:, 0], 1)
-    pre_reliable = pre_rel1 >= MIN_RELIABLE_KEEP_PERCENT
+    # the convergence test's is_reliable is ExtractLangEtc's: top-lang
+    # reliability >= 41 AND ignore percent <= 20
+    # (internal/compact_lang_det_impl.cc:1366-1382)
+    pre_reliable = (pre_rel1 >= MIN_RELIABLE_KEEP_PERCENT) \
+        & (100 - (cp1 + cp2 + cp3) <= IGNORE_MAX_PERCENT)
     converged = (nb.text_bytes <= SHORT_TEXT_THRESH) | (
         pre_reliable & ((cp1 >= GOOD_LANG1_PERCENT)
                         | (cp1 + cp2 >= GOOD_LANG1AND2_PERCENT)))
