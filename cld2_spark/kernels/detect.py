@@ -637,7 +637,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                  lang_hints: list | None = None, hints: list | None = None,
                  return_spans: bool = False, best_effort: bool = False,
                  score_as_quads: bool = False, is_plain_text: bool = True,
-                 _repeats: bool = False, _retry: bool = True) -> dict[str, np.ndarray]:
+                 _repeats: bool = False, _retry: bool = True,
+                 _stream_cache: tuple | None = None) -> dict[str, np.ndarray]:
     """Detect top-3 languages per text. Pure NumPy; one pass per script group.
 
     Returns dict of per-row arrays matching the reference result contract
@@ -744,17 +745,55 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         else (ut.RTYPE_MANY,)
     many = [s for s in present_scripts.tolist()
             if ut.RTYPE[s] in quad_rtypes and ut.SCRIPTS[s][0] in model.group_tables]
+    # Retry stream reuse: a row's letter stream, gram hashes and word
+    # hashes are identical between pass 1 and the retry (rows are
+    # space-delimited in every batch stream, and all filters are
+    # within-row), so pass 1 caches its PRE-filter streams and the retry
+    # subsets them by row membership instead of re-normalizing, re-gramming
+    # and re-hashing ~half the batch. Squeezed rows (text modified) always
+    # take the fresh path.
+    stream_cache: dict | None = None
+    if _stream_cache is not None:
+        many = _stream_cache[0]["many"]
     if many:
-        arr, rid_s, scr_s, orig_s = T.group_stream_with_script(
-            nb, np.array(many, dtype=np.uint8))
-        g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s)
+        use_ref_words = model.ref_word_delta is not None
+        have_words = use_ref_words or model.words is not None
+        use_backoff = best_effort and bool(model.quad_backoff)
+        if _stream_cache is not None:
+            C, sub_rows = _stream_cache
+            scr_s, orig_s = C["scr_s"], C["orig_s"]
+            gsel = np.isin(C["g_rid"], sub_rows)
+            g_rid = np.searchsorted(sub_rows, C["g_rid"][gsel]).astype(np.int32)
+            h, gb, pos = C["h"][gsel], C["gb"][gsel], C["pos"][gsel]
+            h3 = C["h3"][gsel] if C["h3"] is not None else None
+            if have_words:
+                wsel = np.isin(C["w_rid"], sub_rows)
+                w_rid = np.searchsorted(
+                    sub_rows, C["w_rid"][wsel]).astype(C["w_rid"].dtype)
+                wh40, pair40, wpos = (C["wh40"][wsel], C["pair40"][wsel],
+                                      C["wpos"][wsel])
+        else:
+            arr, rid_s, scr_s, orig_s = T.group_stream_with_script(
+                nb, np.array(many, dtype=np.uint8))
+            g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s)
+            if len(g_rid):
+                h = quad_hash_v2(buf, bs, bl)
+                # J2 backoff key (prefix trigram): only ever consumed under
+                # bestEffort with a backoff table -- skip the second
+                # full-stream hash pass on the default hot path
+                h3 = quad_hash_v2(buf, bs, tri_len) if use_backoff else None
+                if have_words:
+                    w_rid, wh40, pair40, wpos = word_grams(arr, rid_s)
         if len(g_rid):
-            h = quad_hash_v2(buf, bs, bl)
-            # J2 backoff key (prefix trigram): only ever consumed under
-            # bestEffort with a backoff table -- skip the second full-stream
-            # hash pass on the default hot path
-            use_backoff = best_effort and bool(model.quad_backoff)
-            h3 = quad_hash_v2(buf, bs, tri_len) if use_backoff else None
+            if _retry and not _repeats:
+                stream_cache = {
+                    "many": many, "scr_s": scr_s, "orig_s": orig_s,
+                    "g_rid": g_rid, "h": h, "h3": h3, "gb": gb, "pos": pos,
+                    "w_rid": w_rid if have_words else None,
+                    "wh40": wh40 if have_words else None,
+                    "pair40": pair40 if have_words else None,
+                    "wpos": wpos if have_words else None,
+                }
             keep = repeat_filter(h, g_rid)
             if _repeats:
                 keep &= predicted_filter(h, g_rid)
@@ -762,15 +801,11 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
             if h3 is not None:
                 h3 = h3[keep]
             g_script = scr_s[pos]
-            use_ref_words = model.ref_word_delta is not None
-            have_words = use_ref_words or model.words is not None
-            if have_words:
-                w_rid, wh40, pair40, wpos = word_grams(arr, rid_s)
-                if not use_ref_words:
-                    from .hashes import fold40_to_32
-                    w32 = fold40_to_32(wh40)
-                    pair32 = np.where(pair40 != 0, fold40_to_32(pair40),
-                                      np.uint32(0))
+            if have_words and not use_ref_words:
+                from .hashes import fold40_to_32
+                w32 = fold40_to_32(wh40)
+                pair32 = np.where(pair40 != 0, fold40_to_32(pair40),
+                                  np.uint32(0))
             for s in many:
                 m = g_script == s
                 if not m.any():
@@ -1014,24 +1049,38 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                         sbuf.decode("utf-8", errors="ignore"))
     if _retry and not _repeats and not (converged & ~squeeze).all():
         idx = np.flatnonzero(~converged | squeeze)
-        texts2 = [squeezed_text.get(i, texts[i]) for i in idx.tolist()]
-        hints2 = ([hints[i] for i in idx.tolist()]
-                  if hints is not None else None)
-        out2 = detect_batch(texts2, model, hints=hints2,
-                            best_effort=best_effort,
-                            score_as_quads=score_as_quads,
-                            _repeats=True, _retry=False)
-        # Monotone merge (deviation from the reference's unconditional
-        # kCLDFlagFinish accept, documented): with a corpus-trained quad
-        # table the squeezed pass works on tiny byte counts where fluke
-        # chunk winners loom large, so pass 2 replaces pass 1 only when it
-        # is reliable or pass 1 had no answer. The reference can accept
-        # unconditionally because its web-scale table keeps pass-2 scores
-        # well-separated.
-        better = out2["is_reliable"] | (out["summary_lang"][idx] == "un")
-        ridx = idx[better]
-        for k in out:
-            out[k][ridx] = out2[k][better]
+        # unmodified rows reuse the cached pass-1 streams; squeezed rows
+        # (text changed) take the fresh path
+        sq = squeeze[idx]
+        sub_batches = []
+        if (~sq).any():
+            clean = idx[~sq]
+            sub_batches.append(
+                (clean, [texts[i] for i in clean.tolist()],
+                 (stream_cache, clean) if stream_cache is not None else None))
+        if sq.any():
+            sqi = idx[sq]
+            sub_batches.append(
+                (sqi, [squeezed_text[i] for i in sqi.tolist()], None))
+        for sidx, texts2, cache2 in sub_batches:
+            hints2 = ([hints[i] for i in sidx.tolist()]
+                      if hints is not None else None)
+            out2 = detect_batch(texts2, model, hints=hints2,
+                                best_effort=best_effort,
+                                score_as_quads=score_as_quads,
+                                _repeats=True, _retry=False,
+                                _stream_cache=cache2)
+            # Monotone merge (deviation from the reference's unconditional
+            # kCLDFlagFinish accept, documented): with a corpus-trained
+            # quad table the squeezed pass works on tiny byte counts where
+            # fluke chunk winners loom large, so pass 2 replaces pass 1
+            # only when it is reliable or pass 1 had no answer. The
+            # reference can accept unconditionally because its web-scale
+            # table keeps pass-2 scores well-separated.
+            better = out2["is_reliable"] | (out["summary_lang"][sidx] == "un")
+            ridx = sidx[better]
+            for k in out:
+                out[k][ridx] = out2[k][better]
     if return_spans:
         # chunk vector from the pass-1 attribution (retry refines only the
         # summary result; span boundaries come from the full-text chunks)

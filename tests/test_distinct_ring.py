@@ -89,3 +89,61 @@ def test_no_distinct_mask_matches_mask_of_false():
     _score_hits(*args, acc_b, distinct_mask=np.zeros(6, dtype=bool))
     for a, b in zip(acc_a, acc_b):
         np.testing.assert_array_equal(a, b)
+
+
+def _ring_reference_scores(g_rid, langs, qprobs, gbytes, dmask, n_rows,
+                           n_langs, chunk_size):
+    """Slow per-hit simulator of the reference scoring loop: linear adds,
+    a per-row 4-slot ring of distinct hits, ScoreBoosts re-add at each
+    chunk end, winner-take-all per chunk into per-row doc scores."""
+    import collections
+    doc_score = np.zeros((n_rows, n_langs), dtype=np.int64)
+    # chunk id per hit: base-gram cumcount // chunk_size, capped like W1
+    for row in range(n_rows):
+        idx = [i for i in range(len(g_rid)) if g_rid[i] == row]
+        if not idx:
+            continue
+        n_base = sum(1 for i in idx if gbytes[i] > 0)
+        n_chunks = max(1, -(-n_base // chunk_size))
+        runt = (0 < n_base % chunk_size < chunk_size // 2) and n_chunks > 1
+        n_chunks -= runt
+        ring = collections.deque(maxlen=4)
+        cum = 0
+        chunks = [[] for _ in range(n_chunks)]
+        for i in idx:
+            c = min(cum // chunk_size, n_chunks - 1)
+            chunks[c].append(i)
+            if gbytes[i] > 0:
+                cum += 1
+        for c, hit_ids in enumerate(chunks):
+            tote = np.zeros(n_langs, dtype=np.int64)
+            for i in hit_ids:
+                tote[langs[i]] += qprobs[i]
+                if dmask[i]:
+                    ring.append(i)
+            for i in ring:                     # ScoreBoosts
+                tote[langs[i]] += qprobs[i]
+            if tote.max() > 0:
+                w = int(np.argmax(tote))
+                doc_score[row, w] += tote[w]
+    return doc_score
+
+
+def test_ring_matches_slow_simulator_fuzz():
+    rng = np.random.RandomState(7)
+    for trial in range(40):
+        n_rows = rng.randint(1, 4)
+        n = rng.randint(1, 60)
+        g_rid = np.sort(rng.randint(0, n_rows, n)).astype(np.int32)
+        langs = rng.randint(1, 5, n).astype(np.uint8)
+        qprob = rng.randint(1, 6, n).astype(np.uint8)
+        gbyte = (rng.rand(n) < 0.7).astype(np.int32)
+        dmask = ((gbyte == 0) & (rng.rand(n) < 0.6))
+        cs = int(rng.choice([2, 3, 4, 5]))  # small sizes exercise runt merge
+        acc = tuple(np.zeros((n_rows, 8), dtype=np.int32) for _ in range(3))
+        _score_hits(g_rid, langs.reshape(-1, 1), qprob.reshape(-1, 1),
+                    gbyte, cs, n_rows, 8, acc, distinct_mask=dmask)
+        want = _ring_reference_scores(g_rid, langs, qprob, gbyte, dmask,
+                                      n_rows, 8, cs)
+        np.testing.assert_array_equal(
+            acc[1], want, err_msg=f"trial {trial}: seed-7 stream mismatch")

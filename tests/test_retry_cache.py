@@ -1,0 +1,70 @@
+"""Retry stream-reuse (round 3): pass 2 subsets pass 1's cached gram/word
+streams for unmodified rows instead of re-normalizing and re-hashing.
+
+The reuse must be EXACTLY behavior-preserving: rows are space-delimited in
+every batch stream and all filters (repeat, predicted, word keep) are
+within-row, so a row-level subset of the pass-1 stream equals the stream a
+fresh pass-2 batch would compute. These tests assert bit-equality of every
+output key between the cached path and a forced-fresh retry.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import cld2_spark.kernels.detect as D
+from cld2_spark.kernels.model import default_model
+
+DATA = Path(__file__).parent / "data"
+
+
+def _fresh_detect(texts, model, **kw):
+    """detect_batch with the retry stream cache disabled at every level."""
+    orig = D.detect_batch
+
+    def nocache(ts, model=None, **kwargs):
+        kwargs.pop("_stream_cache", None)
+        return orig(ts, model, _stream_cache=None, **kwargs)
+
+    D.detect_batch = nocache
+    try:
+        return nocache(texts, model, **kw)
+    finally:
+        D.detect_batch = orig
+
+
+def _assert_equal_outputs(a, b):
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=f"key {k}")
+
+
+def test_cached_retry_equals_fresh_on_corpus():
+    pairs = [json.loads(l) for l in (DATA / "cld2_unittest_pairs.jsonl").open()]
+    # long texts force retries; include everything for coverage
+    texts = [p["text"] for p in pairs]
+    m = default_model()
+    _assert_equal_outputs(D.detect_batch(texts, m), _fresh_detect(texts, m))
+
+
+def test_cached_retry_equals_fresh_on_synth_transcripts():
+    from cld2_spark.sources.transcripts import synth_transcripts_pandas
+    texts = synth_transcripts_pandas(600)["text"].tolist()
+    m = default_model()
+    _assert_equal_outputs(D.detect_batch(texts, m), _fresh_detect(texts, m))
+    # flags ride through the retry identically
+    _assert_equal_outputs(D.detect_batch(texts, m, best_effort=True),
+                          _fresh_detect(texts, m, best_effort=True))
+
+
+def test_squeezed_rows_take_the_fresh_path():
+    # a >2KB junk row (squeeze trigger) mixed with normal rows: squeezed
+    # text differs from pass 1, so it must NOT reuse the cache -- and the
+    # result must still match an all-fresh run
+    junk = ("za.jpg zb.jpg " * 200) + "  Dies ist ein ganz normaler deutscher Satz. "
+    texts = [junk * 2, "The quick brown fox jumps over the lazy dog again.",
+             "Ceci est une phrase en francais pour le test."]
+    m = default_model()
+    _assert_equal_outputs(D.detect_batch(texts, m), _fresh_detect(texts, m))
