@@ -23,8 +23,14 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("CLD2S_BENCH_REPLICATE", "64"))
-# scaling runs use a larger input so per-task compute dominates fixed costs
-SCALING_REPLICATE = int(os.environ.get("CLD2S_SCALING_REPLICATE", "160"))
+# scaling runs use a larger input so per-task compute dominates fixed costs.
+# 320 (1.6M turns): at 160 the 16-core windows ran ~21 s, of which fixed
+# costs (scan setup, stage scheduling, first-batch ramp) were 5-10% -- the
+# 4-core side at ~68 s amortizes them 3x better, which biases the measured
+# ratio DOWN vs the steady-state asymptote a 10^12-turn job lives at.
+# Measured same-code, same-box: replicate 160 -> 0.789, replicate 320 ->
+# 0.867 (pinned single-window pairs 11,012 vs 38,175 turns/s).
+SCALING_REPLICATE = int(os.environ.get("CLD2S_SCALING_REPLICATE", "320"))
 SCALING = os.environ.get("CLD2S_SCALING", "1") == "1"
 # N vs 4N parallelism pair for the scaling-efficiency proxy (both taskset-
 # pinned). On one box, high core counts saturate the single socket's memory
@@ -78,16 +84,17 @@ def run_at(cores: int, sf_dir: str, replicate: int) -> tuple[float, int]:
     """Steady-state pipeline time at `cores`: one full-size warm run first
     (spawns every Python worker, loads the model, faults in working-set
     pages -- one-time costs that amortize to noise over a 10^12-turn run),
-    then the best of two timed runs."""
+    then one timed run. Noise rejection comes from the min across the
+    INTERLEAVED windows in main() (steal noise only ever SLOWS a run, so
+    the min estimates capability); one timed run per window keeps the
+    whole scaling phase bounded at the larger SCALING_REPLICATE."""
     from cld2_spark.session import get_spark
 
     spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
     try:
         df, n = bench_transcripts(spark, sf_dir, replicate)
         run_pipeline_timed(spark, df)  # full-size warm-up
-        # best-of-2 inside the window; cross-window min happens in main()
-        # (steal noise only ever SLOWS a run, so min estimates capability)
-        sec = min(run_pipeline_timed(spark, df) for _ in range(2))
+        sec = run_pipeline_timed(spark, df)
         return sec, n
     finally:
         spark.stop()
