@@ -49,6 +49,18 @@ _SHINGLE_DUCK = ("list_transform(range(1, greatest(length(text) - 3, 2)), "
 
 N_BANDS = 4
 BUCKET_CAP = 64  # band-bucket star-reduction threshold (operators/dedup.py)
+MIN_JACC_PCT = 50  # verified-pair threshold shared by minhash_pairs + dedup_groups
+
+
+def _minhash_verified_pairs_sql() -> str:
+    """The exact-Jaccard verified pair set (the subquery both the
+    minhash_pairs oracle and the dedup_groups CC oracle must agree on --
+    one definition so a threshold change cannot desynchronize them)."""
+    return (
+        f"SELECT a, b, CAST(FLOOR(len(list_intersect(sa.hset, sb.hset)) * 100 / "
+        f"     (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)))) AS INT) AS jacc_pct "
+        f"FROM cand JOIN mh_hs sa ON cand.a = sa.doc_id "
+        f"JOIN mh_hs sb ON cand.b = sb.doc_id")
 
 
 def _capped_pairs_duck(stacked_rel: str, cap: int = BUCKET_CAP) -> str:
@@ -218,7 +230,7 @@ def _q_minhash_pairs(spark, sf_dir):
     from cld2_spark.operators.dedup import minhash_lsh_pairs
     _register(spark, sf_dir)
     return minhash_lsh_pairs(spark.table("dup_docs"), "text", "doc_id",
-                             min_jaccard_pct=50, bucket_cap=BUCKET_CAP)
+                             min_jaccard_pct=MIN_JACC_PCT, bucket_cap=BUCKET_CAP)
 
 
 def _q_dedup_groups(spark, sf_dir):
@@ -230,7 +242,7 @@ def _q_dedup_groups(spark, sf_dir):
                                             minhash_lsh_pairs)
     _register(spark, sf_dir)
     pairs = minhash_lsh_pairs(spark.table("dup_docs"), "text", "doc_id",
-                              min_jaccard_pct=50, bucket_cap=BUCKET_CAP)
+                              min_jaccard_pct=MIN_JACC_PCT, bucket_cap=BUCKET_CAP)
     return connected_components(pairs)
 
 
@@ -649,24 +661,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, band0, band1, band2, band3 FROM mh_sigs"),
         "minhash_pairs": (
             f"{ctes}, {_minhash_duck_ctes()} "
-            f"SELECT a, b, jacc_pct FROM ("
-            f"  SELECT a, b, CAST(FLOOR(len(list_intersect(sa.hset, sb.hset)) * 100 / "
-            f"       (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)))) AS INT) AS jacc_pct "
-            f"  FROM cand JOIN mh_hs sa ON cand.a = sa.doc_id "
-            f"  JOIN mh_hs sb ON cand.b = sb.doc_id"
-            f") WHERE jacc_pct >= 50"),
+            f"SELECT a, b, jacc_pct FROM ({_minhash_verified_pairs_sql()}) "
+            f"WHERE jacc_pct >= {MIN_JACC_PCT}"),
         "dedup_groups": (
             # same WITH-list as minhash_pairs plus a recursive min-label
             # walk: group_id = smallest doc id transitively reachable over
             # the verified pair list (the CC oracle; UNION dedup bounds the
             # recursion by the finite (id, label) pair set)
             f"{ctes}, {_minhash_duck_ctes()}, "
-            f"vp AS (SELECT a, b FROM ("
-            f"  SELECT a, b, CAST(FLOOR(len(list_intersect(sa.hset, sb.hset)) * 100 / "
-            f"       (len(sa.hset) + len(sb.hset) - len(list_intersect(sa.hset, sb.hset)))) AS INT) AS jacc_pct "
-            f"  FROM cand JOIN mh_hs sa ON cand.a = sa.doc_id "
-            f"  JOIN mh_hs sb ON cand.b = sb.doc_id"
-            f") WHERE jacc_pct >= 50), "
+            f"vp AS (SELECT a, b FROM ({_minhash_verified_pairs_sql()}) "
+            f"  WHERE jacc_pct >= {MIN_JACC_PCT}), "
             f"cc_edges AS (SELECT a AS src, b AS dst FROM vp "
             f"  UNION SELECT b, a FROM vp), "
             f"walk(id, lab) AS ("

@@ -359,7 +359,10 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     -- persists across scriptspans of a document, compact_lang_det_impl.cc
     :1768 "carries state across scriptspans", so it resets per row here).
     A distinct hit therefore counts twice in its own chunk (once linear,
-    once from the ring), exactly like the reference.
+    once from the ring), exactly like the reference. Scope deviation
+    (documented in PARITY.md): one ring per (row, script-group) call,
+    where the reference shares one "othr" ring bank across all non-Latin
+    scripts of a document (scoreonescriptspan.h:124-147).
     """
     bytes_rl, score_rl, relw_rl = acc
     N = len(g_rid)

@@ -287,11 +287,25 @@ def test_connected_components_groups(spark):
                    "x5": "x5", "x7": "x5", "x9": "x5"}
 
 
-def test_connected_components_max_iter_caps_rounds(spark):
+def test_connected_components_max_iter_warns_when_not_converged(spark):
+    import pytest as _pytest
+
     from cld2_spark.operators.dedup import connected_components
     chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
     pairs = spark.createDataFrame(chain, "a string, b string")
-    out = {r.doc_id: r.group_id
-           for r in connected_components(pairs, max_iter=1).collect()}
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        out = {r.doc_id: r.group_id
+               for r in connected_components(pairs, max_iter=1).collect()}
     # one round propagates labels only one hop: the far end is NOT n0 yet
     assert out["n1"] == "n0" and out["n6"] != "n0"
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    # a 40-hop chain: plain propagation would need 40 rounds; pointer
+    # jumping converges within the default max_iter=12 (log-diameter)
+    from cld2_spark.operators.dedup import connected_components
+    chain = [(f"c{i:02d}", f"c{i+1:02d}") for i in range(40)]
+    pairs = spark.createDataFrame(chain, "a string, b string")
+    out = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
+    assert set(out.values()) == {"c00"}
+    assert len(out) == 41
