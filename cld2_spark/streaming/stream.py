@@ -75,3 +75,36 @@ def start_pipeline_stream(spark: SparkSession, source_dir: str, sink_dir: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dedup_stream(spark: SparkSession, source_dir: str, sink_dir: str,
+                       checkpoint_dir: str, watermark: str = "10 minutes",
+                       trigger_once: bool = True):
+    """Streaming EXACT dedup at ingest: emit each distinct text fingerprint
+    once, drop re-arrivals within the watermark horizon.
+
+    Uses dropDuplicatesWithinWatermark on md5(text): unlike plain
+    dropDuplicates (whose state grows without bound on an infinite
+    stream), state for a fingerprint is evicted once the watermark passes
+    its event time, so memory is bounded by the dedup horizon -- the
+    correct contract for 10^12-turn ingest where exact global dedup is a
+    separate batch job (operators/dedup.exact_dedup) and the stream only
+    needs to suppress near-in-time re-deliveries (retries, crawler
+    re-fetches, at-least-once sources).
+
+    State is keyed by the 16-byte fingerprint, not the text itself, so
+    per-key state is O(1) and skew-free (md5 is uniform).
+    """
+    from pyspark.sql import functions as F
+
+    src = (spark.readStream.schema(TRANSCRIPT_DDL).parquet(source_dir)
+           .withWatermark("ts", watermark)
+           .withColumn("fingerprint", F.md5(F.col("text")))
+           .dropDuplicatesWithinWatermark(["fingerprint"]))
+    writer = (src.writeStream.format("parquet")
+              .option("path", sink_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -10,9 +10,12 @@ import pytest
 
 
 def _turns(rows):
-    return pd.DataFrame(
+    pdf = pd.DataFrame(
         [{"conv_id": c, "turn_idx": i, "role": r, "text": t, "tool": "",
           "ts": ts} for c, i, r, t, ts in rows])
+    # the imposed schema says int32; pandas defaults to int64 (hidden from
+    # queries that prune turn_idx, fatal for ones that read it)
+    return pdf.astype({"turn_idx": "int32"})
 
 
 def _write(pdf, path):
@@ -96,3 +99,38 @@ def test_transcript_source_formats_roundtrip(spark, tmp_path, fmt):
     assert got.text.fillna("").tolist() == want.text.fillna("").tolist()
     assert got.ts.tolist() == want.ts.tolist()
     assert got.dtypes.equals(want.dtypes)
+
+
+def test_streaming_dedup_drops_in_horizon_rearrivals(spark, tmp_path):
+    """start_dedup_stream: each distinct text fingerprint is emitted once;
+    a re-delivery of the same text inside the watermark horizon (an
+    at-least-once retry / crawler re-fetch) is dropped; a DIFFERENT text
+    always passes. State is keyed on md5(text) within the watermark."""
+    import os
+    import time as _time
+
+    from cld2_spark.streaming.stream import start_dedup_stream
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    _write(_turns([("c1", 0, "user", "same text", t(10, 0)),
+                   ("c1", 1, "user", "other text", t(10, 1))]),
+           str(src / "f1.parquet"))
+    # batch 2: a retry of "same text" (inside the horizon) + a new text
+    _write(_turns([("c2", 0, "user", "same text", t(10, 2)),
+                   ("c2", 1, "user", "third text", t(10, 3))]),
+           str(src / "f2.parquet"))
+    now = _time.time()
+    os.utime(str(src / "f1.parquet"), (now - 60, now - 60))
+    os.utime(str(src / "f2.parquet"), (now, now))
+
+    q = start_dedup_stream(spark, str(src), str(tmp_path / "dsink"),
+                           str(tmp_path / "dckpt"), watermark="10 minutes")
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "dsink")).toPandas()
+    texts = sorted(out.text.tolist())
+    assert texts == ["other text", "same text", "third text"], texts
+    # the survivor of the duplicated text is its first delivery
+    assert out[out.text == "same text"].conv_id.iloc[0] == "c1"
