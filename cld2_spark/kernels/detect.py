@@ -752,9 +752,10 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
     # hashes are identical between pass 1 and the retry (rows are
     # space-delimited in every batch stream, and all filters are
     # within-row), so pass 1 caches its PRE-filter streams and the retry
-    # subsets them by row membership instead of re-normalizing, re-gramming
-    # and re-hashing ~half the batch. Squeezed rows (text modified) always
-    # take the fresh path.
+    # subsets them by row membership instead of re-gramming and re-hashing
+    # ~half the batch (the retry still re-normalizes: the RTypeOne/CJK
+    # passes and _extract need the subset NormBatch). Squeezed rows (text
+    # modified) always take the fresh path.
     stream_cache: dict | None = None
     if _stream_cache is not None:
         many = _stream_cache[0]["many"]

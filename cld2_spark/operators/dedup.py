@@ -358,9 +358,11 @@ def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
     41-node graph). On a real cluster prefer a reliable checkpoint dir
     (sc.setCheckpointDir + .checkpoint()) so rounds survive executor loss.
 
-    Cache lifecycle: the returned label relation is a materialized local
-    checkpoint; its blocks are freed when the DataFrame is garbage
-    collected. The edge list is unpersisted here.
+    Cache lifecycle: every superseded round's checkpoint blocks are freed
+    eagerly inside the loop (tracked by RDD id -- at most two label-table
+    copies are ever live); the returned label relation is the final
+    materialized checkpoint, freed when it is garbage collected. The edge
+    list is unpersisted here.
     """
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b).alias("src"),
@@ -368,7 +370,13 @@ def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
              .distinct().persist())
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("lab", F.col("id")))
+    sc = pairs.sparkSession.sparkContext
+
+    def _persist_ids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
     changed = 0
+    prev_ckpt_ids: list = []
     try:
         for _ in range(max_iter):
             nbr = (edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -378,13 +386,29 @@ def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
                           F.col("x.lab") == F.col("y.id"))
                     .select(F.col("x.id").alias("id"),
                             F.col("y.lab").alias("lab")))
+            before = _persist_ids()
             new_labels = (labels.union(nbr).union(jump).groupBy("id")
                           .agg(F.min("lab").alias("lab"))
                           .localCheckpoint(eager=True))
+            new_ids = _persist_ids() - before
             changed = (labels.withColumnRenamed("lab", "old")
                        .join(new_labels, "id")
                        .where(F.col("lab") != F.col("old"))
                        .limit(1).count())
+            # Free the PREVIOUS round's checkpoint blocks now that this
+            # round is fully materialized and the convergence probe has
+            # read prev for the last time -- without this, up to max_iter
+            # label-table copies accumulate in block storage until the
+            # ContextCleaner's GC-driven cleanup. (Checkpoint RDD ids are
+            # tracked via the public getPersistentRDDs map; unpersisting a
+            # locally-checkpointed RDD logs a WARN that it cannot be
+            # recomputed -- intended: prev is never referenced again.)
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in prev_ckpt_ids:
+                jr = jmap.get(rid)
+                if jr is not None:
+                    jr.unpersist(False)
+            prev_ckpt_ids = list(new_ids)
             labels = new_labels
             if changed == 0:
                 break

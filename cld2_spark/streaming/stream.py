@@ -21,10 +21,13 @@ TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, text string, "
 
 
 def stream_transcripts(spark: SparkSession, source_dir: str,
-                       watermark: str = "10 minutes") -> DataFrame:
+                       watermark: str = "10 minutes",
+                       max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream of transcript parquet with late-data watermark."""
-    return (spark.readStream.schema(TRANSCRIPT_DDL).parquet(source_dir)
-            .withWatermark("ts", watermark))
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir).withWatermark("ts", watermark)
 
 
 def start_windowed_stats_stream(spark: SparkSession, source_dir: str,
@@ -79,6 +82,7 @@ def start_pipeline_stream(spark: SparkSession, source_dir: str, sink_dir: str,
 
 def start_dedup_stream(spark: SparkSession, source_dir: str, sink_dir: str,
                        checkpoint_dir: str, watermark: str = "10 minutes",
+                       max_files_per_trigger: int | None = None,
                        trigger_once: bool = True):
     """Streaming EXACT dedup at ingest: emit each distinct text fingerprint
     once, drop re-arrivals within the watermark horizon.
@@ -93,14 +97,19 @@ def start_dedup_stream(spark: SparkSession, source_dir: str, sink_dir: str,
     re-fetches, at-least-once sources).
 
     State is keyed by the 16-byte fingerprint, not the text itself, so
-    per-key state is O(1) and skew-free (md5 is uniform).
+    per-key state is O(1) and skew-free (md5 is uniform). The sink keeps
+    the transcript schema: the fingerprint key column is dropped before
+    the write. Note the survivor of duplicates arriving in the SAME
+    micro-batch is engine-chosen; across micro-batches the first delivery
+    wins (it owns the state entry).
     """
     from pyspark.sql import functions as F
 
-    src = (spark.readStream.schema(TRANSCRIPT_DDL).parquet(source_dir)
-           .withWatermark("ts", watermark)
+    src = (stream_transcripts(spark, source_dir, watermark,
+                              max_files_per_trigger)
            .withColumn("fingerprint", F.md5(F.col("text")))
-           .dropDuplicatesWithinWatermark(["fingerprint"]))
+           .dropDuplicatesWithinWatermark(["fingerprint"])
+           .drop("fingerprint"))
     writer = (src.writeStream.format("parquet")
               .option("path", sink_dir)
               .option("checkpointLocation", checkpoint_dir)

@@ -304,8 +304,13 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     # a 40-hop chain: plain propagation would need 40 rounds; pointer
     # jumping converges within the default max_iter=12 (log-diameter)
     from cld2_spark.operators.dedup import connected_components
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     chain = [(f"c{i:02d}", f"c{i+1:02d}") for i in range(40)]
     pairs = spark.createDataFrame(chain, "a string, b string")
     out = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
     assert set(out.values()) == {"c00"}
     assert len(out) == 41
+    # superseded rounds' checkpoint blocks were freed eagerly: only the
+    # final label checkpoint may remain (~8 rounds ran)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert len(after - before) <= 1, f"leaked checkpoints: {after - before}"

@@ -125,8 +125,12 @@ def test_streaming_dedup_drops_in_horizon_rearrivals(spark, tmp_path):
     os.utime(str(src / "f1.parquet"), (now - 60, now - 60))
     os.utime(str(src / "f2.parquet"), (now, now))
 
+    # maxFilesPerTrigger=1 -> the retry lands in a LATER micro-batch than
+    # the original, so the first delivery owns the state entry and the
+    # survivor is deterministic (same-batch survivor is engine-chosen)
     q = start_dedup_stream(spark, str(src), str(tmp_path / "dsink"),
-                           str(tmp_path / "dckpt"), watermark="10 minutes")
+                           str(tmp_path / "dckpt"), watermark="10 minutes",
+                           max_files_per_trigger=1)
     q.awaitTermination(120)
 
     out = spark.read.parquet(str(tmp_path / "dsink")).toPandas()
