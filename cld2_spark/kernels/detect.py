@@ -669,7 +669,13 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         texts = html_to_text_batch(texts)
         nb = None
     if nb is None:
-        nb = T.normalize_batch(texts)
+        if _stream_cache is not None:
+            # retry path: the subset NormBatch equals normalize_batch of
+            # the subset texts (proven + fuzz-tested, subset_norm_batch)
+            nb = T.subset_norm_batch(_stream_cache[0]["nb"],
+                                     _stream_cache[1])
+        else:
+            nb = T.normalize_batch(texts)
     n = nb.n
     L = len(model.langs)
     # int32 is safe: every sum is bounded by TEXT_LIMIT (160KB) * 100
@@ -791,7 +797,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         if len(g_rid):
             if _retry and not _repeats:
                 stream_cache = {
-                    "many": many, "scr_s": scr_s, "orig_s": orig_s,
+                    "many": many, "nb": nb,
+                    "scr_s": scr_s, "orig_s": orig_s,
                     "g_rid": g_rid, "h": h, "h3": h3, "gb": gb, "pos": pos,
                     "w_rid": w_rid if have_words else None,
                     "wh40": wh40 if have_words else None,

@@ -157,3 +157,39 @@ def encode_utf8(arr: np.ndarray) -> np.ndarray:
     raw = text.encode("utf-8")
     buf = np.frombuffer(raw, dtype=np.uint8)
     return np.concatenate([buf, np.zeros(32, dtype=np.uint8)])
+
+
+def subset_norm_batch(nb: NormBatch, rows: np.ndarray) -> NormBatch:
+    """Row-subset of a NormBatch, equal to normalize_batch of the subset
+    texts (used by the retry stream reuse, detect.py).
+
+    Why equality holds: the joined stream is ' ' t0 ' ' t1 ' ' ... with
+    each row owning its chars + ONE trailing space (row 0 additionally
+    owns the global leading space), so keeping the rows' positions
+    preserves every per-row segment verbatim and every row boundary
+    remains a single space. The only repair needed: when row 0 is not in
+    the subset, the stream lost its global leading space -- prepend one
+    owned by the new first row (exactly what normalize_batch emits).
+
+    `rows` must be sorted ascending (np.flatnonzero order).
+    """
+    keep = np.isin(nb.rid, rows)
+    new_rid = np.searchsorted(rows, nb.rid[keep]).astype(np.int32)
+    sub = dict(cp=nb.cp[keep], rid=new_rid, u8len=nb.u8len[keep],
+               script=nb.script[keep], letter=nb.letter[keep],
+               lower=nb.lower[keep])
+    if len(rows) and rows[0] != 0:
+        # the global leading space belongs to row 0 and was dropped with
+        # it; the new first row owns the replacement (normalize_batch
+        # layout)
+        script_t, _, _ = ut.tables()
+        sub["cp"] = np.concatenate(
+            [[SPACE], sub["cp"]]).astype(np.uint32)
+        sub["rid"] = np.concatenate([[0], sub["rid"]]).astype(np.int32)
+        sub["u8len"] = np.concatenate([[1], sub["u8len"]]).astype(np.int8)
+        sub["script"] = np.concatenate(
+            [[script_t[32]], sub["script"]]).astype(np.uint8)
+        sub["letter"] = np.concatenate([[False], sub["letter"]])
+        sub["lower"] = np.concatenate([[SPACE], sub["lower"]]).astype(np.uint32)
+    return NormBatch(n=len(rows), text_bytes=nb.text_bytes[rows],
+                     has_replacement=nb.has_replacement[rows], **sub)

@@ -68,3 +68,24 @@ def test_squeezed_rows_take_the_fresh_path():
              "Ceci est une phrase en francais pour le test."]
     m = default_model()
     _assert_equal_outputs(D.detect_batch(texts, m), _fresh_detect(texts, m))
+
+
+def test_subset_norm_batch_equals_fresh_normalize():
+    """The retry's NormBatch reuse: a row-subset of a batch's NormBatch is
+    bit-identical to normalize_batch of the subset texts (incl. the
+    global-leading-space repair when row 0 is dropped)."""
+    from cld2_spark.kernels import text as T
+    texts = ["Hello world", " leading space", "", "数据 mixed текст",
+             "tail ", "a", "  ", "Ωμέγα τέλος", "x" * 100]
+    nb = T.normalize_batch(texts)
+    rng = np.random.RandomState(3)
+    for _ in range(40):
+        k = rng.randint(1, len(texts) + 1)
+        rows = np.sort(rng.choice(len(texts), size=k, replace=False))
+        sub = T.subset_norm_batch(nb, rows)
+        fresh = T.normalize_batch([texts[i] for i in rows])
+        for f in ("cp", "rid", "u8len", "script", "letter", "lower",
+                  "text_bytes", "has_replacement"):
+            np.testing.assert_array_equal(
+                getattr(sub, f), getattr(fresh, f), err_msg=f"{rows} {f}")
+        assert sub.n == fresh.n
