@@ -93,11 +93,15 @@ def full_entity_table() -> dict[str, str]:
     """Lazy singleton of the verbatim reference entity table."""
     global _FULL_ENTITIES
     if _FULL_ENTITIES is None:
-        from pathlib import Path
+        import io
+        from importlib import resources
 
         import numpy as np
-        z = np.load(Path(__file__).resolve().parent.parent / "model"
-                    / "reference_tables.npz", allow_pickle=False)
+        # via the import system, not __file__: works when the package is
+        # zipimported (spark-submit --py-files cld2_spark.zip)
+        data = (resources.files("cld2_spark") / "model"
+                / "reference_tables.npz").read_bytes()
+        z = np.load(io.BytesIO(data), allow_pickle=False)
         _FULL_ENTITIES = {
             str(n): chr(int(c))
             for n, c in zip(z["entity_names"].tolist(), z["entity_cps"])}

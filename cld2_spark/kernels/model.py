@@ -379,7 +379,12 @@ def default_model() -> Cld2sModel:
     the analogue of CLD2 dynamic-mode load, internal/compact_lang_det_impl.cc:108-136)."""
     global _DEFAULT
     if _DEFAULT is None:
-        from pathlib import Path
-        path = Path(__file__).resolve().parent.parent / "model" / "cld2s_model.npz"
-        _DEFAULT = Cld2sModel.load(str(path))
+        from importlib import resources
+        # read through the import system, NOT a __file__-relative path:
+        # under `spark-submit --py-files cld2_spark.zip` the package is
+        # zipimported and __file__ points inside the archive where
+        # np.load cannot open a file -- read_bytes works in both layouts
+        data = (resources.files("cld2_spark") / "model"
+                / "cld2s_model.npz").read_bytes()
+        _DEFAULT = Cld2sModel.load(data)
     return _DEFAULT

@@ -49,8 +49,13 @@ LOWQ_TEXT = ("this is a perfectly normal english sentence about the weather "
 def _corpus_texts() -> list[str]:
     global _CORPUS_CACHE
     if _CORPUS_CACHE is None:
-        path = Path(__file__).resolve().parent.parent / "model" / "corpus.jsonl"
-        _CORPUS_CACHE = [json.loads(line)["text"] for line in path.open()]
+        from importlib import resources
+        # via the import system, not __file__ (zipimport-safe, see
+        # kernels/model.default_model)
+        text = (resources.files("cld2_spark") / "model"
+                / "corpus.jsonl").read_text()
+        _CORPUS_CACHE = [json.loads(line)["text"]
+                         for line in text.splitlines() if line]
     return _CORPUS_CACHE
 
 
