@@ -75,43 +75,66 @@ def run_pipeline_timed(spark, df) -> float:
 
 
 def time_query(fn, spark, sf_dir) -> float:
-    t0 = time.monotonic()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.monotonic() - t0
+    """Best-of-2 per query (VERDICT r3 #1a): on a shared VM, steal noise
+    only ever SLOWS a run, so min-of-2 estimates capability and damps the
+    uniform +1.5-3 s shift seen in the r3 driver record."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return best
 
 
 def run_at(cores: int, sf_dir: str, replicate: int) -> tuple[float, int]:
-    """Steady-state pipeline time at `cores`: one full-size warm run first
-    (spawns every Python worker, loads the model, faults in working-set
-    pages -- one-time costs that amortize to noise over a 10^12-turn run),
-    then one timed run. Noise rejection comes from the min across the
-    INTERLEAVED windows in main() (steal noise only ever SLOWS a run, so
-    the min estimates capability); one timed run per window keeps the
-    whole scaling phase bounded at the larger SCALING_REPLICATE."""
+    """Steady-state pipeline time at `cores`: a quarter-size warm run first
+    (spawns every Python worker, loads the model, JITs the hot JVM paths --
+    one-time costs that amortize to noise over a 10^12-turn run; worker
+    count depends on cores, not input size, so the warm-up doesn't need the
+    full replicate), then TWO timed full-size runs, reporting the min.
+    Two timed runs per window doubles the per-side sample count for the
+    min-estimator at ~36% extra cost -- the r3 driver miss was the 16-core
+    side never catching a clean window across 3 single-sample windows."""
     from cld2_spark.session import get_spark
 
     spark = get_spark(f"bench-{cores}", cores=cores, shuffle_partitions=cores)
     try:
         df, n = bench_transcripts(spark, sf_dir, replicate)
-        run_pipeline_timed(spark, df)  # full-size warm-up
-        sec = run_pipeline_timed(spark, df)
+        warm = df.sample(fraction=0.25, seed=1)
+        run_pipeline_timed(spark, warm)  # warm-up: all workers, 1/4 data
+        sec = min(run_pipeline_timed(spark, df) for _ in range(2))
         return sec, n
     finally:
         spark.stop()
 
 
-def run_at_pinned(cores: int, sf_dir: str, replicate: int) -> tuple[float, int]:
+def run_at_pinned(cores: int, sf_dir: str, replicate: int,
+                  cpu_list: str | None = None) -> tuple[float, int]:
     """run_at in a subprocess pinned to `cores` CPUs with taskset, so the
     "small cluster" cannot borrow idle cores for JVM stages -- the honest
-    N-executor emulation (an 8-core node runs JVM + Python on 8 cores)."""
+    N-executor emulation (an 8-core node runs JVM + Python on 8 cores).
+    `cpu_list` rotates WHICH vCPUs across windows: hypervisor steal is
+    often per-vCPU, so pinning every window to 0-3 lets one noisy sibling
+    poison the whole side."""
     import subprocess
 
-    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__,
+    if cpu_list is None:
+        cpu_list = f"0-{cores - 1}"
+    cmd = ["taskset", "-c", cpu_list, sys.executable, __file__,
            "--scale-run", str(cores), str(replicate), sf_dir]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("SCALE_RESULT")][-1]
     _, sec, n = line.split()
     return float(sec), int(n)
+
+
+def _cpu_rotation(cores: int, window: int, total: int = 32) -> str:
+    """Disjoint-ish core sets per window: window i at `cores` cores uses a
+    contiguous block starting at (i * cores) mod total."""
+    start = (window * cores) % total
+    if start + cores <= total:
+        return f"{start}-{start + cores - 1}"
+    return f"{start}-{total - 1},0-{(start + cores) % total - 1}"
 
 
 def main() -> None:
@@ -150,20 +173,35 @@ def main() -> None:
     if SCALING:
         try:
             small, big = SCALE_N, SCALE_N * 4
-            # INTERLEAVED windows (N, 4N, N, 4N): neighbor steal on this
-            # shared VM varies minute-to-minute and only ever slows a run,
-            # so the min per side across windows estimates true capability;
-            # a single window per side has produced 0.64..0.96 for
-            # identical code purely from which minutes it landed on
-            secs_sm, secs_bg = [], []
+            # INTERLEAVED windows (N, 4N, N, 4N, ...): neighbor steal on
+            # this shared VM varies minute-to-minute and only ever slows a
+            # run, so the min per side across windows estimates true
+            # capability. Protocol (VERDICT r3 #1, after two driver-record
+            # misses while clean runs measured 0.878-0.965):
+            #   - each window = warm + 2 timed runs, min taken (2 samples)
+            #   - vCPU sets ROTATE across windows (per-vCPU steal can't
+            #     poison every window of a side)
+            #   - up to CLD2S_SCALE_WINDOWS (5) pairs, stopping early once
+            #     the min-per-side efficiency estimate stabilizes: two
+            #     consecutive pair estimates within 5%
+            #   - the full per-window spread is recorded so the artifact
+            #     itself shows contention
+            secs_sm, secs_bg, est_trace = [], [], []
             n_sm = n_bg = 0
-            # >=3 pairs per side (VERDICT r2 #1): more windows = better odds
-            # that each side catches at least one steal-free minute
-            for _ in range(int(os.environ.get("CLD2S_SCALE_WINDOWS", "3"))):
-                s, n_sm = run_at_pinned(small, SF_DIR, SCALING_REPLICATE)
+            max_pairs = int(os.environ.get("CLD2S_SCALE_WINDOWS", "5"))
+            for w in range(max_pairs):
+                s, n_sm = run_at_pinned(small, SF_DIR, SCALING_REPLICATE,
+                                        _cpu_rotation(small, w, CPUS))
                 secs_sm.append(s)
-                s, n_bg = run_at_pinned(big, SF_DIR, SCALING_REPLICATE)
+                s, n_bg = run_at_pinned(big, SF_DIR, SCALING_REPLICATE,
+                                        _cpu_rotation(big, w, CPUS))
                 secs_bg.append(s)
+                est = (min(secs_sm) / min(secs_bg)) / 4.0
+                est_trace.append(round(est, 3))
+                if (len(est_trace) >= 2
+                        and abs(est_trace[-1] - est_trace[-2])
+                        <= 0.05 * est_trace[-2]):
+                    break
             s_sm, s_bg = min(secs_sm), min(secs_bg)
             tp_sm, tp_bg = n_sm / s_sm, n_bg / s_bg
             result["scaling"] = {
@@ -172,8 +210,11 @@ def main() -> None:
                 f"local{small}_turns_per_sec": round(tp_sm, 1),
                 f"local{big}_turns_per_sec": round(tp_bg, 1),
                 "efficiency_n_to_4n": round((tp_bg / tp_sm) / 4.0, 3),
+                "estimate_trace": est_trace,
                 "windows_sec": {f"local{small}": [round(x, 1) for x in secs_sm],
                                 f"local{big}": [round(x, 1) for x in secs_bg]},
+                "spread": {f"local{small}": round(max(secs_sm) / min(secs_sm), 3),
+                           f"local{big}": round(max(secs_bg) / min(secs_bg), 3)},
             }
         except Exception as exc:  # never lose the main JSON line
             result["scaling"] = {"error": str(exc)[:200],
