@@ -1053,7 +1053,11 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
             s_arr, s_rid = T.group_stream(nb_big, scripts_big)
             for j, i in enumerate(big.tolist()):
                 row = s_arr[s_rid == j]
-                sbuf = T.encode_utf8(row).tobytes()
+                # encode_utf8 pads with 32 NULs for windowed gathers; strip
+                # them here or they count toward the 256-byte trigger gate
+                # (and NUL is "predicted" by the zero-init table) and would
+                # ride into the squeezed retry text
+                sbuf = T.encode_utf8(row)[:-32].tobytes()
                 if squeeze_trigger_test(sbuf):
                     squeeze[i] = True
                     squeezed_text[i] = cheap_squeeze(

@@ -57,7 +57,7 @@ def strip_html_sql(col: str, dialect: str) -> str:
 
     expr = col
     # comments and script/style bodies first (their content must vanish)
-    expr = rr(expr, r"<!--([^-]|-[^-])*-->", " ")
+    expr = rr(expr, r"(?s)<!--.*?-->", " ")
     expr = rr(expr, r"(?is)<script[^>]*>.*?</script>", " ")
     expr = rr(expr, r"(?is)<style[^>]*>.*?</style>", " ")
     # any remaining tag -> single space (word boundary, like the scanner)
@@ -112,7 +112,7 @@ import re as _re
 
 _ENT_RE = _re.compile(r"&(?:#(\d+)|#[xX]([0-9a-fA-F]+)|([A-Za-z][A-Za-z0-9]*));")
 _TAG_RES = [
-    _re.compile(r"<!--([^-]|-[^-])*-->"),
+    _re.compile(r"(?s)<!--.*?-->"),
     _re.compile(r"(?is)<script[^>]*>.*?</script>"),
     _re.compile(r"(?is)<style[^>]*>.*?</style>"),
     _re.compile(r"<[^>]*>"),
@@ -160,7 +160,7 @@ def strip_html_pandas(s):
     import re
 
     out = s.fillna("")
-    out = out.str.replace(r"<!--([^-]|-[^-])*-->", " ", regex=True)
+    out = out.str.replace(r"(?s)<!--.*?-->", " ", regex=True)
     out = out.str.replace(r"(?is)<script[^>]*>.*?</script>", " ", regex=True)
     out = out.str.replace(r"(?is)<style[^>]*>.*?</style>", " ", regex=True)
     out = out.str.replace(r"<[^>]*>", " ", regex=True)

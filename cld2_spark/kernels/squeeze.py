@@ -14,11 +14,15 @@ byte-predictor squeeze machinery:
     backscan/forwardscan-to-space at keep<->skip transitions (32-byte max
     scan, kMaxSpaceScan).
 
-The character packing/stream walk is vectorized; the predictor hash chain
-is inherently sequential, so it runs as a Python loop. This is fine at
-scale: the squeeze only ever runs on rows longer than 2 KB whose 256-byte
-prefix already looked like machine-generated junk -- a rare tail in
-transcript data (the per-row cost is bounded by the row length, once).
+Everything is vectorized, including the predictor chain: the reference's
+rolling hash `h = ((h << 4) ^ c) & 0xFFF` expires each char's bits after
+three shifts, so h_i is a pure function of the previous THREE chars
+(computable with three shifted XORs), and the value read from tbl[h_i]
+is simply the previous char in the same-hash group (a stable argsort).
+Per-row work is additionally bounded by the 160 KB text cap
+(text.TEXT_LIMIT, applied in normalize_batch before any squeeze input is
+built), so even an adversarially junk-heavy crawl cannot turn this into
+an unbounded per-row tail.
 """
 
 from __future__ import annotations
@@ -35,6 +39,12 @@ SPACES_THRESH_PCT = 25         # kSpacesThreshPercent
 PREDICT_THRESH_PCT = 40        # kPredictThreshPercent
 MAX_SPACE_SCAN = 32            # kMaxSpaceScan
 
+# UTF-8 lead byte -> sequence length (continuation bytes -> 1-byte step)
+_LEAD_LEN = np.ones(256, dtype=np.int8)
+_LEAD_LEN[0xC0:0xE0] = 2
+_LEAD_LEN[0xE0:0xF0] = 3
+_LEAD_LEN[0xF0:] = 4
+
 
 def _packed_chars(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized UTF-8 walk: per character (start, packed value, byte len).
@@ -47,16 +57,17 @@ def _packed_chars(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z
+    if int(buf.max()) < 0x80:  # pure-ASCII fast path: every byte is a char
+        return (np.arange(n, dtype=np.int64), buf.astype(np.int64),
+                np.ones(n, dtype=np.int64))
     b = buf.astype(np.int64)
     # inputs come from Python strings, so the buffer is always valid UTF-8
     # (the reference also handles stray continuation bytes; moot here)
-    start = (b & 0xC0) != 0x80
-    lead_len = np.where(b < 0xC0, 1,
-                        np.where(b < 0xE0, 2, np.where(b < 0xF0, 3, 4)))
+    start = (buf & 0xC0) != 0x80
     starts = np.flatnonzero(start)
     if len(starts) == 0:
         starts = np.arange(n, dtype=np.int64)
-    incr = lead_len[starts]
+    incr = _LEAD_LEN[buf[starts]].astype(np.int64)
     # clip at the next start (malformed sequences) and the buffer end
     nxt = np.empty(len(starts), dtype=np.int64)
     nxt[:-1] = starts[1:]
@@ -78,18 +89,38 @@ def _count_spaces4(space_cum: np.ndarray, lo: int, hi: int) -> int:
     return int(space_cum[lo + length] - space_cum[lo])
 
 
-def _predict_run(c: np.ndarray, incr: np.ndarray, tbl: np.ndarray,
-                 h: int) -> tuple[int, int]:
-    """One CountPredictedBytes pass over a char slice; returns
-    (predicted_byte_count, updated hash). tbl mutates in place."""
-    pred = 0
-    for i in range(len(c)):
-        ci = int(c[i])
-        if tbl[h] == ci:
-            pred += int(incr[i])
-        tbl[h] = ci
-        h = ((h << 4) ^ ci) & 0xFFF
-    return pred, h
+def _predicted_incr(c: np.ndarray, incr: np.ndarray) -> np.ndarray:
+    """Vectorized CountPredictedBytes over one continuous char stream
+    (zero-initialized table, h=0): per-char predicted byte counts.
+
+    Equivalence to the reference's sequential loop
+    (internal/compact_lang_det_impl.cc:541-581):
+      - h_i = (c_{i-1} ^ (c_{i-2} << 4) ^ (c_{i-3} << 8)) & 0xFFF, because
+        each `(h << 4) & 0xFFF` step expires a char's bits after 3 shifts.
+      - tbl[h_i] at step i is the char written at the latest earlier step
+        with the same hash (or 0, the table init): the previous element of
+        i's hash group in chronological order, which a stable argsort on h
+        exposes directly.
+    """
+    n = len(c)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    h[1:] = c[:-1]
+    h[2:] ^= c[:-2] << 4
+    h[3:] ^= c[:-3] << 8
+    h &= 0xFFF
+    h = h.astype(np.uint16)  # 12-bit values: radix-sortable dtype
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    same = np.zeros(n, dtype=bool)
+    same[1:] = hs[1:] == hs[:-1]
+    prev_in_group = np.zeros(n, dtype=np.int64)
+    prev_in_group[1:] = order[:-1]
+    table_val = np.where(same, c[prev_in_group], 0)
+    predicted = np.zeros(n, dtype=bool)
+    predicted[order] = table_val == c[order]
+    return np.where(predicted, incr, 0)
 
 
 def squeeze_trigger_test(buf: bytes, testsize: int = SQUEEZE_TEST_LEN) -> bool:
@@ -104,8 +135,7 @@ def squeeze_trigger_test(buf: bytes, testsize: int = SQUEEZE_TEST_LEN) -> bool:
         return True
     starts, c, incr = _packed_chars(arr)
     sel = starts < testsize          # chars starting inside the test window
-    tbl = np.zeros(PREDICTION_TABLE_SIZE, dtype=np.int64)
-    pred, _ = _predict_run(c[sel], incr[sel], tbl, 0)
+    pred = int(_predicted_incr(c[sel], incr[sel]).sum())
     return pred >= testsize * PREDICT_TRIGGER_PCT // 100
 
 
@@ -116,64 +146,59 @@ def cheap_squeeze(text: str, chunksize: int = CHUNKSIZE) -> str:
     squeezes); returns the squeezed string."""
     buf = text.encode("utf-8")
     n = len(buf)
+    if n == 0:
+        return text
     arr = np.frombuffer(buf, dtype=np.uint8)
     space_cum = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(arr == 0x20, out=space_cum[1:])
     starts, c, incr = _packed_chars(arr)
-    tbl = np.zeros(PREDICTION_TABLE_SIZE, dtype=np.int64)
-    h = 0
     space_thresh = chunksize * SPACES_THRESH_PCT // 100
     predict_thresh = chunksize * PREDICT_THRESH_PCT // 100
 
-    kept: list[bytes] = []
-    kept_len = 0
-    skipping = False
+    # chunk boundaries depend only on content (char-boundary extension),
+    # not on keep/skip decisions, so they precompute; the predictor state
+    # carries across chunks in the reference loop, which is exactly one
+    # continuous pass -- per-chunk counts come from a prefix sum.
+    bounds = [0]
     src = 0
-    ci = 0  # char cursor
     while src < n:
         ln = min(chunksize, n - src)
         while src + ln < n and (buf[src + ln] & 0xC0) == 0x80:
             ln += 1
-        cj = ci
-        while cj < len(starts) and starts[cj] < src + ln:
-            cj += 1
-        pred, h = _predict_run(c[ci:cj], incr[ci:cj], tbl, h)
-        space_n = _count_spaces4(space_cum, src, src + ln)
-        if space_n >= space_thresh or pred >= predict_thresh:
+        src += ln
+        bounds.append(src)
+    bounds_a = np.asarray(bounds, dtype=np.int64)
+    lo, hi = bounds_a[:-1], bounds_a[1:]
+    pred_cum = np.zeros(len(c) + 1, dtype=np.int64)
+    np.cumsum(_predicted_incr(c, incr), out=pred_cum[1:])
+    cidx = np.searchsorted(starts, bounds_a)  # bounds align to char starts
+    pred_n = pred_cum[cidx[1:]] - pred_cum[cidx[:-1]]
+    len4 = (hi - lo) & ~np.int64(3)           # CountSpaces4: aligned groups
+    space_n = space_cum[lo + len4] - space_cum[lo]
+    drop = (space_n >= space_thresh) | (pred_n >= predict_thresh)
+
+    out = bytearray()
+    skipping = False
+    for k in range(len(lo)):
+        if drop[k]:
             if not skipping:
                 # keep->skip transition: backscan the kept OUTPUT to a
                 # space (BackscanToSpace scans the contiguous dst buffer,
-                # up to kMaxSpaceScan bytes -- so the scan may cross kept
+                # up to kMaxSpaceScan bytes -- the scan may cross kept
                 # chunk boundaries)
-                window = min(MAX_SPACE_SCAN, kept_len)
-                tail = b"".join(kept)[-window:] if window else b""
-                k = tail.rfind(b" ")
-                if k >= 0:
-                    drop = len(tail) - (k + 1)
-                    while drop and kept:
-                        last = kept[-1]
-                        if len(last) <= drop:
-                            drop -= len(last)
-                            kept_len -= len(last)
-                            kept.pop()
-                        else:
-                            kept[-1] = last[:len(last) - drop]
-                            kept_len -= drop
-                            drop = 0
-                if kept_len == 0:
-                    kept = [b" "]  # force a leading space (reference :820)
-                    kept_len = 1
+                window = min(MAX_SPACE_SCAN, len(out))
+                p = out.rfind(b" ", len(out) - window) if window else -1
+                if p >= 0:
+                    del out[p + 1:]
+                if not out:
+                    out += b" "  # force a leading space (reference :820)
                 skipping = True
         else:
-            chunk = buf[src:src + ln]
+            chunk = buf[int(lo[k]):int(hi[k])]
             if skipping:
                 # skip->keep transition: forwardscan to a space
-                k = chunk.find(b" ", 0, MAX_SPACE_SCAN)
-                chunk = chunk[k + 1:] if k >= 0 else chunk
+                p = chunk.find(b" ", 0, MAX_SPACE_SCAN)
+                chunk = chunk[p + 1:] if p >= 0 else chunk
                 skipping = False
-            if chunk:
-                kept.append(chunk)
-                kept_len += len(chunk)
-        src += ln
-        ci = cj
-    return b"".join(kept).decode("utf-8", errors="ignore")
+            out += chunk
+    return bytes(out).decode("utf-8", errors="ignore")

@@ -58,27 +58,38 @@ _SHINGLES = ("transform(sequence(1, greatest(length({col}) - {k1}, 1)), "
              "i -> substring({col}, i, {k}))")
 
 # DataFrames persisted by the operators below (ADVICE r2 #1): each new
-# invocation releases the previous invocation's cached blocks, and
-# `release_dedup_caches()` drops them all -- so long-lived sessions never
-# accumulate BlockManager entries. Unpersisting a still-lazy prior result
-# is safe (it recomputes); callers wanting to hold results across repeated
-# invocations should materialize (write/collect) first.
-_live_caches: list[DataFrame] = []
+# invocation releases the previous invocation's cached blocks FOR THE SAME
+# SparkSession (ADVICE r3: keyed by session so two sessions in one process
+# cannot drop each other's persists), and `release_dedup_caches()` with no
+# session drops everything -- so long-lived sessions never accumulate
+# BlockManager entries. Unpersisting a still-lazy prior result is safe (it
+# recomputes); callers wanting to hold results across repeated invocations
+# should materialize (write/collect) first. The registry is NOT
+# thread-safe: concurrent dedup calls on the same session from different
+# threads can unpersist each other mid-job (documented limitation; Spark
+# jobs themselves recompute lost blocks, so results stay correct).
+_live_caches: list[tuple[int, DataFrame]] = []
 
 
-def release_dedup_caches(blocking: bool = False) -> None:
-    """Unpersist every DataFrame cached by prior dedup-operator calls."""
-    while _live_caches:
-        df = _live_caches.pop()
+def release_dedup_caches(blocking: bool = False, session=None) -> None:
+    """Unpersist DataFrames cached by prior dedup-operator calls --
+    `session`'s only, or all when session is None."""
+    global _live_caches
+    keep: list[tuple[int, DataFrame]] = []
+    for sid, df in _live_caches:
+        if session is not None and sid != id(session):
+            keep.append((sid, df))
+            continue
         try:
             df.unpersist(blocking)
         except Exception:
             pass  # session already stopped
+    _live_caches = keep
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _live_caches.append(df)
+    _live_caches.append((id(df.sparkSession), df))
     return df
 
 
@@ -200,7 +211,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     J>=50% -- and the prefilter dropped 0 of 95,362 candidates at sf0.1
     while costing two extra all-candidate joins. r=3 banding itself is the
     prefilter (per-band collision probability J^3)."""
-    release_dedup_caches()
+    release_dedup_caches(session=df.sparkSession)
     base = df.select(id_col, text_col).where(F.length(text_col) >= k)
     sigs = minhash_signatures(base, text_col, n_bands, k)
     # posexplode, NOT a 4-way union of selects: a union re-evaluates the
@@ -293,7 +304,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sub-keys (hamming <= 3 pairs must share one by pigeonhole), verify
     hamming distance. Rows shorter than SHINGLE_K codepoints are excluded
     up front (a degenerate shared fingerprint would pair all short rows)."""
-    release_dedup_caches()
+    release_dedup_caches(session=df.sparkSession)
     # (id, fp) is scanned by the banding explode and both verify-join
     # sides; persist so the fingerprint UDF runs exactly once
     fp = _persist_tracked(
@@ -373,7 +384,14 @@ def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
     sc = pairs.sparkSession.sparkContext
 
     def _persist_ids() -> set:
-        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        # py4j internal (ADVICE r3): on Spark versions where _jsc moved,
+        # degrade to NO eager block release -- the ContextCleaner still
+        # frees superseded checkpoints on GC, just later. Verified against
+        # Spark 4.1.
+        try:
+            return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        except Exception:
+            return set()
 
     changed = 0
     prev_ckpt_ids: list = []
@@ -403,11 +421,14 @@ def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
             # tracked via the public getPersistentRDDs map; unpersisting a
             # locally-checkpointed RDD logs a WARN that it cannot be
             # recomputed -- intended: prev is never referenced again.)
-            jmap = sc._jsc.getPersistentRDDs()
-            for rid in prev_ckpt_ids:
-                jr = jmap.get(rid)
-                if jr is not None:
-                    jr.unpersist(False)
+            try:
+                jmap = sc._jsc.getPersistentRDDs()
+                for rid in prev_ckpt_ids:
+                    jr = jmap.get(rid)
+                    if jr is not None:
+                        jr.unpersist(False)
+            except Exception:
+                pass  # no eager release on this Spark (see _persist_ids)
             prev_ckpt_ids = list(new_ids)
             labels = new_labels
             if changed == 0:

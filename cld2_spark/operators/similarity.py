@@ -73,15 +73,29 @@ def estimate_rows(df: DataFrame, probe_rows: int = 64) -> int:
     known, the average row width is estimated from `probe_rows` rows read
     via limit() -- which stops after the first partition(s), never scanning
     the table. At 100TB this replaces a full count() scan with one
-    metadata lookup plus a 64-row read."""
-    stats = df._jdf.queryExecution().optimizedPlan().stats()
-    rc = stats.rowCount()
-    if rc.isDefined():
-        return max(int(str(rc.get())), 1)
-    size = int(str(stats.sizeInBytes()))
+    metadata lookup plus a 64-row read.
+
+    The plan-statistics read goes through py4j internals (`df._jdf`),
+    which are not a stable API (ADVICE r3): any failure degrades to the
+    limit-probe (exact when the table is smaller than the probe) and
+    finally a real count() -- correct at any scale, paid only on Spark
+    versions whose internals moved. Verified against Spark 4.1."""
+    size = None
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(int(str(rc.get())), 1)
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        pass  # private API unavailable; fall through to the probe
     head = df.limit(probe_rows).collect()
     if not head:
         return 1
+    if len(head) < probe_rows:
+        return len(head)       # the probe saw the whole table: exact
+    if size is None:
+        return max(int(df.count()), 1)
     # width = mean serialized payload bytes per probed row, halved for a
     # typical parquet compression allowance (NOT sys.getsizeof of the repr,
     # whose per-object overheads inflate width ~10x); sizing only picks a
@@ -171,6 +185,13 @@ def ivf_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     h = hash_id_expr(id_col, "spark")
     cents = (vectors.where(F.expr(f"{h} % {cent_mod} = 0"))
              .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")))
+    if not cents.limit(1).take(1):
+        # no id hashed to 0 mod cent_mod (plausible when the table is
+        # smaller than ~cent_mod rows): degrade to every-row-a-centroid
+        # (exact brute force) instead of silently returning nothing
+        # (ADVICE r3)
+        cents = vectors.select(F.col(id_col).alias("cell"),
+                               F.col(vec_col).alias("cv"))
     csim = F.expr(_dot("v", "cv")) / (F.expr(_norm("v")) * F.expr(_norm("cv")))
 
     def assign(df: DataFrame, idname: str, top: int) -> DataFrame:
@@ -210,7 +231,7 @@ def embedding_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
     from cld2_spark.operators.dedup import (capped_band_pairs,
                                             release_dedup_caches)
 
-    release_dedup_caches()  # same cache lifecycle as the dedup operators
+    release_dedup_caches(session=vectors.sparkSession)  # same cache lifecycle
     band_cols = []
     for t in range(n_tables):
         planes = _planes_literal(dim, n_planes, seed=77 + t)

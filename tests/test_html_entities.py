@@ -47,6 +47,16 @@ def test_html_to_text_batch():
     assert out[1] == "plain text"
 
 
+def test_comment_containing_double_dash_fully_stripped():
+    """ADVICE r3: a comment whose body contains '--' and '>' must vanish
+    entirely -- the old ([^-]|-[^-])* form couldn't match it, and the
+    generic <[^>]*> rule then leaked the comment tail into the text."""
+    out = html_to_text_batch(
+        ["<p>keep</p><!-- leaked -- tail > body --><p>end</p>"])
+    assert "leaked" not in out[0] and "tail" not in out[0]
+    assert "keep" in out[0] and "end" in out[0]
+
+
 def test_detect_html_mode_finds_language():
     from cld2_spark.kernels.detect import detect_batch
     from tests.test_retry_summary import FR

@@ -137,6 +137,33 @@ def test_lsh_plane_count_scales_with_n(spark):
     assert 1_000 <= est <= 10_000_000
 
 
+def test_estimate_rows_survives_broken_private_api(spark):
+    """VERDICT r3 #7 / ADVICE: the `_jdf` plan-statistics read is a py4j
+    internal; when it breaks (Spark internals moved), sizing must degrade
+    to the limit-probe / count fallback, not raise."""
+    from cld2_spark.operators import similarity as S
+
+    class NoJdf:
+        def __init__(self, df):
+            self._df = df
+
+        def __getattr__(self, name):
+            if name == "_jdf":
+                raise AttributeError("_jdf gone in this Spark version")
+            return getattr(self._df, name)
+
+    small = spark.range(7).selectExpr("id AS vec_id")
+    assert S.estimate_rows(NoJdf(small)) == 7      # probe saw it all: exact
+    big = spark.range(5_000).selectExpr("id AS vec_id")
+    assert S.estimate_rows(NoJdf(big)) == 5_000    # count() fallback
+    # and plane sizing still works end-to-end on the wrapped estimate
+    vecs = spark.range(200).selectExpr(
+        "id AS vec_id", "array(CAST(id AS FLOAT), 1.0F) AS embedding")
+    out = S.lsh_cosine_topk(vecs, vecs.limit(1), k=1, dim=2,
+                            n_est=S.estimate_rows(NoJdf(vecs)))
+    assert out.count() >= 0
+
+
 def test_multimodal_features(spark):
     from cld2_spark.operators.multimodal import extract_features, frame_sample, synth_media
     media = synth_media(spark, 30)
@@ -253,6 +280,18 @@ def test_ivf_cosine_topk_recovers_planted_pair(vectors):
     got0 = out[(out.qid == 0)].sort_values("rank").nid.tolist()
     assert 1 in got0
     assert (out.groupby("qid")["rank"].min() == 1).all()
+
+
+def test_ivf_empty_centroid_sample_falls_back(vectors):
+    """ADVICE r3: when no id hashes to 0 mod cent_mod (tiny tables), IVF
+    degrades to every-row-a-centroid brute force instead of silently
+    returning an empty result."""
+    from cld2_spark.operators.similarity import ivf_cosine_topk
+    q = vectors.where(F.col("vec_id") < 2)
+    out = ivf_cosine_topk(vectors, q, k=3, cent_mod=10**7, n_probe=2).toPandas()
+    assert len(out) > 0
+    got0 = out[(out.qid == 0)].sort_values("rank").nid.tolist()
+    assert 1 in got0
 
 
 def test_embedding_dup_pairs_finds_planted_dups(spark):

@@ -193,3 +193,60 @@ def test_squeeze_kernel_units():
     out = cheap_squeeze(natural + junk)
     assert "gardens" in out
     assert len(out) < len(natural) + len(junk) // 2
+
+
+def _predict_run_sequential(c, incr):
+    """The reference's CountPredictedBytes loop verbatim
+    (internal/compact_lang_det_impl.cc:541-581): per-char predicted byte
+    counts via the sequential 4096-slot table walk. Differential oracle
+    for the vectorized squeeze._predicted_incr."""
+    import numpy as np
+    tbl = np.zeros(4096, dtype=np.int64)
+    h = 0
+    out = np.zeros(len(c), dtype=np.int64)
+    for i in range(len(c)):
+        ci = int(c[i])
+        if tbl[h] == ci:
+            out[i] = int(incr[i])
+        tbl[h] = ci
+        h = ((h << 4) ^ ci) & 0xFFF
+    return out
+
+
+def test_predicted_incr_matches_sequential_reference():
+    """The vectorized predictor (stable-argsort prev-in-hash-group) is
+    bit-identical to the sequential reference loop, incl. repeated junk
+    (dense table hits), natural text, multi-byte UTF-8, and NULs."""
+    import numpy as np
+    from cld2_spark.kernels.squeeze import _packed_chars, _predicted_incr
+    rng = np.random.default_rng(7)
+    samples = [
+        b"aaa bbb aaa bbb " * 64,
+        ("the quick brown fox " * 40).encode(),
+        ("éèê café naïve " * 50).encode(),
+        ("你好世界" * 100).encode(),
+        bytes(rng.integers(0, 128, size=2000, dtype=np.uint8)),
+        b"\x00" * 300 + b"abc def " * 30,
+    ]
+    for buf in samples:
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        _, c, incr = _packed_chars(arr)
+        got = _predicted_incr(c, incr)
+        want = _predict_run_sequential(c, incr)
+        assert np.array_equal(got, want)
+
+
+def test_squeeze_1mb_junk_under_100ms():
+    """VERDICT r3 #3 timing guard: per-row squeeze work is bounded and
+    vectorized -- a 1 MB junk row (trigger + full squeeze) in <100 ms."""
+    import time
+    from cld2_spark.kernels.squeeze import cheap_squeeze, squeeze_trigger_test
+    junk = "xq zv jk qx " * 87382   # ~1 MB, unpredictable-ish but spacey
+    buf = junk.encode()
+    squeeze_trigger_test(buf)
+    cheap_squeeze(junk)              # warm-up: one-time alloc/page faults
+    t0 = time.monotonic()
+    squeeze_trigger_test(buf)
+    cheap_squeeze(junk)
+    elapsed = time.monotonic() - t0
+    assert elapsed < 0.1, f"1MB squeeze took {elapsed * 1e3:.0f} ms"
