@@ -48,6 +48,10 @@ ANALYZE_SCHEMA = StructType(
         StructField("ft_lang", StringType()),
         StructField("ppl", DoubleType()),
         StructField("tri_grams", LongType()),
+        # short-turn bestEffort rescue flag (analyze.BEST_EFFORT_MAX_BYTES):
+        # true when the answer is a bestEffort guess that passed its own
+        # confidence gate; is_reliable stays false on such rows
+        StructField("be_ok", BooleanType()),
     ]
 )
 
@@ -66,6 +70,7 @@ PIPELINE_SCHEMA = StructType([
     StructField("ft_lang", StringType()),
     StructField("ppl", DoubleType()),
     StructField("tri_grams", LongType()),
+    StructField("be_ok", BooleanType()),
 ])
 _PIPELINE_COLS = [f.name for f in PIPELINE_SCHEMA.fields]
 

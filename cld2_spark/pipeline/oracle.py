@@ -39,7 +39,8 @@ def oracle_labels(transcripts: pd.DataFrame, text_col: str = "text") -> pd.DataF
     keep, reason = decision_pandas(
         too_short=too_short, lang1=lang, is_reliable=res["is_reliable"],
         rel1=res["rel1"], ft_lang=res["ft_lang"], ppl=res["ppl"],
-        tri_grams=res["tri_grams"], low_quality=low_quality, toxic=toxic)
+        tri_grams=res["tri_grams"], low_quality=low_quality, toxic=toxic,
+        be_ok=res["be_ok"])
 
     return pd.DataFrame({
         "conv_id": df["conv_id"],

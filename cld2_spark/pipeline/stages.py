@@ -68,6 +68,7 @@ def with_decision(df: DataFrame) -> DataFrame:
         "tri_grams": F.col(f"{LD}.tri_grams"),
         "low_quality": F.col("low_quality"),
         "toxic": F.col("toxic"),
+        "be_ok": F.col(f"{LD}.be_ok"),
     }
     keep, reason = decision_columns(cols)
     return df.withColumn("keep", keep).withColumn("drop_reason", reason)

@@ -80,6 +80,37 @@ def test_ordering_invariant(outputs):
     assert not key.duplicated().any()
 
 
+def test_short_turn_best_effort_rescue(spark):
+    """VERDICT r3 #2: transcript turns <=256 bytes are the reference's
+    out-of-design zone; when the default pass refuses or is unreliable,
+    the pipeline consults bestEffort and keeps the turn with the right
+    language, carrying is_reliable=false (the answer is a guess)."""
+    gr = "η βιβλιοθήκη της πόλης θα ανοίξει μια νέα πτέρυγα την άνοιξη"
+    fr = "le conseil a décidé de restaurer les fontaines du jardin"
+    rows = [("c1", 0, "user", fr, "", None),
+            ("c1", 1, "assistant", gr, "", None)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    want = oracle_labels(pdf)
+    assert want["lang1"].tolist() == ["fr", "el"]
+    # the rescued short-fr turn is KEPT; no row drops as langid_unreliable
+    # (the Greek row may still drop on perplexity -- a separate filter
+    # whose trigram model covers fewer languages)
+    assert bool(want["keep"][0]), want[["lang1", "keep", "drop_reason"]]
+    assert "langid_unreliable" not in set(want["drop_reason"].dropna())
+
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    got = (run_pipeline(df).toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert got["lang1"].tolist() == ["fr", "el"]
+    assert bool(got["keep"][0])
+    assert got["drop_reason"].tolist() == want["drop_reason"].tolist()
+    # the short-fr row is a bestEffort guess: is_reliable carried false
+    assert not bool(got["is_reliable"][0])
+
+
 def test_slim_and_full_langid_paths_decide_identically(spark):
     """with_langid(slim=False) attaches the full analyze struct (sorted
     lang1 + separate summary_lang); the decision must read the summary
