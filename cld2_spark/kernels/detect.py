@@ -341,7 +341,7 @@ def _pad_slots(langs: np.ndarray, qprobs: np.ndarray, width: int):
 
 def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs, acc,
                 hint_lid=None, whack_map=None, expected=None, closeset=None,
-                gpos=None, span_sink=None, distinct_mask=None):
+                gpos=None, span_sink=None, distinct_mask=None, seg_rid=None):
     """Chunked scatter-add scoring: the Tote/DocTote pipeline (A1-A3).
 
     g_rid must be sorted ascending. Chunk winner takes the chunk's byte span;
@@ -359,18 +359,27 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     -- persists across scriptspans of a document, compact_lang_det_impl.cc
     :1768 "carries state across scriptspans", so it resets per row here).
     A distinct hit therefore counts twice in its own chunk (once linear,
-    once from the ring), exactly like the reference. Scope deviation
-    (documented in PARITY.md): one ring per (row, script-group) call,
-    where the reference shares one "othr" ring bank across all non-Latin
-    scripts of a document (scoreonescriptspan.h:124-147).
+    once from the ring), exactly like the reference. `seg_rid` (when
+    given) supplies the CHUNKING identity -- one id per contiguous
+    (row, script) run, ascending -- so a single call can score several
+    scripts' interleaved hit streams with per-run chunks (the reference's
+    per-scriptspan chunking) while the ring persists across runs of a
+    row: the reference's ONE "othr" ring bank shared across all
+    non-Latin scripts of a document (scoreonescriptspan.h:124-147).
+    Without seg_rid, chunking is per row (single-script streams:
+    identical semantics).
     """
     bytes_rl, score_rl, relw_rl = acc
     N = len(g_rid)
     if N == 0:
         return
-    cnt_all = np.bincount(g_rid, minlength=n_rows).astype(np.int32)  # hits per row
+    if seg_rid is None:
+        key, n_keys = g_rid, n_rows
+    else:
+        key, n_keys = seg_rid, int(seg_rid[-1]) + 1
+    cnt_all = np.bincount(key, minlength=n_keys).astype(np.int32)  # hits per key
     present = cnt_all > 0
-    firsts = np.zeros(n_rows, dtype=np.int32)
+    firsts = np.zeros(n_keys, dtype=np.int32)
     np.cumsum(cnt_all[:-1], out=firsts[1:])
 
     # chunk boundaries count only byte-carrying (base) grams -- zero-byte
@@ -378,7 +387,7 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     # CLD2's base/delta hit streams (internal/scoreonescriptspan.h:186-226)
     is_byte = (gram_bytes > 0).astype(np.int32)
     cumb_g = np.cumsum(is_byte, dtype=np.int32) - is_byte  # base grams before i
-    cnt = np.bincount(g_rid, weights=is_byte, minlength=n_rows).astype(np.int32)
+    cnt = np.bincount(key, weights=is_byte, minlength=n_keys).astype(np.int32)
 
     chunks_row = -(-cnt // chunk_size)                   # ceil
     # runt merge: absorb a trailing chunk smaller than half size (W1)
@@ -386,11 +395,11 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     chunks_row = (chunks_row - runt).astype(np.int32)
     chunks_row = np.maximum(chunks_row, present.astype(np.int32))
     row_base_cum = np.where(present, cumb_g[np.minimum(firsts, N - 1)], 0)
-    cumidx = cumb_g - row_base_cum[g_rid]
-    chunk_in_row = np.minimum(cumidx // chunk_size, (chunks_row - 1)[g_rid])
-    base = np.zeros(n_rows, dtype=np.int32)
+    cumidx = cumb_g - row_base_cum[key]
+    chunk_in_row = np.minimum(cumidx // chunk_size, (chunks_row - 1)[key])
+    base = np.zeros(n_keys, dtype=np.int32)
     np.cumsum(chunks_row[:-1], out=base[1:])
-    cid = base[g_rid] + chunk_in_row
+    cid = base[key] + chunk_in_row
     n_chunks = int(chunks_row.sum())
 
     # Tote scatter-add in cache-resident cohorts of chunks: per-chunk scores
@@ -407,7 +416,13 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     win2 = np.empty(n_chunks, dtype=np.int64)
     s1 = np.empty(n_chunks, dtype=np.int32)
     s2 = np.empty(n_chunks, dtype=np.int32)
-    cr = np.repeat(np.flatnonzero(present), chunks_row[present])  # chunk -> row
+    cr = np.repeat(np.flatnonzero(present), chunks_row[present])  # chunk -> key
+    if seg_rid is None:
+        crow = cr                              # chunk -> row (same space)
+    else:
+        key_row = np.zeros(n_keys, dtype=np.int64)
+        key_row[key] = g_rid                   # each run belongs to one row
+        crow = key_row[cr]
     # byte/gram totals per chunk come from the REAL hit stream only (ring
     # re-adds below carry no bytes and are not counted as grams, matching
     # AddScoreCount which counts base hits only, scoreonescriptspan.cc:232)
@@ -417,15 +432,22 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     ring_ext = None  # mask of injected ring hits (excluded from W3/W4 below)
     if distinct_mask is not None and distinct_mask.any() and n_chunks:
         # W5 exact: per chunk, re-add the langprobs of the last <=4 distinct
-        # hits seen so far in this row's stream (the 4-entry ring). Ring
-        # content at a chunk's ScoreBoosts = distinct hits with stream index
-        # <= the chunk's last hit, minus those evicted by 4 newer ones.
+        # hits seen so far in this ROW's stream (the 4-entry ring; persists
+        # across script runs of a row -- the shared bank). Ring content at
+        # a chunk's ScoreBoosts = distinct hits with stream index <= the
+        # chunk's last hit, minus those evicted by 4 newer ones.
         d_glob = np.flatnonzero(distinct_mask)
         cum_d = np.cumsum(distinct_mask, dtype=np.int64)
         hi_c = np.searchsorted(cid, np.arange(1, n_chunks + 1)) - 1
         r_c = cum_d[hi_c]                      # distinct hits through chunk end
         cum_d_ex = np.concatenate((np.zeros(1, dtype=np.int64), cum_d))
-        d_row0 = cum_d_ex[firsts[cr]]          # distinct hits before the row
+        if seg_rid is None:
+            row_firsts = firsts
+        else:
+            rcnt = np.bincount(g_rid, minlength=n_rows).astype(np.int64)
+            row_firsts = np.zeros(n_rows, dtype=np.int64)
+            np.cumsum(rcnt[:-1], out=row_firsts[1:])
+        d_row0 = cum_d_ex[row_firsts[crow]]    # distinct hits before the row
         ex_cid, ex_src = [], []
         for k in range(1, 5):
             j = r_c - k
@@ -480,7 +502,7 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
         else:
             csc = np.zeros(size, dtype=np.int16)
         if hint_lid is not None:
-            hid_c, hw_c = hint_lid[0][cr[c0:c1]], hint_lid[1][cr[c0:c1]]
+            hid_c, hw_c = hint_lid[0][crow[c0:c1]], hint_lid[1][crow[c0:c1]]
             for j in range(hid_c.shape[1]):
                 hm = hid_c[:, j] >= 0
                 if hm.any():
@@ -546,7 +568,7 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     scored = s1 > 0
     # flat weighted bincounts instead of 2D np.add.at (same 6-15x win);
     # values are int32-bounded (TEXT_LIMIT * 100), exact in float64
-    flat = cr[scored] * np.int64(n_langs) + win[scored]
+    flat = crow[scored] * np.int64(n_langs) + win[scored]
     size = n_rows * n_langs
     for mat, w in ((bytes_rl, cb[scored]), (score_rl, s1[scored]),
                    (relw_rl, rel[scored] * cb[scored])):
@@ -572,7 +594,7 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
         else:
             _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3,
                                 gram_bytes, gpos, closeset, n_chunks, smin, smax)
-        span_sink.append((cr[scored], win[scored], smin[scored], smax[scored]))
+        span_sink.append((crow[scored], win[scored], smin[scored], smax[scored]))
 
 
 def _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3, gram_bytes,
@@ -633,6 +655,80 @@ def _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3, gram_bytes,
         if left.any() and right.any():
             smax[c - 1] = gsl[:b - lo][left].max()
             smin[c] = gsl[b - lo:][right].min()
+
+
+def _score_othr_bank(streams, orig_s, n_rows, n_langs, acc, hint_lid,
+                     whack_map, expected, closeset, span_sink) -> None:
+    """Score the non-Latin script streams with ONE shared W5 ring bank.
+
+    The reference keeps exactly two distinct-boost rings per document:
+    one for Latin and one shared by every other script
+    (ScoringContext::distinct_boost_ othr bank,
+    internal/scoreonescriptspan.h:124-147) -- so a Greek distinct word's
+    boost persists into a following Cyrillic span until evicted. A single
+    stream scores exactly as before; multiple streams merge in stream
+    position order with per-(row, script-run) chunking (the reference's
+    per-scriptspan chunks) and a per-row ring (the shared bank)."""
+    if not streams:
+        return
+    if len(streams) == 1:
+        s_rid, s_pos, langs3, qprobs3, s_gb, dmask = streams[0]
+        gpos = None
+        if span_sink is not None:
+            safe = np.clip(s_pos, 0, len(orig_s) - 1)
+            gpos = np.where(s_pos >= 0, orig_s[safe], np.int64(-1))
+        _score_hits(s_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n_rows,
+                    n_langs, acc, hint_lid=hint_lid, whack_map=whack_map,
+                    expected=expected, closeset=closeset, gpos=gpos,
+                    span_sink=span_sink, distinct_mask=dmask)
+        return
+    width = max(st[2].shape[1] for st in streams)
+    rids, poss, ls, qs, gbs, dms, scr = [], [], [], [], [], [], []
+    for k, (s_rid, s_pos, langs3, qprobs3, s_gb, dmask) in enumerate(streams):
+        s_pos = s_pos.astype(np.int64, copy=True)
+        seeds = s_pos < 0
+        if seeds.any():
+            # a W2 seed must ride with ITS script's first chunk of the
+            # row: give it the row's first real-hit position in this
+            # stream (the stable merge keeps it ahead of that hit)
+            first_pos = np.full(n_rows, -1, dtype=np.int64)
+            real = np.flatnonzero(~seeds)
+            uniq, first = np.unique(s_rid[real], return_index=True)
+            first_pos[uniq] = s_pos[real[first]]
+            s_pos[seeds] = first_pos[s_rid[seeds]]
+        pl, pq = _pad_slots(langs3, qprobs3, width)
+        rids.append(s_rid)
+        poss.append(s_pos)
+        ls.append(pl)
+        qs.append(pq)
+        gbs.append(s_gb)
+        dms.append(dmask if dmask is not None
+                   else np.zeros(len(s_rid), dtype=bool))
+        scr.append(np.full(len(s_rid), k, dtype=np.int16))
+    g_rid = np.concatenate(rids)
+    all_pos = np.concatenate(poss)
+    langs3 = np.concatenate(ls)
+    qprobs3 = np.concatenate(qs)
+    s_gb = np.concatenate(gbs)
+    dmask = np.concatenate(dms)
+    scrs = np.concatenate(scr)
+    order = np.lexsort((all_pos, g_rid))  # stable: seeds stay ahead
+    g_rid, all_pos = g_rid[order], all_pos[order]
+    langs3, qprobs3 = langs3[order], qprobs3[order]
+    s_gb, dmask, scrs = s_gb[order], dmask[order], scrs[order]
+    if not dmask.any():
+        dmask = None
+    change = np.ones(len(g_rid), dtype=bool)
+    change[1:] = (g_rid[1:] != g_rid[:-1]) | (scrs[1:] != scrs[:-1])
+    seg = np.cumsum(change, dtype=np.int64) - 1
+    gpos = None
+    if span_sink is not None:
+        safe = np.clip(all_pos, 0, len(orig_s) - 1)
+        gpos = np.where(all_pos >= 0, orig_s[safe], np.int64(-1))
+    _score_hits(g_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n_rows, n_langs,
+                acc, hint_lid=hint_lid, whack_map=whack_map,
+                expected=expected, closeset=closeset, gpos=gpos,
+                span_sink=span_sink, distinct_mask=dmask, seg_rid=seg)
 
 
 def detect_batch(texts: list[str], model: Cld2sModel | None = None,
@@ -817,6 +913,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                 w32 = fold40_to_32(wh40)
                 pair32 = np.where(pair40 != 0, fold40_to_32(pair40),
                                   np.uint32(0))
+            nl_streams: list[tuple] = []  # non-Latin: shared "othr" ring bank
             for s in many:
                 m = g_script == s
                 if not m.any():
@@ -925,17 +1022,25 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     dmask = dmask[order]
                     if not dmask.any():
                         dmask = None
-                gpos = None
-                if span_sink is not None:
-                    # clamp: seed hits sit at position -1 (zero-byte,
-                    # never used for spans)
-                    safe = np.clip(s_pos, 0, len(orig_s) - 1)
-                    gpos = np.where(s_pos >= 0, orig_s[safe], np.int64(-1))
-                _score_hits(s_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n, L, acc,
-                            hint_lid=hint_lid, whack_map=whack_map,
-                            expected=expected, closeset=closeset,
-                            gpos=gpos, span_sink=span_sink,
-                            distinct_mask=dmask)
+                if latin:
+                    # Latin ring bank is its own (scoreonescriptspan.h:
+                    # 124-147 keeps latn separate from the shared othr bank)
+                    gpos = None
+                    if span_sink is not None:
+                        # clamp: seed hits sit at position -1 (zero-byte,
+                        # never used for spans)
+                        safe = np.clip(s_pos, 0, len(orig_s) - 1)
+                        gpos = np.where(s_pos >= 0, orig_s[safe], np.int64(-1))
+                    _score_hits(s_rid, langs3, qprobs3, s_gb, QUAD_CHUNK, n, L,
+                                acc, hint_lid=hint_lid, whack_map=whack_map,
+                                expected=expected, closeset=closeset,
+                                gpos=gpos, span_sink=span_sink,
+                                distinct_mask=dmask)
+                else:
+                    nl_streams.append(
+                        (s_rid, s_pos, langs3, qprobs3, s_gb, dmask))
+            _score_othr_bank(nl_streams, orig_s, n, L, acc, hint_lid,
+                             whack_map, expected, closeset, span_sink)
 
     # CJK pass: unigram hits (J3) + adjacent-pair bigram delta hits (J4)
     # merged into one chunk stream. With reference tables: unigrams via the
