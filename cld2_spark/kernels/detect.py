@@ -566,17 +566,13 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
     # scriptspan is seeded with a default-language hit -- we seed too, but
     # later chunks of a sparse row can still be empty)
     scored = s1 > 0
-    # flat weighted bincounts instead of 2D np.add.at (same 6-15x win);
-    # values are int32-bounded (TEXT_LIMIT * 100), exact in float64
-    flat = crow[scored] * np.int64(n_langs) + win[scored]
-    size = n_rows * n_langs
-    for mat, w in ((bytes_rl, cb[scored]), (score_rl, s1[scored]),
-                   (relw_rl, rel[scored] * cb[scored])):
-        np.add(mat, np.bincount(flat, weights=w, minlength=size)
-               .reshape(n_rows, n_langs), out=mat, casting="unsafe")
 
     # chunk-vector capture (W4, ResultChunkVector): per-chunk source span
-    # from the byte-carrying grams' original positions
+    # from the byte-carrying grams' original positions. W3 sharpening runs
+    # BEFORE the doc-tote scatter because it also moves chunk byte counts
+    # between the two adjacent chunks (the reference's cs->bytes shift,
+    # internal/scoreonescriptspan.cc:836-845) -- so with spans requested
+    # the doc percents shift exactly as the reference's do.
     if span_sink is not None and gpos is not None:
         smin = np.full(n_chunks, np.iinfo(np.int64).max, dtype=np.int64)
         smax = np.full(n_chunks, -1, dtype=np.int64)
@@ -590,15 +586,27 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
             keep_h = ~ring_ext
             _sharpen_boundaries(cid[keep_h], cr, win, scored, langs3[keep_h],
                                 qprobs3[keep_h], gram_bytes[keep_h],
-                                gpos[keep_h], closeset, n_chunks, smin, smax)
+                                gpos[keep_h], closeset, n_chunks, smin, smax,
+                                cb)
         else:
             _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3,
-                                gram_bytes, gpos, closeset, n_chunks, smin, smax)
+                                gram_bytes, gpos, closeset, n_chunks, smin,
+                                smax, cb)
         span_sink.append((crow[scored], win[scored], smin[scored], smax[scored]))
+
+    # flat weighted bincounts instead of 2D np.add.at (same 6-15x win);
+    # values are int32-bounded (TEXT_LIMIT * 100), exact in float64
+    flat = crow[scored] * np.int64(n_langs) + win[scored]
+    size = n_rows * n_langs
+    for mat, w in ((bytes_rl, cb[scored]), (score_rl, s1[scored]),
+                   (relw_rl, rel[scored] * cb[scored])):
+        np.add(mat, np.bincount(flat, weights=w, minlength=size)
+               .reshape(n_rows, n_langs), out=mat, casting="unsafe")
 
 
 def _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3, gram_bytes,
-                        gpos, closeset, n_chunks, smin, smax) -> None:
+                        gpos, closeset, n_chunks, smin, smax,
+                        cb=None) -> None:
     """W3 boundary sharpening (SharpenBoundaries / BetterBoundary,
     internal/scoreonescriptspan.cc:780-845,671-774): at each chunk boundary
     where the winner changed (and the two winners are not in the same close
@@ -609,10 +617,11 @@ def _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3, gram_bytes,
     positive and a negative diff required in the window -- the reference's
     has_plus/has_minus guard). Runs only when a chunk vector is requested,
     like the reference (`if (vec != NULL)` in ProcessHitBuffer:1095-1103).
-    DEVIATION (documented): the reference also shifts the chunk byte counts
-    feeding the doc tote when sharpening ran; we adjust only the emitted
-    spans so detection results are identical with and without spans
-    (batch-stability invariant, tests/test_properties.py)."""
+    When `cb` is given, the chunk byte counts feeding the doc tote move
+    with the boundary (cs->bytes -= new_offset - old_offset; prior chunk
+    += same, scoreonescriptspan.cc:836-845) in gram-byte units -- so a
+    spans-requested run's percents shift exactly like the reference's,
+    while detection without spans stays unchanged by construction."""
     if n_chunks < 2:
         return
     prev = np.arange(n_chunks - 1)
@@ -627,8 +636,13 @@ def _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3, gram_bytes,
     if len(bounds) == 0:
         return
     starts = np.searchsorted(cid, np.arange(n_chunks + 1))
+    # boundaries update left to right and each window starts at the
+    # PREVIOUS boundary's updated position (the reference's
+    # "prior_linear = this_linear" with the pre-updated boundary,
+    # :847-851) -- this also keeps successive byte moves disjoint
+    starts_u = starts.copy()
     for c in bounds.tolist():
-        lo, hi = int(starts[c - 1]), int(starts[c + 1])
+        lo, hi = int(starts_u[c - 1]), int(starts[c + 1])
         k = hi - lo
         if k <= 8:
             continue  # degenerate case, no change (BetterBoundary:677)
@@ -649,6 +663,20 @@ def _sharpen_boundaries(cid, cr, win, scored, langs3, qprobs3, gram_bytes,
         if r.max() <= 0:
             continue  # keep the original boundary
         b = lo + int(np.argmax(r)) + 4
+        if cb is not None:
+            # byte shift (reference :836-845): bytes between the old
+            # boundary (first hit of chunk c) and the new one move between
+            # the two chunks; rightward move credits the prior chunk
+            old = int(starts[c])
+            if b > old:
+                moved = int(gram_bytes[old:b].sum())
+                cb[c] -= moved
+                cb[c - 1] += moved
+            elif b < old:
+                moved = int(gram_bytes[b:old].sum())
+                cb[c] += moved
+                cb[c - 1] -= moved
+        starts_u[c] = b
         gsl = gpos[sl]
         vb = (gram_bytes[sl] > 0) & (gsl >= 0)
         left, right = vb[:b - lo], vb[b - lo:]
