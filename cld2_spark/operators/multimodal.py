@@ -2,11 +2,21 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct; decode /
 feature-extract / resize / frame-sample are `mapInPandas` stages operating on
-Arrow batches. The decode step itself is STUBBED (no image/audio libs in
-this container, by design): `decode_stub_features` produces deterministic
-fake features from the payload bytes so the Spark-side plumbing -- schema,
-batch shape, partitioning, UDF signatures -- is real and tested end-to-end.
-A production deployment swaps `_decode_payload_batch` for a real decoder
+Arrow batches.
+
+REAL decode (round-4): `decode_image_meta` parses PNG / GIF / JPEG headers
+(dimensions + format) from the raw bytes -- pure public byte-format
+knowledge (PNG IHDR, GIF logical screen descriptor, JPEG SOFn marker
+walk), no image libraries needed. `encode_image_fixture` writes matching
+minimal-but-well-formed headers (correct PNG chunk CRCs) so fixtures and
+the driver's `media_meta` oracle round-trip through an independent
+arithmetic contract.
+
+The pixel-level feature extractor below remains a disclosed STUB (no
+image/audio codecs in this container): `_decode_payload_batch` produces a
+deterministic 16-dim feature from payload bytes so the Spark-side plumbing
+-- schema, batch shape, partitioning, UDF signatures -- is real and tested
+end-to-end. A production deployment swaps it for a real decoder
 (PIL/torchaudio/ffmpeg) without touching the plan.
 """
 
@@ -101,13 +111,126 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         StructField("media_id", LongType()), StructField("frame_ts_ms", LongType())]))
 
 
+# ---- real image-header codec (public byte formats, no libraries) --------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_image_fixture(img_id: int, width: int, height: int,
+                         fmt: str) -> bytes:
+    """Minimal well-formed image file of `fmt` ('png'|'gif'|'jpeg') with
+    the given dimensions. PNG chunks carry correct CRCs; JPEG carries
+    JFIF APP0 + SOF0; GIF89a carries the logical screen descriptor.
+    Deterministic -- used for tests and the driver `media_meta` fixture."""
+    import struct
+    import zlib
+
+    if fmt == "png":
+        ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+        out = [_PNG_SIG]
+        for typ, data in ((b"IHDR", ihdr), (b"IEND", b"")):
+            out.append(struct.pack(">I", len(data)) + typ + data
+                       + struct.pack(">I", zlib.crc32(typ + data)))
+        return b"".join(out)
+    if fmt == "gif":
+        return (b"GIF89a" + struct.pack("<HH", width, height)
+                + b"\x00\x00\x00" + b"\x3b")
+    if fmt == "jpeg":
+        app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        sof0 = struct.pack(">BHHB3B", 8, height, width, 1, 1, 0x11, 0)
+        return (b"\xff\xd8"
+                + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+                + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+                + b"\xff\xd9")
+    raise ValueError(f"unknown fixture format {fmt!r}")
+
+
+def parse_image_meta(buf: bytes) -> tuple[str | None, int, int]:
+    """(fmt, width, height) from an image file's header bytes; (None, -1,
+    -1) when the payload is not a recognized image. Public formats only:
+      - PNG:  8-byte signature, IHDR width/height big-endian at 16/20
+      - GIF:  GIF87a/GIF89a, width/height little-endian at 6/8
+      - JPEG: marker walk to the first SOFn (C0-CF except C4/C8/CC),
+        height/width big-endian after the precision byte; scan bounded
+        to the first 64 KB (headers live at the front)
+    """
+    if buf is None:
+        return None, -1, -1
+    if len(buf) >= 24 and buf[:8] == _PNG_SIG and buf[12:16] == b"IHDR":
+        w = int.from_bytes(buf[16:20], "big")
+        h = int.from_bytes(buf[20:24], "big")
+        return "png", w, h
+    if len(buf) >= 10 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(buf[6:8], "little")
+        h = int.from_bytes(buf[8:10], "little")
+        return "gif", w, h
+    if len(buf) >= 4 and buf[:2] == b"\xff\xd8":
+        i, end = 2, min(len(buf), 65536)
+        while i + 4 <= end:
+            if buf[i] != 0xFF:
+                i += 1
+                continue
+            marker = buf[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            seglen = int.from_bytes(buf[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(buf):
+                    h = int.from_bytes(buf[i + 5:i + 7], "big")
+                    w = int.from_bytes(buf[i + 7:i + 9], "big")
+                    return "jpeg", w, h
+                break
+            i += 2 + seglen
+        return "jpeg", -1, -1  # JPEG signature but no parseable SOF
+    return None, -1, -1
+
+
+IMAGE_META_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("fmt", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+
+def decode_image_meta(df: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched header decode: (media_id, fmt, width, height) per
+    row. Per-row work is O(header bytes) -- the marker walk touches at
+    most the first 64 KB and PNG/GIF reads are fixed offsets -- so the
+    stage stays linear in input bytes at any scale."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_image_meta(b) for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "fmt": [m[0] for m in metas],
+                "width": np.array([m[1] for m in metas], dtype=np.int32),
+                "height": np.array([m[2] for m in metas], dtype=np.int32),
+            })
+
+    return df.mapInPandas(fn, schema=IMAGE_META_SCHEMA)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    """Deterministic media table for tests: image rows carry REAL encoded
+    PNG/GIF/JPEG bytes (encode_image_fixture); audio/video payloads stay
+    opaque seeded bytes (no public container format is needed for the
+    plumbing they exercise)."""
     rows = []
     kinds = ["image", "audio", "video"]
+    fmts = ["png", "gif", "jpeg"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(((i * 7 + j * 13) % 251) for j in range(128 + (i % 5) * 64))
+        if kind == "image":
+            payload = encode_image_fixture(i, 640, 480, fmts[(i // 3) % 3])
+        else:
+            payload = bytes(((i * 7 + j * 13) % 251)
+                            for j in range(128 + (i % 5) * 64))
         rows.append((i, kind, payload, 640 if kind == "image" else None,
                      480 if kind == "image" else None,
                      5000 if kind != "image" else None))

@@ -64,6 +64,54 @@ def start_windowed_stats_stream(spark: SparkSession, source_dir: str,
     return writer.start()
 
 
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def run_events_window_stream(spark: SparkSession, events_path: str,
+                             work_dir: str, window: str = "1 hour",
+                             watermark: str = "1 hour",
+                             timeout_sec: int = 300):
+    """Structured-Streaming replay of the events table through the
+    tumbling-window aggregation; returns the final result as a DataFrame
+    (the driver `events_stream` query -- must equal the `events_windowed`
+    batch oracle row-for-row).
+
+    Complete output mode via foreachBatch (parquet overwrite per batch):
+    a finite availableNow replay may land in ONE micro-batch, where the
+    watermark has not advanced past any window end yet, so append mode
+    would emit nothing -- complete mode emits every window's final row.
+    An unbounded deployment would run append mode + watermark exactly as
+    start_windowed_stats_stream does; this entry point is the
+    finite-replay verification surface."""
+    from pyspark.sql import functions as F
+
+    import os
+
+    out_dir = f"{work_dir}/data"
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if os.path.isfile(events_path):
+        # the file source requires a DIRECTORY; a single-file table is
+        # addressed as its parent dir + a name filter
+        reader = reader.option("pathGlobFilter", os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    src = reader.parquet(events_path).withWatermark("ts", watermark)
+    agg = (src.groupBy(F.window("ts", window).alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (agg.writeStream.outputMode("complete").foreachBatch(sink)
+         .option("checkpointLocation", f"{work_dir}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_sec)
+    return (spark.read.parquet(out_dir)
+            .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                    "event_type", "n_events", "sum_value"))
+
+
 def start_pipeline_stream(spark: SparkSession, source_dir: str, sink_dir: str,
                           checkpoint_dir: str, trigger_once: bool = True):
     """Run the full pipeline as a stream; parquet sink via foreachBatch

