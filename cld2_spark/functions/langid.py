@@ -176,10 +176,13 @@ def detect_summary_ext_udf(batches: Iterator[tuple[pd.Series, ...]]) -> Iterator
         yield _to_pdf(res, _SUMMARY_COLS)
 
 
-# W4 chunk vector: per-language character spans of the source text
-# (ResultChunkVector, public/compact_lang_det.h:146-153)
+# W4 chunk vector: per-language spans of the source text
+# (ResultChunkVector, public/compact_lang_det.h:146-153). off/len are
+# CHARACTER offsets; off_b/len_b the same spans in UTF-8 BYTES (the
+# reference's OffsetMap domain, internal/offsetmap.h:25-45)
 SPANS_SCHEMA = ArrayType(StructType([
     StructField("off", IntegerType()), StructField("len", IntegerType()),
+    StructField("off_b", IntegerType()), StructField("len_b", IntegerType()),
     StructField("lang", StringType()),
 ]))
 
@@ -200,9 +203,11 @@ def detect_spans_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         rows = []
         off, ln, lg = (res["span_off"][order], res["span_len"][order],
                        res["span_lang"][order])
+        offb, lnb = res["span_off_b"][order], res["span_len_b"][order]
         for i in range(len(s)):
             lo, hi = bounds[i], bounds[i + 1]
             rows.append([{"off": int(off[j]), "len": int(ln[j]),
+                          "off_b": int(offb[j]), "len_b": int(lnb[j]),
                           "lang": str(lg[j])} for j in range(lo, hi)])
         yield pd.Series(rows)
 

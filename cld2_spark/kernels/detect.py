@@ -1339,12 +1339,15 @@ def _build_spans(nb, model, sink) -> dict[str, np.ndarray]:
     """W4 chunk-vector stitching (SummaryBufferToVector / ItemToVector,
     internal/scoreonescriptspan.cc:323-511): per-chunk (row, lang, span)
     records merge into per-language character ranges of the source text;
-    consecutive same-language spans coalesce. Offsets/lengths are in
-    CHARACTERS of the original row text. Chunk boundaries at language
+    consecutive same-language spans coalesce. span_off/span_len are in
+    CHARACTERS of the original row text; span_off_b/span_len_b carry the
+    same spans in UTF-8 BYTES (the reference's OffsetMap back-mapping
+    domain, internal/offsetmap.h:25-45 -- ResultChunkVector offsets are
+    byte offsets into the input buffer). Chunk boundaries at language
     changes arrive pre-sharpened (W3, `_sharpen_boundaries`)."""
-    empty = {"span_rid": np.zeros(0, dtype=np.int64),
-             "span_off": np.zeros(0, dtype=np.int64),
-             "span_len": np.zeros(0, dtype=np.int64),
+    z = np.zeros(0, dtype=np.int64)
+    empty = {"span_rid": z, "span_off": z, "span_len": z,
+             "span_off_b": z, "span_len_b": z,
              "span_lang": np.array([], dtype=object)}
     if not sink:
         return empty
@@ -1373,8 +1376,23 @@ def _build_spans(nb, model, sink) -> dict[str, np.ndarray]:
     np.maximum.at(g_end, gid, end)
     lang_arr = np.array(model.langs, dtype=object)
     g_off = off[g_first]
-    return {"span_rid": rows[g_first], "span_off": g_off,
-            "span_len": np.maximum(g_end - g_off, 0),
+    g_len = np.maximum(g_end - g_off, 0)
+    g_rows = rows[g_first]
+    # byte-domain back-map (OffsetMap analogue): exclusive byte prefix of
+    # the stream; a row-local char offset k maps to
+    # bcum[text_start[row] + k] - bcum[text_start[row]]
+    bcum = np.zeros(len(nb.u8len) + 1, dtype=np.int64)
+    np.cumsum(nb.u8len, out=bcum[1:])
+    base_c = text_start[g_rows]
+    hi = len(bcum) - 1
+    off_b = (bcum[np.minimum(base_c + g_off, hi)]
+             - bcum[np.minimum(base_c, hi)])
+    end_b = (bcum[np.minimum(base_c + g_off + g_len, hi)]
+             - bcum[np.minimum(base_c, hi)])
+    return {"span_rid": g_rows, "span_off": g_off,
+            "span_len": g_len,
+            "span_off_b": off_b,
+            "span_len_b": np.maximum(end_b - off_b, 0),
             "span_lang": lang_arr[langs[g_first]]}
 
 

@@ -109,6 +109,25 @@ def test_chunk_vector_spans_mixed_doc():
     assert spans1 == [(0, "el")]                  # RTypeOne single span
 
 
+def test_span_byte_offsets_match_utf8_encoding():
+    """Byte-domain span back-map (OffsetMap analogue, offsetmap.h:25-45):
+    span_off_b/span_len_b equal the UTF-8 byte offsets of the char span
+    in the row text -- on multi-byte text, bytes != chars."""
+    gr = "γειά σου κόσμε τι κάνεις σήμερα εδώ πέρα τώρα αμέσως"  # 2B chars
+    en = "the gardens were quiet during the morning hours today"
+    r = detect_batch([gr, en], return_spans=True)
+    for j in range(len(r["span_rid"])):
+        rid = int(r["span_rid"][j])
+        text = (gr, en)[rid]
+        off, ln = int(r["span_off"][j]), int(r["span_len"][j])
+        off_b, ln_b = int(r["span_off_b"][j]), int(r["span_len_b"][j])
+        assert off_b == len(text[:off].encode("utf-8"))
+        assert ln_b == len(text[off:off + ln].encode("utf-8"))
+    # the Greek row's byte span must be ~2x its char span
+    gi = [j for j in range(len(r["span_rid"])) if r["span_rid"][j] == 0]
+    assert gi and int(r["span_len_b"][gi[0]]) > int(r["span_len"][gi[0]])
+
+
 def test_spans_udf(spark):
     from pyspark.sql import functions as F
     from cld2_spark.functions.langid import detect_spans_udf
