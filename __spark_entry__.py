@@ -425,6 +425,39 @@ def _q_media_meta(spark, sf_dir):
     return decode_image_meta(media)
 
 
+# audio_meta contract arithmetic (mirrors the media_meta pattern): both
+# the WAV fixture encoder and the DuckDB oracle derive the parameters
+# from doc_id, so the RIFF chunk-walk parser is what the round-trip tests
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def _q_audio_meta(spark, sf_dir):
+    """REAL audio decode: encode every doc_id as a well-formed PCM WAV
+    (public RIFF byte layout), parse sample rate / channels / duration
+    back out of the raw bytes; the oracle recomputes them independently
+    from doc_id arithmetic."""
+    import pandas as pd
+
+    from cld2_spark.operators.multimodal import (decode_audio_meta,
+                                                 encode_wav_fixture)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [
+                    encode_wav_fixture(_WAV_RATES[i % 4], 1 + i % 2,
+                                       _WAV_RATES[i % 4] // 100 + i % 50)
+                    for i in ids],
+            })
+
+    media = docs.mapInPandas(enc, "media_id long, payload binary")
+    return decode_audio_meta(media)
+
+
 def _q_conversation_features(spark, sf_dir):
     """Grouped-map pandas UDF (applyInPandas): per-conversation ordered
     stats; oracle = equivalent window SQL in DuckDB."""
@@ -498,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "lsh_buckets": _q_lsh_buckets,
         "media_meta": _q_media_meta,
+        "audio_meta": _q_audio_meta,
         "lang_histogram": _q_lang_histogram,
         "conversation_features": _q_conversation_features,
         "lang_spans": _q_lang_spans,
@@ -787,6 +821,16 @@ def oracle_sql() -> dict[str, str]:
             "    THEN 1 ELSE 0 END) AS BIGINT) AS without_discounted_line "
             "FROM orders o GROUP BY o_orderpriority"),
         "lsh_buckets": _lsh_buckets_duck_sql(),
+        "audio_meta": (
+            "SELECT doc_id AS media_id, "
+            "CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate, "
+            "CAST(1 + doc_id % 2 AS INT) AS channels, "
+            "CAST(FLOOR(((CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "WHEN 2 THEN 22050 ELSE 44100 END) // 100 + doc_id % 50) * 1000.0 "
+            "/ (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "WHEN 2 THEN 22050 ELSE 44100 END)) AS INT) AS duration_ms "
+            "FROM documents"),
         "media_meta": (
             "SELECT doc_id AS media_id, "
             "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' "

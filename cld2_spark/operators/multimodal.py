@@ -188,6 +188,73 @@ def parse_image_meta(buf: bytes) -> tuple[str | None, int, int]:
     return None, -1, -1
 
 
+def encode_wav_fixture(sample_rate: int, channels: int, n_samples: int,
+                       bits: int = 16) -> bytes:
+    """Minimal fully well-formed PCM WAV file (RIFF + fmt + data chunks,
+    zeroed samples) -- the RIFF/WAVE byte layout is public format
+    knowledge, no audio library involved."""
+    import struct
+
+    block = channels * bits // 8
+    data_size = n_samples * block
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    chunks = (b"WAVE"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", data_size) + b"\x00" * data_size)
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def parse_wav_meta(buf: bytes) -> tuple[int, int, int] | None:
+    """(sample_rate, channels, duration_ms) from a RIFF/WAVE header via
+    the standard chunk walk (word-aligned chunk sizes); None when the
+    payload is not a parseable WAV."""
+    if buf is None or len(buf) < 12 or buf[:4] != b"RIFF" \
+            or buf[8:12] != b"WAVE":
+        return None
+    i = 12
+    sr = ch = byte_rate = data_size = None
+    while i + 8 <= len(buf):
+        cid = buf[i:i + 4]
+        size = int.from_bytes(buf[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 20 <= len(buf):
+            ch = int.from_bytes(buf[i + 10:i + 12], "little")
+            sr = int.from_bytes(buf[i + 12:i + 16], "little")
+            byte_rate = int.from_bytes(buf[i + 16:i + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)
+    if not sr or data_size is None or not byte_rate:
+        return None
+    return sr, ch, data_size * 1000 // byte_rate
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+
+def decode_audio_meta(df: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched WAV header decode; non-WAV rows yield -1s."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_wav_meta(b) or (-1, -1, -1)
+                     for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "sample_rate": np.array([m[0] for m in metas], dtype=np.int32),
+                "channels": np.array([m[1] for m in metas], dtype=np.int32),
+                "duration_ms": np.array([m[2] for m in metas], dtype=np.int32),
+            })
+
+    return df.mapInPandas(fn, schema=AUDIO_META_SCHEMA)
+
+
 IMAGE_META_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("fmt", StringType()),
@@ -218,9 +285,9 @@ def decode_image_meta(df: DataFrame, id_col: str = "media_id",
 
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic media table for tests: image rows carry REAL encoded
-    PNG/GIF/JPEG bytes (encode_image_fixture); audio/video payloads stay
-    opaque seeded bytes (no public container format is needed for the
-    plumbing they exercise)."""
+    PNG/GIF/JPEG bytes, audio rows REAL PCM WAV bytes; video payloads
+    stay opaque seeded bytes (the frame-sampling plumbing they exercise
+    needs no container format)."""
     rows = []
     kinds = ["image", "audio", "video"]
     fmts = ["png", "gif", "jpeg"]
@@ -228,6 +295,8 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             payload = encode_image_fixture(i, 640, 480, fmts[(i // 3) % 3])
+        elif kind == "audio":
+            payload = encode_wav_fixture(16000, 1 + i % 2, 160)
         else:
             payload = bytes(((i * 7 + j * 13) % 251)
                             for j in range(128 + (i % 5) * 64))

@@ -393,3 +393,21 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     # final label checkpoint may remain (~8 rounds ran)
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert len(after - before) <= 1, f"leaked checkpoints: {after - before}"
+
+
+def test_wav_header_codec_roundtrip():
+    """Real PCM WAV encode/parse (RIFF chunk walk): params round-trip;
+    non-WAV payloads are rejected."""
+    from cld2_spark.operators.multimodal import (encode_wav_fixture,
+                                                 parse_wav_meta)
+    for sr, ch, ns in ((8000, 1, 80), (44100, 2, 441), (22050, 1, 270)):
+        buf = encode_wav_fixture(sr, ch, ns)
+        got = parse_wav_meta(buf)
+        assert got == (sr, ch, ns * 1000 * ch * 2 // (sr * ch * 2))
+    assert parse_wav_meta(b"RIFFxxxxNOPE") is None
+    assert parse_wav_meta(b"not audio") is None
+    assert parse_wav_meta(None) is None
+    # an extra chunk before fmt still parses (chunk walk, word alignment)
+    wav = encode_wav_fixture(16000, 1, 160)
+    padded = wav[:12] + b"LIST\x05\x00\x00\x00junk\x00\x00" + wav[12:]
+    assert parse_wav_meta(padded) == (16000, 1, 10)
