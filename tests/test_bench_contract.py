@@ -31,3 +31,19 @@ def test_bench_emits_contract_json():
               "conv_rollup", "pricing_summary", "dedup_exact",
               "minhash_pairs", "token_stats", "ann_cosine"):
         assert q in d["queries"] and d["queries"][q] > 0
+
+
+def test_cpu_rotation_disjoint_blocks():
+    """Scaling windows must pin DIFFERENT vCPU blocks across windows so
+    per-vCPU hypervisor steal cannot poison every sample of one side."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    rot4 = [bench._cpu_rotation(4, w, 32) for w in range(5)]
+    assert rot4 == ["0-3", "4-7", "8-11", "12-15", "16-19"]
+    assert len(set(rot4)) == 5
+    rot16 = [bench._cpu_rotation(16, w, 32) for w in range(3)]
+    assert rot16 == ["0-15", "16-31", "0-15"]
+    # wraparound block stays well-formed
+    assert bench._cpu_rotation(12, 2, 32) == "24-31,0-3"
