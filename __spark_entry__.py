@@ -288,11 +288,19 @@ def _q_events_stream(spark, sf_dir):
     through Structured Streaming (availableNow trigger, checkpointed,
     windowed agg) and return the final windows -- must match the same
     batch oracle as `events_windowed`."""
+    import shutil
     import tempfile
+    from pathlib import Path
 
     from cld2_spark.streaming.stream import run_events_window_stream
 
-    work = tempfile.mkdtemp(prefix="cld2s_events_stream_")
+    # one work dir per Spark application, recreated fresh per call: the
+    # returned DataFrame reads the result lazily, so the dir must outlive
+    # this function, but repeated calls (best-of-2 bench, repeated
+    # contract runs) must not accumulate checkpoints in /tmp
+    work = str(Path(tempfile.gettempdir())
+               / f"cld2s_events_stream_{spark.sparkContext.applicationId}")
+    shutil.rmtree(work, ignore_errors=True)
     return run_events_window_stream(spark, f"{sf_dir}/events.parquet", work)
 
 

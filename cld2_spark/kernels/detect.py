@@ -91,6 +91,63 @@ CJK_SCRIPTS = np.array([ut.SCRIPT_ID[s] for s in ("Hani", "Hira", "Kata", "Bopo"
                        dtype=np.uint8)
 
 
+def _word_walk(arr: np.ndarray):
+    """Shared word-walk over a compressed letter stream: the intermediates
+    every gram extractor needs (space mask, word ids/starts/lengths, UTF-8
+    offsets, encoded buffer). Computed ONCE and consumed by the quad and
+    word extractors below. Returns None for a wordless stream."""
+    n = len(arr)
+    is_sp = arr == T.SPACE
+    prev_sp = np.empty_like(is_sp)
+    prev_sp[0] = True
+    prev_sp[1:] = is_sp[:-1]
+    word_start = (~is_sp) & prev_sp
+    if not word_start.any():
+        return None
+    wid = (np.cumsum(word_start, dtype=np.int32) - 1)    # word id per char
+    idx = np.arange(n, dtype=np.int32)
+    wstart = idx[word_start]                             # (n_words,)
+    wlen = np.bincount(wid[~is_sp]).astype(np.int32)     # letters per word
+    boff = T.utf8_offsets(arr)
+    buf = T.encode_utf8(arr)
+    return is_sp, wid, idx, wstart, wlen, boff, buf
+
+
+def _empty_quads():
+    z = np.zeros(0, dtype=np.int64)
+    return z, z, z, np.zeros(32, dtype=np.uint8), z, z, z
+
+
+def _quads_from_walk(walk, arr, rid_s, vowel_skip: bool):
+    """Quadgram outputs from a precomputed word walk (see quad_grams)."""
+    is_sp, wid, idx, wstart, wlen, boff, buf = walk
+    o = idx - wstart[wid]                                # offset in word
+    L = wlen[wid]
+    skip = _VOWEL_LUT[np.minimum(arr, ut.MAX_CP - 1)] if vowel_skip \
+        else np.zeros(len(arr), dtype=bool)
+    gram = (~is_sp) & ((o == 0) | ((o <= L - 4) & ~skip))
+    pos = idx[gram]
+    glen = np.where(o[gram] == 0, np.minimum(L[gram], 4), np.int32(4))
+    byte_start = boff[pos]
+    byte_len = np.minimum(boff[pos + glen] - byte_start, 12)
+    # J2 backoff key: byte length of the gram's <=3-char prefix (the second
+    # lookup table is probed with the prefix-trigram hash on a main-table
+    # miss; see GetQuadHits dual probe, internal/cldutil.cc:355-362)
+    tri_len = np.minimum(boff[pos + np.minimum(glen, 3)] - byte_start, 12)
+    g_rid = rid_s[pos]
+    # non-overlapping byte coverage per gram (chunk byte spans, W1 analogue):
+    # distance to next gram start within the same row; last gram -> own len
+    gram_bytes = np.empty(len(pos), dtype=np.int32)
+    if len(pos):
+        gram_bytes[:-1] = byte_start[1:] - byte_start[:-1]
+        gram_bytes[-1] = byte_len[-1]
+        row_end = np.empty(len(pos), dtype=bool)
+        row_end[:-1] = g_rid[1:] != g_rid[:-1]
+        row_end[-1] = True
+        gram_bytes[row_end] = byte_len[row_end]
+    return g_rid, byte_start, byte_len, buf, gram_bytes, pos, tri_len
+
+
 def quad_grams(arr: np.ndarray, rid_s: np.ndarray, vowel_skip: bool = True):
     """Extract quadgram positions from a compressed letter stream.
 
@@ -107,51 +164,10 @@ def quad_grams(arr: np.ndarray, rid_s: np.ndarray, vowel_skip: bool = True):
     internal/cldutil_shared.h:462-486), short words produce one whole-word
     gram, pre/post-space bits sensed from the real spaces in the stream.
     """
-    n = len(arr)
-    if n == 0:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, z, np.zeros(32, dtype=np.uint8), z, z, z
-    is_sp = arr == T.SPACE
-    prev_sp = np.empty_like(is_sp)
-    prev_sp[0] = True
-    prev_sp[1:] = is_sp[:-1]
-    word_start = (~is_sp) & prev_sp
-    if not word_start.any():
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, z, np.zeros(32, dtype=np.uint8), z, z, z
-    wid = (np.cumsum(word_start, dtype=np.int32) - 1)    # word id per char
-    idx = np.arange(n, dtype=np.int32)
-    wstart = idx[word_start]                             # (n_words,)
-    wlen = np.bincount(wid[~is_sp]).astype(np.int32)     # letters per word
-    o = idx - wstart[wid]                                # offset in word
-    L = wlen[wid]
-    skip = _VOWEL_LUT[np.minimum(arr, ut.MAX_CP - 1)] if vowel_skip \
-        else np.zeros(len(arr), dtype=bool)
-    gram = (~is_sp) & ((o == 0) | ((o <= L - 4) & ~skip))
-    pos = idx[gram]
-    glen = np.where(o[gram] == 0, np.minimum(L[gram], 4), np.int32(4))
-
-    boff = T.utf8_offsets(arr)
-    byte_start = boff[pos]
-    byte_len = np.minimum(boff[pos + glen] - byte_start, 12)
-    # J2 backoff key: byte length of the gram's <=3-char prefix (the second
-    # lookup table is probed with the prefix-trigram hash on a main-table
-    # miss; see GetQuadHits dual probe, internal/cldutil.cc:355-362)
-    tri_len = np.minimum(boff[pos + np.minimum(glen, 3)] - byte_start, 12)
-    buf = T.encode_utf8(arr)
-    g_rid = rid_s[pos]
-
-    # non-overlapping byte coverage per gram (chunk byte spans, W1 analogue):
-    # distance to next gram start within the same row; last gram -> own len
-    gram_bytes = np.empty(len(pos), dtype=np.int32)
-    if len(pos):
-        gram_bytes[:-1] = byte_start[1:] - byte_start[:-1]
-        gram_bytes[-1] = byte_len[-1]
-        row_end = np.empty(len(pos), dtype=bool)
-        row_end[:-1] = g_rid[1:] != g_rid[:-1]
-        row_end[-1] = True
-        gram_bytes[row_end] = byte_len[row_end]
-    return g_rid, byte_start, byte_len, buf, gram_bytes, pos, tri_len
+    walk = _word_walk(arr) if len(arr) else None
+    if walk is None:
+        return _empty_quads()
+    return _quads_from_walk(walk, arr, rid_s, vowel_skip)
 
 
 # hint prior weights (J8/K3, internal/compact_lang_det_hint_code.cc:31-32):
@@ -237,91 +253,19 @@ def word_grams(arr: np.ndarray, rid_s: np.ndarray):
     internal/cldutil.cc:470-475). Words are truncated to 8 letters
     (charcount <= 8 walk, internal/cldutil.cc:515-518).
     """
+    walk = _word_walk(arr) if len(arr) else None
+    if walk is None:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.astype(np.uint64), z.astype(np.uint64), z
+    return _words_from_walk(walk, rid_s)
+
+
+def _words_from_walk(walk, rid_s):
+    """Word/word-pair outputs from a precomputed word walk (see
+    word_grams)."""
     from .hashes import octa_hash_40, pair_hash
 
-    n = len(arr)
-    z = np.zeros(0, dtype=np.int64)
-    if n == 0:
-        return z, z.astype(np.uint64), z.astype(np.uint64), z
-    is_sp = arr == T.SPACE
-    prev_sp = np.empty_like(is_sp)
-    prev_sp[0] = True
-    prev_sp[1:] = is_sp[:-1]
-    word_start = (~is_sp) & prev_sp
-    pos = np.flatnonzero(word_start).astype(np.int32)
-    if len(pos) == 0:
-        return z, z.astype(np.uint64), z.astype(np.uint64), z
-    wid = np.cumsum(word_start, dtype=np.int32) - 1
-    wlen = np.minimum(np.bincount(wid[~is_sp]).astype(np.int32), 8)
-
-    boff = T.utf8_offsets(arr)
-    bstart = boff[pos]
-    blen = np.minimum(boff[pos + wlen] - bstart, 24)
-    buf = T.encode_utf8(arr)
-    h40 = octa_hash_40(buf, bstart, blen)
-    w_rid = rid_s[pos]
-
-    pair = np.zeros(len(pos), dtype=np.uint64)
-    if len(pos) > 1:
-        p40 = pair_hash(h40[:-1], h40[1:])
-        same_row = w_rid[1:] == w_rid[:-1]
-        diff_word = h40[1:] != h40[:-1]
-        pair[1:] = np.where(same_row & diff_word, p40, 0)
-    return w_rid, h40, pair, pos
-
-
-def quad_and_word_grams(arr: np.ndarray, rid_s: np.ndarray):
-    """quad_grams + word_grams fused into ONE pass over the stream.
-
-    The two extractors share the word walk (space mask, word ids/lengths),
-    the UTF-8 offset table and the encoded buffer -- recomputing them was
-    ~40% of the two functions' combined cost. Outputs are identical to
-    calling quad_grams(arr, rid_s) and word_grams(arr, rid_s) separately
-    (asserted by tests/test_hashes.py fuzz)."""
-    from .hashes import octa_hash_40, pair_hash
-
-    n = len(arr)
-    z = np.zeros(0, dtype=np.int64)
-    zu = z.astype(np.uint64)
-    empty_q = (z, z, z, np.zeros(32, dtype=np.uint8), z, z, z)
-    empty_w = (z, zu, zu, z)
-    if n == 0:
-        return empty_q, empty_w
-    is_sp = arr == T.SPACE
-    prev_sp = np.empty_like(is_sp)
-    prev_sp[0] = True
-    prev_sp[1:] = is_sp[:-1]
-    word_start = (~is_sp) & prev_sp
-    if not word_start.any():
-        return empty_q, empty_w
-    wid = (np.cumsum(word_start, dtype=np.int32) - 1)
-    idx = np.arange(n, dtype=np.int32)
-    wstart = idx[word_start]
-    wlen = np.bincount(wid[~is_sp]).astype(np.int32)
-    boff = T.utf8_offsets(arr)
-    buf = T.encode_utf8(arr)
-
-    # quad part (see quad_grams)
-    o = idx - wstart[wid]
-    L = wlen[wid]
-    skip = _VOWEL_LUT[np.minimum(arr, ut.MAX_CP - 1)]
-    gram = (~is_sp) & ((o == 0) | ((o <= L - 4) & ~skip))
-    pos = idx[gram]
-    glen = np.where(o[gram] == 0, np.minimum(L[gram], 4), np.int32(4))
-    byte_start = boff[pos]
-    byte_len = np.minimum(boff[pos + glen] - byte_start, 12)
-    tri_len = np.minimum(boff[pos + np.minimum(glen, 3)] - byte_start, 12)
-    g_rid = rid_s[pos]
-    gram_bytes = np.empty(len(pos), dtype=np.int32)
-    if len(pos):
-        gram_bytes[:-1] = byte_start[1:] - byte_start[:-1]
-        gram_bytes[-1] = byte_len[-1]
-        row_end = np.empty(len(pos), dtype=bool)
-        row_end[:-1] = g_rid[1:] != g_rid[:-1]
-        row_end[-1] = True
-        gram_bytes[row_end] = byte_len[row_end]
-
-    # word part (see word_grams)
+    _, _, _, wstart, wlen, boff, buf = walk
     wl8 = np.minimum(wlen, 8)
     bstart = boff[wstart]
     blen = np.minimum(boff[wstart + wl8] - bstart, 24)
@@ -333,8 +277,26 @@ def quad_and_word_grams(arr: np.ndarray, rid_s: np.ndarray):
         same_row = w_rid[1:] == w_rid[:-1]
         diff_word = h40[1:] != h40[:-1]
         pair[1:] = np.where(same_row & diff_word, p40, 0)
-    return ((g_rid, byte_start, byte_len, buf, gram_bytes, pos, tri_len),
-            (w_rid, h40, pair, wstart))
+    return w_rid, h40, pair, wstart
+
+
+def quad_and_word_grams(arr: np.ndarray, rid_s: np.ndarray,
+                        vowel_skip: bool = True):
+    """quad_grams + word_grams sharing ONE word walk over the stream.
+
+    The two extractors share the word walk (space mask, word ids/lengths),
+    the UTF-8 offset table and the encoded buffer -- recomputing them was
+    ~40% of the two functions' combined cost. Each extractor's rules live
+    in exactly one place (_quads_from_walk / _words_from_walk); outputs
+    are identical to calling quad_grams and word_grams separately
+    (asserted by tests/test_hashes.py fuzz)."""
+    z = np.zeros(0, dtype=np.int64)
+    zu = z.astype(np.uint64)
+    walk = _word_walk(arr) if len(arr) else None
+    if walk is None:
+        return _empty_quads(), (z, zu, zu, z)
+    return (_quads_from_walk(walk, arr, rid_s, vowel_skip),
+            _words_from_walk(walk, rid_s))
 
 
 def cjk_bigram_hash(cp1: np.ndarray, cp2: np.ndarray) -> np.ndarray:

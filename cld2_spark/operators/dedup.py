@@ -71,13 +71,22 @@ _SHINGLES = ("transform(sequence(1, greatest(length({col}) - {k1}, 1)), "
 _live_caches: list[tuple[int, DataFrame]] = []
 
 
+def _session_alive(df: DataFrame) -> bool:
+    try:
+        return df.sparkSession.sparkContext._jsc is not None
+    except Exception:
+        return False
+
+
 def release_dedup_caches(blocking: bool = False, session=None) -> None:
     """Unpersist DataFrames cached by prior dedup-operator calls --
-    `session`'s only, or all when session is None."""
+    `session`'s only, or all when session is None. Entries whose session
+    has stopped are always pruned, so a multi-session process cannot
+    accumulate dead references."""
     global _live_caches
     keep: list[tuple[int, DataFrame]] = []
     for sid, df in _live_caches:
-        if session is not None and sid != id(session):
+        if session is not None and sid != id(session) and _session_alive(df):
             keep.append((sid, df))
             continue
         try:

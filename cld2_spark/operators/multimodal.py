@@ -171,6 +171,9 @@ def parse_image_meta(buf: bytes) -> tuple[str | None, int, int]:
                 i += 1
                 continue
             marker = buf[i + 1]
+            if marker == 0xFF:  # JPEG B.1.1.2: fill bytes before a marker
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue

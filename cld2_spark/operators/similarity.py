@@ -185,11 +185,13 @@ def ivf_cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     h = hash_id_expr(id_col, "spark")
     cents = (vectors.where(F.expr(f"{h} % {cent_mod} = 0"))
              .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")))
-    if not cents.limit(1).take(1):
-        # no id hashed to 0 mod cent_mod (plausible when the table is
-        # smaller than ~cent_mod rows): degrade to every-row-a-centroid
+    # empty-centroid guard (ADVICE r3), gated so the probe job only runs
+    # when the table is small enough for emptiness to be plausible --
+    # at >= 4*cent_mod rows P(no centroid) < e^-4 and the happy path
+    # must not pay an extra scan-until-first-match job
+    if estimate_rows(vectors) < 4 * cent_mod and not cents.limit(1).take(1):
+        # no id hashed to 0 mod cent_mod: degrade to every-row-a-centroid
         # (exact brute force) instead of silently returning nothing
-        # (ADVICE r3)
         cents = vectors.select(F.col(id_col).alias("cell"),
                                F.col(vec_col).alias("cv"))
     csim = F.expr(_dot("v", "cv")) / (F.expr(_norm("v")) * F.expr(_norm("cv")))

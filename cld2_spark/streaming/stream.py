@@ -106,7 +106,12 @@ def run_events_window_stream(spark: SparkSession, events_path: str,
     q = (agg.writeStream.outputMode("complete").foreachBatch(sink)
          .option("checkpointLocation", f"{work_dir}/ckpt")
          .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # never read a half-written snapshot: a still-running query could
+        # be mid-overwrite of out_dir, silently returning partial windows
+        q.stop()
+        raise TimeoutError(
+            f"events window replay did not finish in {timeout_sec}s")
     return (spark.read.parquet(out_dir)
             .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
                     "event_type", "n_events", "sum_value"))

@@ -197,6 +197,9 @@ def test_image_header_codec_roundtrip():
     jpg = encode_image_fixture(1, 320, 200, "jpeg")
     padded = jpg[:2] + b"\xff\xe1\x00\x04\x00\x00" + jpg[2:]
     assert parse_image_meta(padded) == ("jpeg", 320, 200)
+    # JPEG B.1.1.2 fill bytes (0xFF runs) before a marker are legal
+    filled = jpg[:2] + b"\xff\xff\xff" + jpg[2:]
+    assert parse_image_meta(filled) == ("jpeg", 320, 200)
     # PNG CRC correctness: a real chunk-verifying reader would accept it
     import struct
     import zlib
