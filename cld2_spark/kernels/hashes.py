@@ -52,27 +52,30 @@ def quad_hash_v2_mix(buf: np.ndarray, start: np.ndarray, bytecount: np.ndarray,
     bc = bytecount.astype(np.int64)
     mask_resid = _WORD_MASK0[(bc & 3).astype(np.intp)]
 
+    # word 0 touches every gram; words 1/2 only grams longer than 4/8
+    # bytes -- most quads are exactly 4 bytes, so the dense 3-load form
+    # wasted two gathers per gram (same subset pattern as octa_hash_40_mix;
+    # bit-exactness pinned by golden tests + a differential fuzz)
     w0_raw = _load32(buf, start)
-    w1_raw = _load32(buf, start + 4)
-    w2_raw = _load32(buf, start + 8)
-
-    # case <=4: word0 masked
     w0_m = w0_raw & mask_resid
-    h_le4 = (w0_m ^ (w0_m >> np.uint32(3))) ^ prepost
+    out = (w0_m ^ (w0_m >> np.uint32(3))) ^ prepost  # case <=4
 
-    # case 5..8: word0 full, word1 masked
-    w0 = w0_raw ^ (w0_raw >> np.uint32(3))
-    w1_m = w1_raw & mask_resid
-    w1x = w1_m ^ (w1_m << np.uint32(4))
-    h_le8 = (w0 ^ prepost) + w1x
-
-    # case 9..12: word0, word1 full, word2 masked
-    w1f = w1_raw ^ (w1_raw << np.uint32(4))
-    w2_m = w2_raw & mask_resid
-    w2x = w2_m ^ (w2_m << np.uint32(2))
-    h_le12 = (w0 ^ prepost) + w1f + w2x
-
-    out = np.where(bc <= 4, h_le4, np.where(bc <= 8, h_le8, h_le12))
+    long1 = np.flatnonzero(bc > 4)
+    if len(long1):
+        w0 = w0_raw[long1] ^ (w0_raw[long1] >> np.uint32(3))
+        w1_raw = _load32(buf, start[long1] + 4)
+        mid = bc[long1] <= 8
+        # case 5..8: word1 masked; case 9..12: word1 full
+        w1_m = np.where(mid, w1_raw & mask_resid[long1], w1_raw)
+        w1x = w1_m ^ (w1_m << np.uint32(4))
+        h = (w0 ^ prepost[long1]) + w1x
+        deep = np.flatnonzero(~mid)
+        if len(deep):
+            g = long1[deep]
+            w2_raw = _load32(buf, start[g] + 8)
+            w2_m = w2_raw & mask_resid[g]
+            h[deep] += w2_m ^ (w2_m << np.uint32(2))
+        out[long1] = h
     return np.where(bc == 0, np.uint32(0), out).astype(np.uint32)
 
 
@@ -94,28 +97,33 @@ def octa_hash_40_mix(buf: np.ndarray, start: np.ndarray, bytecount: np.ndarray,
     """
     bc = np.minimum(bytecount.astype(np.int64), 24)
     mask_resid = _WORD_MASK0[(bc & 3).astype(np.intp)]
-    case = (bc - 1) >> 2  # 0..5
+    case = (bc - 1) >> 2  # 0..5 (-1 for bc=0, discarded at the end)
 
-    words = [_load32(buf, start + 4 * k) for k in range(6)]
     # per-word mix op as (kind, amount): kind 0 = `w ^ (w >> a)`, 1 = `w ^ (w << a)`
     # -- all in uint64 like the reference locals, so carries are preserved
     shifts = [(0, 3), (1, 4), (1, 2), (0, 8), (0, 4), (0, 6)]
 
-    word0 = np.zeros(len(start), dtype=np.uint64)
-    summ = np.zeros(len(start), dtype=np.uint64)
-    zero = np.uint64(0)
-    for k in range(6):
-        active = case >= k
-        w32 = np.where(case == k, words[k] & mask_resid, words[k])
+    # word 0 touches every entry (dense); words 1..5 only the words long
+    # enough to reach them -- typical words are <=8 bytes (case 0-1), so
+    # gathering and mixing all 6 words for every entry wasted ~3x the
+    # load/mix work. Subsets shrink fast; bit-exactness pinned by the
+    # golden + reference-annotation tests.
+    w0_raw = _load32(buf, start)
+    w32 = np.where(case == 0, w0_raw & mask_resid, w0_raw)
+    w = w32.astype(np.uint64)
+    summ = w.copy()
+    word0 = w ^ (w >> np.uint64(3))
+    for k in range(1, 6):
+        idx = np.flatnonzero(case >= k)
+        if not len(idx):
+            break
+        w32 = _load32(buf, start[idx] + 4 * k)
+        w32 = np.where(case[idx] == k, w32 & mask_resid[idx], w32)
         w = w32.astype(np.uint64)
         kind, amt = shifts[k]
         wx = (w ^ (w >> np.uint64(amt))) if kind == 0 else (w ^ (w << np.uint64(amt)))
-        if k == 0:
-            summ = w.copy()
-            word0 = wx
-        else:
-            summ = summ + np.where(active, w, zero)
-            word0 = word0 + np.where(active, wx, zero)
+        summ[idx] += w
+        word0[idx] += wx
 
     summ = summ + (summ >> np.uint64(17))
     summ = summ + (summ >> np.uint64(9))
