@@ -50,11 +50,18 @@ class GramTable:
         keys4 = self.keys[sub]                      # (n, 4)
         match = keys4 == h32[:, None]
         found = match.any(axis=1)
-        slot = np.argmax(match, axis=1)
-        langs3 = self.langs[sub, slot]              # (n, 3)
-        qprobs3 = self.qprobs[sub, slot]
-        # zero out misses
-        qprobs3 = np.where(found[:, None], qprobs3, 0)
+        # slot gathers only for HITS: miss rates run 85%+ on unseen text,
+        # so dense (n, 3) gathers wasted most of their bandwidth; misses
+        # carry (255, 0) = the no-language/no-vote encoding every consumer
+        # already masks on
+        n = len(h32)
+        langs3 = np.full((n, 3), 255, dtype=np.uint8)
+        qprobs3 = np.zeros((n, 3), dtype=np.uint8)
+        idx = np.flatnonzero(found)
+        if len(idx):
+            slot = np.argmax(match[idx], axis=1)
+            langs3[idx] = self.langs[sub[idx], slot]
+            qprobs3[idx] = self.qprobs[sub[idx], slot]
         return found, langs3, qprobs3
 
     @staticmethod
@@ -141,9 +148,18 @@ class RefTable:
         match = ((hashkey[:, None] ^ keys4) & mask) == 0
         match &= keys4 != 0                                      # empty slot
         found = match.any(axis=1)
-        slot = np.argmax(match, axis=1)
-        langs = (self.langs_latn if latin else self.langs_othr)[sub, slot]
-        qprobs = np.where(found[:, None], self.qprobs[sub, slot], 0)
+        # slot gathers only for HITS (word-table miss rates measured ~99%
+        # on transcripts -- the dense (n, 6) gathers were almost entirely
+        # wasted); misses carry (255, 0), which every consumer masks on
+        k = self.qprobs.shape[2]
+        langs = np.full((len(sub), k), 255, dtype=np.uint8)
+        qprobs = np.zeros((len(sub), k), dtype=np.uint8)
+        idx = np.flatnonzero(found)
+        if len(idx):
+            slot = np.argmax(match[idx], axis=1)
+            tbl = self.langs_latn if latin else self.langs_othr
+            langs[idx] = tbl[sub[idx], slot]
+            qprobs[idx] = self.qprobs[sub[idx], slot]
         return found, langs, qprobs
 
     def probe_quad(self, h32: np.ndarray, latin: bool):
