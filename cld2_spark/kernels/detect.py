@@ -1058,31 +1058,46 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                             sel = keep_w & (wh != 0)
                             if not sel.any():
                                 continue
-                            _, wl, wq = rt.probe_octa(wh[sel], latin)
-                            rows_w = w_rid[sel]
+                            fnd, wl, wq = rt.probe_octa(wh[sel], latin)
+                            if not fnd.any():
+                                continue
+                            # misses never enter the hit stream: the
+                            # reference's hitbuffer stores delta/distinct
+                            # entries only on table hits (GetOctaHits,
+                            # internal/cldutil.cc:416-533) -- and word-
+                            # table miss rates run ~99% on transcripts,
+                            # so dropping them here shrinks the scoring
+                            # stream ~2x
+                            wl, wq = wl[fnd], wq[fnd]
+                            rows_w = w_rid[sel][fnd]
+                            wpos_f = wpos[sel][fnd]
                             for j in range(wl.shape[1]):
                                 ev = (wq[:, j] > 0) & (wl[:, j] < L)
                                 if ev.any():
                                     word_ev[rows_w[ev], wl[:, j][ev]] = True
-                            zero = np.zeros(int(sel.sum()), dtype=np.int32)
-                            # only ACTUAL table hits enter the ring; misses
-                            # decode to all-zero qprobs and must not evict
+                            zero = np.zeros(len(rows_w), dtype=np.int32)
+                            # only ACTUAL table hits enter the ring; a
+                            # found slot can still decode to all-zero
+                            # qprobs and must not evict
                             hitmask = (wq > 0).any(axis=1) if dis else None
-                            hits.append((rows_w, wpos[sel], wl, wq, zero,
+                            hits.append((rows_w, wpos_f, wl, wq, zero,
                                          hitmask))
                     else:
                         for wh in (w32, pair32):
                             sel = keep_w & (wh != 0)
                             if not sel.any():
                                 continue
-                            _, wl3, wq3 = model.words.probe(wh[sel])
-                            rows_w = w_rid[sel]
+                            fnd, wl3, wq3 = model.words.probe(wh[sel])
+                            if not fnd.any():
+                                continue
+                            wl3, wq3 = wl3[fnd], wq3[fnd]
+                            rows_w = w_rid[sel][fnd]
                             for j in range(wl3.shape[1]):
                                 ev = (wq3[:, j] > 0) & (wl3[:, j] < L)
                                 if ev.any():
                                     word_ev[rows_w[ev], wl3[:, j][ev]] = True
-                            hits.append((rows_w, wpos[sel], wl3, wq3,
-                                         np.zeros(int(sel.sum()), dtype=np.int32),
+                            hits.append((rows_w, wpos[sel][fnd], wl3, wq3,
+                                         np.zeros(len(rows_w), dtype=np.int32),
                                          None))
                 dmask = None
                 if hits:
