@@ -466,6 +466,45 @@ def _q_audio_meta(spark, sf_dir):
     return decode_audio_meta(media)
 
 
+# video_meta contract arithmetic (mirrors media_meta/audio_meta): both
+# the MP4 fixture encoder and the DuckDB oracle derive width/height/
+# duration from doc_id. Odd doc_ids use timescale 600 (the classic
+# QuickTime rate) with 5 ms-divisible durations so the units round-trip
+# integer-exactly; even ids use timescale 1000.
+
+
+def _video_params(i: int) -> tuple[int, int, int, int]:
+    return (16 + (i * 41) % 1008, 16 + (i * 29) % 752,
+            500 + 5 * ((i * 13) % 1900), 1000 if i % 2 == 0 else 600)
+
+
+def _q_video_meta(spark, sf_dir):
+    """REAL video-container decode: encode every doc_id as a minimal
+    well-formed MP4 (ftyp + moov(mvhd + trak/tkhd), ISO/IEC 14496-12
+    byte layout), then parse dimensions + duration back out of the raw
+    bytes with the box-walk parser. The oracle recomputes them
+    independently from doc_id arithmetic."""
+    import pandas as pd
+
+    from cld2_spark.operators.multimodal import (decode_video_meta,
+                                                 encode_mp4_fixture)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [encode_mp4_fixture(*_video_params(i)[:3],
+                                               _video_params(i)[3])
+                            for i in ids],
+            })
+
+    media = docs.mapInPandas(enc, "media_id long, payload binary")
+    return decode_video_meta(media)
+
+
 def _q_conversation_features(spark, sf_dir):
     """Grouped-map pandas UDF (applyInPandas): per-conversation ordered
     stats; oracle = equivalent window SQL in DuckDB."""
@@ -540,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": _q_lsh_buckets,
         "media_meta": _q_media_meta,
         "audio_meta": _q_audio_meta,
+        "video_meta": _q_video_meta,
         "lang_histogram": _q_lang_histogram,
         "conversation_features": _q_conversation_features,
         "lang_spans": _q_lang_spans,
@@ -838,6 +878,12 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 2 THEN 22050 ELSE 44100 END) // 100 + doc_id % 50) * 1000.0 "
             "/ (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
             "WHEN 2 THEN 22050 ELSE 44100 END)) AS INT) AS duration_ms "
+            "FROM documents"),
+        "video_meta": (
+            "SELECT doc_id AS media_id, "
+            "CAST(16 + (doc_id * 41) % 1008 AS INT) AS width, "
+            "CAST(16 + (doc_id * 29) % 752 AS INT) AS height, "
+            "CAST(500 + 5 * ((doc_id * 13) % 1900) AS INT) AS duration_ms "
             "FROM documents"),
         "media_meta": (
             "SELECT doc_id AS media_id, "

@@ -258,6 +258,135 @@ def decode_audio_meta(df: DataFrame, id_col: str = "media_id",
     return df.mapInPandas(fn, schema=AUDIO_META_SCHEMA)
 
 
+# ---- real video-container codec (ISO BMFF / MP4, public byte format) ----
+# Box grammar: 4-byte big-endian size + 4-byte type + payload; size==1 means
+# a 64-bit largesize follows. moov/mvhd carries timescale+duration,
+# moov/trak/tkhd carries the track's 16.16-fixed width/height
+# (ISO/IEC 14496-12 8.2.2 MovieHeaderBox, 8.3.2 TrackHeaderBox).
+
+
+def encode_mp4_fixture(width: int, height: int, duration_ms: int,
+                       timescale: int = 1000) -> bytes:
+    """Minimal well-formed MP4: ftyp + moov(mvhd + trak(tkhd)). The
+    duration is stored in `timescale` units (duration_ms * timescale /
+    1000 -- callers pick values that divide exactly so the round-trip is
+    integer-exact). Deterministic; no media library involved."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    dur_units = duration_ms * timescale // 1000
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                         0x40000000)
+    mvhd = box(b"mvhd", struct.pack(">B3xIIII", 0, 0, 0, timescale,
+                                    dur_units)
+               + struct.pack(">IHH8x", 0x00010000, 0x0100, 0)
+               + matrix + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", struct.pack(">B3BIII4xI8x", 0, 0, 0, 7, 0, 0, 1,
+                                    dur_units)
+               + struct.pack(">HHH2x", 0, 0, 0) + matrix
+               + struct.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    # an empty mdat after moov, like a faststart file
+    return ftyp + moov + box(b"mdat", b"")
+
+
+def _walk_boxes(buf: bytes, i: int, end: int):
+    """Yield (type, payload_start, payload_end) for the sibling boxes in
+    buf[i:end]; bails on malformed sizes (the walk can only advance)."""
+    while i + 8 <= end:
+        size = int.from_bytes(buf[i:i + 4], "big")
+        typ = buf[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(buf[i + 8:i + 16], "big")
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def parse_mp4_meta(buf: bytes) -> tuple[int, int, int] | None:
+    """(width, height, duration_ms) from an MP4/ISO-BMFF header, or None
+    when the payload is not a parseable container. The box walk skips
+    mdat by its size field, so cost is O(#boxes), not O(bytes); width and
+    height come from the first video-sized tkhd (16.16 fixed point),
+    duration from mvhd timescale units."""
+    if buf is None or len(buf) < 16:
+        return None
+    # sanity: the first box must be a known top-level type
+    if buf[4:8] not in (b"ftyp", b"moov", b"free", b"mdat", b"wide",
+                        b"skip", b"styp"):
+        return None
+    w = h = -1
+    dur_ms = -1
+    for typ, s, e in _walk_boxes(buf, 0, len(buf)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _walk_boxes(buf, s, e):
+            if t2 == b"mvhd" and e2 - s2 >= 20:
+                ver = buf[s2]
+                if ver == 1 and e2 - s2 >= 32:
+                    tsc = int.from_bytes(buf[s2 + 20:s2 + 24], "big")
+                    dur = int.from_bytes(buf[s2 + 24:s2 + 32], "big")
+                else:
+                    tsc = int.from_bytes(buf[s2 + 12:s2 + 16], "big")
+                    dur = int.from_bytes(buf[s2 + 16:s2 + 20], "big")
+                if tsc:
+                    dur_ms = dur * 1000 // tsc
+            elif t2 == b"trak" and w < 0:
+                for t3, s3, e3 in _walk_boxes(buf, s2, e2):
+                    if t3 == b"tkhd" and e3 - s3 >= 84:
+                        ver = buf[s3]
+                        off = s3 + (88 if ver == 1 else 76)
+                        if off + 8 <= e3:
+                            tw = int.from_bytes(buf[off:off + 4], "big") >> 16
+                            th = int.from_bytes(buf[off + 4:off + 8],
+                                                "big") >> 16
+                            if tw and th:  # audio tracks carry 0x0
+                                w, h = tw, th
+        break  # one movie box per file
+    if dur_ms < 0 and w < 0:
+        return None
+    return w, h, dur_ms
+
+
+VIDEO_META_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+
+def decode_video_meta(df: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched MP4 header decode; non-MP4 rows yield -1s. Per-row
+    cost is O(#boxes) (mdat skipped by size), so the stage stays linear
+    in row count even when payloads are large."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_mp4_meta(b) or (-1, -1, -1)
+                     for b in pdf[payload_col]]
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "width": np.array([m[0] for m in metas], dtype=np.int32),
+                "height": np.array([m[1] for m in metas], dtype=np.int32),
+                "duration_ms": np.array([m[2] for m in metas],
+                                        dtype=np.int32),
+            })
+
+    return df.mapInPandas(fn, schema=VIDEO_META_SCHEMA)
+
+
 IMAGE_META_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("fmt", StringType()),
@@ -288,9 +417,8 @@ def decode_image_meta(df: DataFrame, id_col: str = "media_id",
 
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic media table for tests: image rows carry REAL encoded
-    PNG/GIF/JPEG bytes, audio rows REAL PCM WAV bytes; video payloads
-    stay opaque seeded bytes (the frame-sampling plumbing they exercise
-    needs no container format)."""
+    PNG/GIF/JPEG bytes, audio rows REAL PCM WAV bytes, video rows REAL
+    minimal MP4 containers (ftyp+moov+mdat)."""
     rows = []
     kinds = ["image", "audio", "video"]
     fmts = ["png", "gif", "jpeg"]
@@ -301,8 +429,7 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         elif kind == "audio":
             payload = encode_wav_fixture(16000, 1 + i % 2, 160)
         else:
-            payload = bytes(((i * 7 + j * 13) % 251)
-                            for j in range(128 + (i % 5) * 64))
+            payload = encode_mp4_fixture(320, 240, 5000)
         rows.append((i, kind, payload, 640 if kind == "image" else None,
                      480 if kind == "image" else None,
                      5000 if kind != "image" else None))

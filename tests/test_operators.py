@@ -414,3 +414,46 @@ def test_wav_header_codec_roundtrip():
     wav = encode_wav_fixture(16000, 1, 160)
     padded = wav[:12] + b"LIST\x05\x00\x00\x00junk\x00\x00" + wav[12:]
     assert parse_wav_meta(padded) == (16000, 1, 10)
+
+
+def test_mp4_header_codec_roundtrip():
+    """Real MP4/ISO-BMFF encode/parse (box walk): dims + duration
+    round-trip at both timescales; malformed containers are rejected."""
+    import struct
+
+    from cld2_spark.operators.multimodal import (encode_mp4_fixture,
+                                                 parse_mp4_meta)
+    for w, h, d, ts in ((320, 240, 5000, 1000), (1920, 1080, 12345, 1000),
+                        (640, 360, 2500, 600), (1, 1, 5, 1000)):
+        buf = encode_mp4_fixture(w, h, d, ts)
+        assert parse_mp4_meta(buf) == (w, h, d)
+    assert parse_mp4_meta(b"not a video") is None
+    assert parse_mp4_meta(None) is None
+    mp4 = encode_mp4_fixture(320, 240, 5000)
+    assert parse_mp4_meta(mp4[:40]) is None  # truncated before moov
+    # a free box between ftyp and moov still parses (sibling box walk)
+    free = struct.pack(">I", 12) + b"free" + b"pad!"
+    padded = mp4[:24] + free + mp4[24:]
+    assert parse_mp4_meta(padded) == (320, 240, 5000)
+    # a 64-bit largesize moov header parses (size==1 escape)
+    i = mp4.index(b"moov") - 4
+    size = struct.unpack(">I", mp4[i:i + 4])[0]
+    big = (mp4[:i] + struct.pack(">I", 1) + b"moov"
+           + struct.pack(">Q", size + 8) + mp4[i + 8:i + size] + mp4[i + size:])
+    assert parse_mp4_meta(big) == (320, 240, 5000)
+    # zero-size box (extends to end of scope) cannot loop the walk
+    evil = struct.pack(">I", 0) + b"ftyp" + b"\x00" * 32
+    assert parse_mp4_meta(evil) is None
+
+
+def test_decode_video_meta_spark(spark):
+    from cld2_spark.operators.multimodal import decode_video_meta, synth_media
+    media = synth_media(spark, 30)
+    out = decode_video_meta(media).toPandas().sort_values("media_id")
+    vids = out[out.width > 0]
+    # video rows (media_id % 3 == 2) decode to real dims + duration;
+    # image/WAV payloads are not MP4s and come back as -1s
+    assert set(vids.media_id % 3) == {2}
+    assert (vids.width == 320).all() and (vids.height == 240).all()
+    assert (vids.duration_ms == 5000).all()
+    assert (out[out.media_id % 3 != 2].width == -1).all()
