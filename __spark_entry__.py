@@ -341,6 +341,48 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(spark.table("dup_docs"), max_hamming=3)
 
 
+def _q_dedup_jaccard(spark, sf_dir):
+    """Word-bigram Jaccard near-dup pairs: deterministic inverted-index
+    candidates (stop-gram pruned) + exact hash-set Jaccard verify; the
+    DuckDB oracle recomputes the identical gram hashes and index."""
+    from cld2_spark.operators.dedup import ngram_jaccard_pairs
+    _register(spark, sf_dir)
+    return ngram_jaccard_pairs(spark.table("dup_docs"))
+
+
+def _ngram_jaccard_duck_sql() -> str:
+    """DuckDB mirror of operators.dedup.ngram_jaccard_pairs (n=2,
+    min_common=2, df_cap=64, min_jaccard_pct=50) over dup_docs -- the
+    gram hash is the shared 60-bit md5 expression, so both engines build
+    the same inverted index bit-for-bit."""
+    from cld2_spark.operators.dedup import BUCKET_CAP, shingle_hash_expr
+    g = "array_to_string(tk[i:i+1], ' ')"
+    h = shingle_hash_expr(g, "duckdb")
+    jacc = ("FLOOR(100.0 * len(list_intersect(sa.hs, sb.hs)) / "
+            "(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))))")
+    return (
+        f"{_duck_ctes()}, toks AS ("
+        "  SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' ') AS tk FROM dup_docs"
+        "), sets AS ("
+        "  SELECT doc_id, list_distinct(list_transform("
+        f"    generate_series(1, len(tk) - 1), i -> {h})) AS hs"
+        "  FROM toks WHERE len(tk) >= 2"
+        "), tok AS (SELECT doc_id, unnest(hs) AS h FROM sets), "
+        "keep AS (SELECT h FROM tok GROUP BY h "
+        f"  HAVING count(*) BETWEEN 2 AND {BUCKET_CAP}), "
+        "cand AS ("
+        "  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common"
+        "  FROM tok x JOIN tok y ON x.h = y.h AND x.doc_id < y.doc_id"
+        "  WHERE x.h IN (SELECT h FROM keep)"
+        "  GROUP BY 1, 2 HAVING count(*) >= 2) "
+        "SELECT a, b, CAST(common AS INT) AS common, "
+        f"CAST({jacc} AS INT) AS jacc_pct "
+        "FROM cand JOIN sets sa ON a = sa.doc_id "
+        "JOIN sets sb ON b = sb.doc_id "
+        f"WHERE {jacc} >= 50")
+
+
 def _q_ann_lsh(spark, sf_dir):
     """LSH-bucketed approximate cosine top-k (scale path)."""
     from pyspark.sql import functions as F
@@ -573,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_revenue": _q_brand_revenue,
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard": _q_dedup_jaccard,
         "dedup_embedding": _q_dedup_embedding,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -821,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
             f"  FROM cand JOIN sh_fp fa ON cand.a = fa.doc_id "
             f"  JOIN sh_fp fb ON cand.b = fb.doc_id"
             f") WHERE hamming <= 3"),
+        "dedup_jaccard": _ngram_jaccard_duck_sql(),
         "ann_lsh": _ann_lsh_duck_sql(),
         "ann_ivf": _ann_ivf_duck_sql(),
         "dedup_embedding": (

@@ -248,6 +248,67 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             .where(F.col("jacc_pct") >= min_jaccard_pct))
 
 
+def _word_gram_hash_expr(text_col: str, n: int) -> tuple[str, str]:
+    """(row_filter, hash_array_expr) for distinct word-n-gram hashes of a
+    text column -- whitespace-normalized lowercase tokens, n-grams joined
+    with single spaces, each hashed with the shared 60-bit md5 hash."""
+    tk = (f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ')"
+          )
+    grams = (f"transform(sequence(1, size({tk}) - {n - 1}), "
+             f"i -> concat_ws(' ', slice({tk}, i, {n})))")
+    hs = (f"array_distinct(transform({grams}, "
+          f"g -> {shingle_hash_expr('g', 'spark')}))")
+    return f"size({tk}) >= {n}", hs
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 2,
+                        min_common: int = 2, df_cap: int = BUCKET_CAP,
+                        min_jaccard_pct: int = 50) -> DataFrame:
+    """Near-dup pairs by word-n-gram Jaccard with DETERMINISTIC candidate
+    generation: an inverted index over n-gram hashes proposes every pair
+    sharing >= `min_common` indexed grams, then exact Jaccard over the
+    distinct-gram hash sets verifies. Complements MinHash banding
+    (probabilistic recall) -- here recall is exact for any pair sharing
+    min_common grams whose document frequency is within `df_cap`.
+
+    Returns (a, b, common, jacc_pct): `common` counts shared INDEXED grams
+    (df in [2, df_cap]); `jacc_pct` is exact over all distinct grams.
+
+    Scale shape at 100TB: the inverted index is a narrow (hash, id)
+    relation shuffled on the hash; per-gram pairing cost is bounded by
+    df_cap^2 because grams hotter than df_cap are PRUNED from the index
+    (stop-gram pruning -- the standard guard against boilerplate: a gram
+    appearing in a million docs carries no dedup signal but would emit
+    10^12 pairs). Unlike the star-reduction cap of the banding operators,
+    pruning loses only that gram's candidate evidence -- true duplicates
+    share many non-hot grams and still reach min_common. The verify join
+    ships int64 hash arrays, same as minhash_lsh_pairs."""
+    release_dedup_caches(session=df.sparkSession)
+    row_filter, hs = _word_gram_hash_expr(text_col, n)
+    base = df.select(id_col, text_col).where(F.expr(row_filter))
+    sets = _persist_tracked(
+        base.select(F.col(id_col).alias("id"), F.expr(hs).alias("s")))
+    tok = sets.select("id", F.explode("s").alias("h"))
+    keep = (tok.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+            .where((F.col("c") >= 2) & (F.col("c") <= df_cap))
+            .select("h"))
+    tok2 = tok.join(keep, "h")
+    x = tok2.select("h", F.col("id").alias("a"))
+    y = tok2.select("h", F.col("id").alias("b"))
+    cand = (x.join(y, "h").where(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+            .where(F.col("common") >= min_common))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    union = F.size(F.col("sa.s")) + F.size(F.col("sb.s")) - inter
+    return (cand.join(sa, F.col("a") == F.col("sa.id"))
+            .join(sb, F.col("b") == F.col("sb.id"))
+            .select("a", "b", F.col("common").cast("int").alias("common"),
+                    F.floor(inter * 100 / union).cast("int").alias("jacc_pct"))
+            .where(F.col("jacc_pct") >= min_jaccard_pct))
+
+
 def simhash62_batch(texts: list[str]) -> np.ndarray:
     """62-bit SimHash per text, fully vectorized across the batch.
 

@@ -457,3 +457,38 @@ def test_decode_video_meta_spark(spark):
     assert (vids.width == 320).all() and (vids.height == 240).all()
     assert (vids.duration_ms == 5000).all()
     assert (out[out.media_id % 3 != 2].width == -1).all()
+
+
+def test_ngram_jaccard_pairs(docs):
+    from cld2_spark.operators.dedup import ngram_jaccard_pairs
+    out = ngram_jaccard_pairs(docs).toPandas()
+    pairs = {(a, b): (c, j) for a, b, c, j in
+             zip(out.a, out.b, out.common, out.jacc_pct)}
+    assert pairs[(0, 1)][1] == 100          # exact dup: Jaccard 100
+    assert (0, 2) in pairs and (1, 2) in pairs  # near dup recovered
+    assert pairs[(0, 2)][1] >= 80
+    assert all(a < b for a, b in pairs)
+    assert not any({3, 4} == {a, b} for a, b in pairs)
+    # `common` counts shared indexed bigrams: docs 0/1 have 12 distinct
+    # bigrams each (13 tokens), all shared
+    assert pairs[(0, 1)][0] == 12
+
+
+def test_ngram_jaccard_stop_gram_pruning(spark):
+    """Grams hotter than df_cap are pruned from the inverted index: with
+    df_cap below the boilerplate frequency, pairs connected ONLY through
+    the boilerplate gram disappear, while true dups (sharing non-hot
+    grams) survive."""
+    from cld2_spark.operators.dedup import ngram_jaccard_pairs
+    boiler = "click here to unsubscribe"
+    rows = [(i, f"unique text number {i} item{i} " + boiler)
+            for i in range(8)]
+    rows += [(100, "identical payload body alpha beta gamma"),
+             (101, "identical payload body alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, df_cap=4, min_jaccard_pct=30).toPandas()
+    pairs = set(zip(out.a, out.b))
+    assert (100, 101) in pairs
+    # boilerplate-only overlaps: every indexed gram they share is hotter
+    # than df_cap=4 (8 docs), so no candidate survives min_common
+    assert not any(a < 100 for a, b in pairs if b < 100 or a < 100)

@@ -55,9 +55,12 @@ def main() -> int:
     for t in E.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    only = set(sys.argv[2:])  # optional query-name filter for iteration
     oracles = E.oracle_sql()
     failures = []
     for name, fn in E.queries().items():
+        if only and name not in only:
+            continue
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as exc:
