@@ -508,6 +508,63 @@ def _q_audio_meta(spark, sf_dir):
     return decode_audio_meta(media)
 
 
+def _q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join: revenue by (region, nation) where the
+    customer and supplier share a nation. The three dimension tables
+    (nation, region, supplier at small SF -- supplier is still the
+    smallest fact-side relation) broadcast; the customer-orders-lineitem
+    chain shuffles on its join keys only."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    li = spark.table("lineitem")
+    supp = spark.table("supplier")
+    nat = spark.table("nation")
+    reg = spark.table("region")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, F.col("o_orderkey") == li.l_orderkey)
+            .join(F.broadcast(supp),
+                  (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"),
+                     F.col("n_name").alias("nation"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+def _q_order_rollup(spark, sf_dir):
+    """ROLLUP aggregation (multi-level grouping sets in one pass):
+    (status, priority) -> (status) -> grand total, with grouping ids so
+    subtotal rows are distinguishable from genuine NULL keys."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    return (spark.table("orders")
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                 F.grouping_id().cast("int").alias("gid")))
+
+
+def _q_event_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (sort-based agg;
+    DuckDB quantile_cont implements the same continuous estimator)."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    v = F.col("value")
+    return (spark.table("events").groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+                 F.round(F.min(v), 4).alias("vmin"),
+                 F.round(F.max(v), 4).alias("vmax"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 # video_meta contract arithmetic (mirrors media_meta/audio_meta): both
 # the MP4 fixture encoder and the DuckDB oracle derive width/height/
 # duration from doc_id. Odd doc_ids use timescale 600 (the classic
@@ -613,6 +670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_stream": _q_events_stream,
         "brand_revenue": _q_brand_revenue,
+        "regional_revenue": _q_regional_revenue,
+        "order_rollup": _q_order_rollup,
+        "event_quantiles": _q_event_quantiles,
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -864,6 +924,30 @@ def oracle_sql() -> dict[str, str]:
             f"  FROM cand JOIN sh_fp fa ON cand.a = fa.doc_id "
             f"  JOIN sh_fp fb ON cand.b = fb.doc_id"
             f") WHERE hamming <= 3"),
+        "regional_revenue": (
+            "SELECT r_name AS region, n_name AS nation, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_lines "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "  AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY 1, 2"),
+        "order_rollup": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "COUNT(*) AS n_orders, "
+            "ROUND(SUM(o_totalprice), 2) AS total_price, "
+            "CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid "
+            "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
+        "event_quantiles": (
+            "SELECT event_type, "
+            "ROUND(quantile_cont(value, 0.5), 4) AS p50, "
+            "ROUND(quantile_cont(value, 0.9), 4) AS p90, "
+            "ROUND(quantile_cont(value, 0.99), 4) AS p99, "
+            "ROUND(MIN(value), 4) AS vmin, ROUND(MAX(value), 4) AS vmax, "
+            "COUNT(*) AS n FROM events GROUP BY event_type"),
         "dedup_jaccard": _ngram_jaccard_duck_sql(),
         "ann_lsh": _ann_lsh_duck_sql(),
         "ann_ivf": _ann_ivf_duck_sql(),

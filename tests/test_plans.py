@@ -97,3 +97,27 @@ def test_dedup_embedding_candidate_join_is_ids_only(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "embedding" not in m.group(1), m.group(0)
     assert plan_stats(df)["python_stages"] == 0
+
+
+def test_regional_revenue_dims_broadcast(spark):
+    """The Q5-shaped 6-table join: the hinted dimension sides (supplier,
+    nation, region) must broadcast regardless of stats; no per-row
+    Python anywhere."""
+    import __spark_entry__ as E
+    df = E.queries()["regional_revenue"](spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    assert stats["broadcast_joins"] >= 3
+    assert stats["python_stages"] == 0
+
+
+def test_dedup_jaccard_index_is_ids_only(spark):
+    """The inverted-index self-join must exchange only (hash, id) -- text
+    and gram arrays never ride the candidate shuffle."""
+    import re
+
+    import __spark_entry__ as E
+    df = E.queries()["dedup_jaccard"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    assert plan_stats(df)["python_stages"] == 0
