@@ -59,8 +59,14 @@ def crosscheck_batch(texts: list[str], model: Cld2sModel | None = None,
     n = nb.n
     L = len(model.langs)
 
-    # one stream over ALL letters regardless of script
-    all_scripts = np.unique(nb.script[nb.letter]) if n else np.array([], dtype=np.uint8)
+    # one stream over ALL letters regardless of script. O(n) presence
+    # bincount instead of np.unique's sort over the letter-selected copy
+    if n:
+        present = np.bincount(nb.script, weights=nb.letter,
+                              minlength=0)
+        all_scripts = np.flatnonzero(present > 0)
+    else:
+        all_scripts = np.array([], dtype=np.uint8)
     arr, rid_s = T.group_stream(nb, all_scripts.astype(np.uint8))
     g_rid, bs, bl, buf = char_trigrams(arr, rid_s)
 
@@ -74,8 +80,10 @@ def crosscheck_batch(texts: list[str], model: Cld2sModel | None = None,
         found, langs3, qprobs3 = tri.probe(h)
         # doc-level score fold in cache-resident row cohorts (g_rid sorted)
         COHORT = 1024
-        lang_j = [langs3[:, j].astype(np.int64) for j in range(3)]
-        q_j = [qprobs3[:, j].astype(np.int32) for j in range(3)]
+        # uint8 views suffice: index arithmetic upcasts, bincount casts --
+        # no full-array astype copies
+        lang_j = [np.ascontiguousarray(langs3[:, j]) for j in range(3)]
+        q_j = [np.ascontiguousarray(qprobs3[:, j]) for j in range(3)]
         for r0 in range(0, n, COHORT):
             r1 = min(r0 + COHORT, n)
             lo, hi = np.searchsorted(g_rid, (r0, r1))

@@ -107,7 +107,10 @@ def _word_walk(arr: np.ndarray):
     wid = (np.cumsum(word_start, dtype=np.int32) - 1)    # word id per char
     idx = np.arange(n, dtype=np.int32)
     wstart = idx[word_start]                             # (n_words,)
-    wlen = np.bincount(wid[~is_sp]).astype(np.int32)     # letters per word
+    # the compressed stream is single-space separated with a trailing
+    # space, so each word's length is the gap to the next word start
+    # minus its separator (one diff; no mask-gather + bincount pass)
+    wlen = (np.diff(wstart, append=np.int32(n)) - 1).astype(np.int32)
     boff = T.utf8_offsets(arr)
     buf = T.encode_utf8(arr)
     return is_sp, wid, idx, wstart, wlen, boff, buf
@@ -123,7 +126,10 @@ def _quads_from_walk(walk, arr, rid_s, vowel_skip: bool):
     is_sp, wid, idx, wstart, wlen, boff, buf = walk
     o = idx - wstart[wid]                                # offset in word
     L = wlen[wid]
-    skip = _VOWEL_LUT[np.minimum(arr, ut.MAX_CP - 1)] if vowel_skip \
+    # streams are built from the lower table + SPACE, both < MAX_CP by
+    # construction (normalize_batch maps astral chars to SPACE), so the
+    # LUT gather needs no clip pass
+    skip = _VOWEL_LUT[arr] if vowel_skip \
         else np.zeros(len(arr), dtype=bool)
     gram = (~is_sp) & ((o == 0) | ((o <= L - 4) & ~skip))
     pos = idx[gram]
@@ -312,12 +318,23 @@ def row_dedupe_filter(h: np.ndarray, g_rid: np.ndarray, max_occ: int = 2) -> np.
     n = len(h)
     if n == 0:
         return np.ones(0, dtype=bool)
-    # lexsort is stable, so equal (row, hash) keys keep stream order --
-    # no explicit arange tiebreak key needed
-    order = np.lexsort((np.asarray(h, dtype=np.uint64), g_rid))
-    sh, srid = h[order], g_rid[order]
-    new_grp = np.ones(n, dtype=bool)
-    new_grp[1:] = (sh[1:] != sh[:-1]) | (srid[1:] != srid[:-1])
+    h64 = np.asarray(h, dtype=np.uint64)
+    if h64.max() < (np.uint64(1) << np.uint64(44)):
+        # quad (32-bit) and word/pair (40-bit) hashes pack with the row id
+        # into ONE uint64 sort key: a single stable argsort replaces
+        # lexsort's two passes (~2x on the hot dedupe path)
+        key = (g_rid.astype(np.uint64) << np.uint64(44)) | h64
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = sk[1:] != sk[:-1]
+    else:
+        # 64-bit hash domain (predicted_filter's mixed pairs): two-key path
+        # (lexsort is stable, so equal (row, hash) keys keep stream order)
+        order = np.lexsort((h64, g_rid))
+        sh, srid = h[order], g_rid[order]
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = (sh[1:] != sh[:-1]) | (srid[1:] != srid[:-1])
     idx = np.arange(n)
     occ = idx - np.maximum.accumulate(np.where(new_grp, idx, 0))
     keep = np.zeros(n, dtype=bool)
@@ -872,7 +889,10 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     whack_map[hid] = others
 
     u8len = nb.u8len
-    present_scripts = np.unique(nb.script[nb.letter]) if n else np.array([], dtype=np.uint8)
+    # O(n) presence bincount instead of np.unique's sort over a copy
+    present_scripts = (
+        np.flatnonzero(np.bincount(nb.script, weights=nb.letter) > 0)
+        if n else np.array([], dtype=np.uint8))
 
     # RTypeOne scripts: bytes score directly to the script's one language.
     # scoreAsQuads (kCLDFlagScoreAsQuads, public/compact_lang_det.h:360-364 /
@@ -933,8 +953,12 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
             scr_s, orig_s = C["scr_s"], C["orig_s"]
             rlut = np.zeros(C["nb"].n, dtype=bool)  # LUT beats isin's sort
             rlut[sub_rows] = True
+            # old->new row ids via an O(K) remap LUT (not a per-gram
+            # binary search)
+            remap = np.zeros(C["nb"].n, dtype=np.int32)
+            remap[sub_rows] = np.arange(len(sub_rows), dtype=np.int32)
             gsel = rlut[C["g_rid"]]
-            g_rid = np.searchsorted(sub_rows, C["g_rid"][gsel]).astype(np.int32)
+            g_rid = remap[C["g_rid"][gsel]]
             h, gb, pos = C["h"][gsel], C["gb"][gsel], C["pos"][gsel]
             bs, tri_len = C["bs"][gsel], C["tri3"][gsel]
             buf = C["buf"]
@@ -949,8 +973,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                 h3 = None
             if have_words:
                 wsel = rlut[C["w_rid"]]
-                w_rid = np.searchsorted(
-                    sub_rows, C["w_rid"][wsel]).astype(C["w_rid"].dtype)
+                w_rid = remap[C["w_rid"][wsel]].astype(C["w_rid"].dtype)
                 wh40, pair40, wpos = (C["wh40"][wsel], C["pair40"][wsel],
                                       C["wpos"][wsel])
         else:

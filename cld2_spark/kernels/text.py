@@ -64,22 +64,32 @@ def normalize_batch(texts: list[str]) -> NormBatch:
     cp = ut.codepoints_of(joined)
 
     lens = np.fromiter((len(t) for t in texts), count=n, dtype=np.int64)
-    # layout: ' ' t0 ' ' t1 ' ' ... tn-1 ' '  -> leading space owned by row 0
-    rid = np.repeat(np.arange(n, dtype=np.int32), lens + 1)
-    rid = np.concatenate([np.zeros(1, dtype=np.int32), rid])
+    # layout: ' ' t0 ' ' t1 ' ' ... tn-1 ' '  -> leading space owned by
+    # row 0, so row 0's repeat count is lens[0] + 2 (one allocation, no
+    # concatenate copy)
+    counts = lens + 1
+    counts[0] += 1
+    rid = np.repeat(np.arange(n, dtype=np.int32), counts)
 
     cp_c = np.minimum(cp, ut.MAX_CP - 1)
     script = script_t[cp_c]
     letter = letter_t[cp_c] & (cp < ut.MAX_CP)
-    lower = np.where(letter, lower_t[cp_c], SPACE).astype(np.uint32)
+    # in-place masked fill instead of where(...).astype: one gather, no
+    # temporary float/int copies
+    lower = lower_t[cp_c]
+    lower[~letter] = SPACE
 
-    # per-row UTF-8 byte counts of the original text
+    # per-row UTF-8 byte counts of the original text. Multi-byte chars are
+    # the sparse case in transcript corpora, so count them through small
+    # index arrays instead of a float-weighted bincount over every char
+    # (bincount weights go through float64; this stays integer end-to-end)
     u8len = (1 + (cp > 0x7F).astype(np.int8) + (cp > 0x7FF) + (cp > 0xFFFF)).astype(np.int8)
-    tb = np.bincount(rid, weights=u8len, minlength=n).astype(np.int64)
-    tb -= 1  # subtract the trailing wrapper space owned by each row
-    if n:
-        tb[0] -= 1  # row 0 also owns the global leading space
-    tb = np.maximum(tb, 0)
+    tb = lens.copy()  # wrapper spaces excluded by construction
+    for thresh in (0x7F, 0x7FF, 0xFFFF):
+        extra = np.flatnonzero(cp > thresh)
+        if len(extra) == 0:
+            break
+        tb += np.bincount(rid[extra], minlength=n).astype(np.int64)
 
     bad = cp == REPLACEMENT_CHAR
     repl = (np.bincount(rid[bad], minlength=n) > 0) if bad.any() \
@@ -174,14 +184,20 @@ def subset_norm_batch(nb: NormBatch, rows: np.ndarray) -> NormBatch:
     `rows` must be sorted ascending (np.flatnonzero order).
     """
     # boolean-LUT membership: O(N) gather instead of np.isin's
-    # O(N log R) sort-based path (measured ~5x on retry-sized subsets)
+    # O(N log R) sort-based path (measured ~5x on retry-sized subsets).
+    # The kept positions are materialized ONCE as indices (each boolean
+    # gather re-scans the mask; fancy-index gathers don't), and old->new
+    # row ids come from an O(K) remap LUT rather than a per-char binary
+    # search.
     lut = np.zeros(nb.n, dtype=bool)
     lut[rows] = True
-    keep = lut[nb.rid]
-    new_rid = np.searchsorted(rows, nb.rid[keep]).astype(np.int32)
-    sub = dict(cp=nb.cp[keep], rid=new_rid, u8len=nb.u8len[keep],
-               script=nb.script[keep], letter=nb.letter[keep],
-               lower=nb.lower[keep])
+    kidx = np.flatnonzero(lut[nb.rid])
+    remap = np.zeros(nb.n, dtype=np.int32)
+    remap[rows] = np.arange(len(rows), dtype=np.int32)
+    new_rid = remap[nb.rid[kidx]]
+    sub = dict(cp=nb.cp[kidx], rid=new_rid, u8len=nb.u8len[kidx],
+               script=nb.script[kidx], letter=nb.letter[kidx],
+               lower=nb.lower[kidx])
     if len(rows) and rows[0] != 0:
         # the global leading space belongs to row 0 and was dropped with
         # it; the new first row owns the replacement (normalize_batch
