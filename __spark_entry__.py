@@ -508,6 +508,39 @@ def _q_audio_meta(spark, sf_dir):
     return decode_audio_meta(media)
 
 
+def _q_event_sessions(spark, sf_dir):
+    """Sessionization (gaps-and-islands): a user's events split into
+    sessions at >30-minute gaps via lag + conditional running sum --
+    two window passes over the same (user_id, ts) partitioning (ONE
+    shuffle; Catalyst reuses the sort), then a two-level aggregate."""
+    _register(spark, sf_dir)
+    return spark.sql("""
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN unix_timestamp(ts)
+                      - lag(unix_timestamp(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > 1800 THEN 1
+                      WHEN lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events),
+        s AS (
+          SELECT user_id,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM g),
+        per_sess AS (
+          SELECT user_id, sess_id, COUNT(*) AS n_events
+          FROM s GROUP BY user_id, sess_id)
+        SELECT user_id,
+               CAST(COUNT(*) AS INT) AS n_sessions,
+               CAST(MAX(n_events) AS INT) AS longest_session,
+               CAST(SUM(n_events) AS BIGINT) AS n_events
+        FROM per_sess GROUP BY user_id""")
+
+
 def _q_regional_revenue(spark, sf_dir):
     """TPC-H Q5-shaped 6-table join: revenue by (region, nation) where the
     customer and supplier share a nation. The three dimension tables
@@ -673,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": _q_regional_revenue,
         "order_rollup": _q_order_rollup,
         "event_quantiles": _q_event_quantiles,
+        "event_sessions": _q_event_sessions,
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -941,6 +975,31 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS total_price, "
             "CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid "
             "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
+        "event_sessions": (
+            "WITH g AS ("
+            "  SELECT user_id, event_id, ts,"
+            "         CASE WHEN epoch(ts)"
+            "              - lag(epoch(ts))"
+            "                OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            "              > 1800 THEN 1"
+            "              WHEN lag(ts) OVER (PARTITION BY user_id"
+            "                                 ORDER BY ts, event_id) IS NULL"
+            "              THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events),"
+            "s AS ("
+            "  SELECT user_id,"
+            "         SUM(new_sess) OVER (PARTITION BY user_id"
+            "                             ORDER BY ts, event_id"
+            "                             ROWS UNBOUNDED PRECEDING) AS sess_id"
+            "  FROM g),"
+            "per_sess AS ("
+            "  SELECT user_id, sess_id, COUNT(*) AS n_events"
+            "  FROM s GROUP BY user_id, sess_id) "
+            "SELECT user_id,"
+            "       CAST(COUNT(*) AS INT) AS n_sessions,"
+            "       CAST(MAX(n_events) AS INT) AS longest_session,"
+            "       CAST(SUM(n_events) AS BIGINT) AS n_events "
+            "FROM per_sess GROUP BY user_id"),
         "event_quantiles": (
             "SELECT event_type, "
             "ROUND(quantile_cont(value, 0.5), 4) AS p50, "

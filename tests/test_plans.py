@@ -121,3 +121,14 @@ def test_dedup_jaccard_index_is_ids_only(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
     assert plan_stats(df)["python_stages"] == 0
+
+
+def test_event_sessions_single_shuffle(spark):
+    """Sessionization: both window passes and both aggregate levels must
+    reuse ONE hashpartitioning(user_id) exchange -- the shape that keeps
+    a 10^12-event sessionization at one shuffle."""
+    import __spark_entry__ as E
+    df = E.queries()["event_sessions"](spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    assert stats["exchanges"] == 1, formatted_plan(df)
+    assert stats["python_stages"] == 0
