@@ -508,6 +508,20 @@ def _q_audio_meta(spark, sf_dir):
     return decode_audio_meta(media)
 
 
+def _q_dataset_split(spark, sf_dir):
+    """Deterministic salted-hash train/val/test split (leakage-free,
+    shuffle-free assignment) + per-split size audit."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.textstats import with_split
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    return (with_split(docs)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).cast("bigint").alias("n_chars")))
+
+
 def _q_event_sessions(spark, sf_dir):
     """Sessionization (gaps-and-islands): a user's events split into
     sessions at >30-minute gaps via lag + conditional running sum --
@@ -707,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rollup": _q_order_rollup,
         "event_quantiles": _q_event_quantiles,
         "event_sessions": _q_event_sessions,
+        "dataset_split": _q_dataset_split,
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -975,6 +990,15 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS total_price, "
             "CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid "
             "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
+        "dataset_split": (
+            "WITH b AS (SELECT text, "
+            "  ('0x' || substr(md5('cld2s' || CAST(doc_id AS VARCHAR)), "
+            "   1, 8))::BIGINT % 100 AS bucket FROM documents) "
+            "SELECT CASE WHEN bucket < 80 THEN 'train' "
+            "WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split, "
+            "COUNT(*) AS n_docs, "
+            "CAST(SUM(length(text)) AS BIGINT) AS n_chars "
+            "FROM b GROUP BY 1"),
         "event_sessions": (
             "WITH g AS ("
             "  SELECT user_id, event_id, ts,"

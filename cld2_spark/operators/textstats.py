@@ -33,3 +33,25 @@ def lang_distribution(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df.select(detect_udf(F.col(text_col)).alias("lang"))
             .groupBy("lang").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n")))
+
+
+def with_split(df: DataFrame, id_col: str = "doc_id",
+               train_pct: int = 80, val_pct: int = 10,
+               salt: str = "cld2s") -> DataFrame:
+    """Deterministic train/val/test assignment by salted id hash.
+
+    The split is a pure function of (salt, id): stable across runs,
+    machines and partitionings -- the property a 100TB training-data
+    split needs (no sampling state, no shuffle; assignment is a codegen
+    projection). Changing the salt redraws the split; keeping it
+    guarantees a document never migrates between splits as the corpus
+    grows (the basis of leakage-free incremental training sets).
+    """
+    bucket = F.expr(
+        f"conv(substring(md5(concat('{salt}', CAST({id_col} AS STRING))), "
+        f"1, 8), 16, 10) % 100").cast("int")
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"))

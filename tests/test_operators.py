@@ -492,3 +492,18 @@ def test_ngram_jaccard_stop_gram_pruning(spark):
     # boilerplate-only overlaps: every indexed gram they share is hotter
     # than df_cap=4 (8 docs), so no candidate survives min_common
     assert not any(a < 100 for a, b in pairs if b < 100 or a < 100)
+
+
+def test_with_split_deterministic_and_proportional(spark):
+    from cld2_spark.operators.textstats import with_split
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = with_split(df).toPandas().set_index("doc_id")["split"]
+    b = with_split(df).toPandas().set_index("doc_id")["split"]
+    assert (a == b).all()  # pure function of (salt, id)
+    frac = a.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+    # different salt redraws; same salt never migrates a doc
+    c = with_split(df, salt="other").toPandas().set_index("doc_id")["split"]
+    assert (a != c).any()
