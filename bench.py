@@ -162,8 +162,10 @@ def main() -> None:
         for name in ["scrub_pii", "quality_flags", "conv_rollup",
                      "pricing_summary", "dedup_exact", "minhash_pairs",
                      "token_stats", "ann_cosine",
-                     # round 4: streaming replay + media header decode
-                     "events_stream", "media_meta"]:
+                     # round 4: streaming replay, media header decode,
+                     # word-gram jaccard dedup, sessionization
+                     "events_stream", "media_meta",
+                     "dedup_jaccard", "event_sessions"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()

@@ -62,7 +62,7 @@ def analyze_batch(texts: list[str], model: Cld2sModel | None = None,
         out["summary_pct"][ridx] = be["summary_pct"][ok]
         out["rel1"][ridx] = be["rel1"][ok]
         out["be_ok"][ridx] = True
-    cc = crosscheck_batch(texts, model, nb=nb)
+    cc = crosscheck_batch(texts, model, nb=nb, stream_cache=cache or None)
     out["ft_lang"] = cc["ft_lang"]
     out["ppl"] = cc["ppl"]
     out["tri_grams"] = cc["n_grams"]

@@ -31,8 +31,11 @@ PERPLEXITY_THRESHOLD = 9.5
 MIN_GRAMS_FOR_PPL = 4  # fewer trigrams -> no perplexity verdict (too short)
 
 
-def char_trigrams(arr: np.ndarray, rid_s: np.ndarray):
-    """All 3-letter windows (no spaces) in a compressed stream."""
+def char_trigrams(arr: np.ndarray, rid_s: np.ndarray,
+                  buf: np.ndarray | None = None):
+    """All 3-letter windows (no spaces) in a compressed stream. `buf` (the
+    stream's padded UTF-8 encoding) may be supplied by a caller that
+    already has it; it MUST be encode_utf8(arr)."""
     n = len(arr)
     if n < 3:
         z = np.zeros(0, dtype=np.int64)
@@ -43,12 +46,14 @@ def char_trigrams(arr: np.ndarray, rid_s: np.ndarray):
     boff = T.utf8_offsets(arr)
     byte_start = boff[pos]
     byte_len = boff[pos + 3] - byte_start
-    buf = T.encode_utf8(arr)
+    if buf is None:
+        buf = T.encode_utf8(arr)
     return rid_s[pos], byte_start, byte_len, buf
 
 
 def crosscheck_batch(texts: list[str], model: Cld2sModel | None = None,
-                     nb: T.NormBatch | None = None) -> dict[str, np.ndarray]:
+                     nb: T.NormBatch | None = None,
+                     stream_cache: dict | None = None) -> dict[str, np.ndarray]:
     """Returns per-row: ft_lang (code), ft_score (int), ppl (float), n_grams."""
     if model is None:
         from .model import default_model
@@ -67,8 +72,17 @@ def crosscheck_batch(texts: list[str], model: Cld2sModel | None = None,
         all_scripts = np.flatnonzero(present > 0)
     else:
         all_scripts = np.array([], dtype=np.uint8)
-    arr, rid_s = T.group_stream(nb, all_scripts.astype(np.uint8))
-    g_rid, bs, bl, buf = char_trigrams(arr, rid_s)
+    buf0 = None
+    if (stream_cache is not None and stream_cache.get("arr") is not None
+            and set(stream_cache["many"]) == set(all_scripts.tolist())):
+        # the detector's RTypeMany stream covered exactly these scripts:
+        # its compressed stream and encoded buffer ARE ours (identical
+        # keep logic, asserted by test_crosscheck_stream_reuse)
+        arr, rid_s = stream_cache["arr"], stream_cache["rid_s"]
+        buf0 = stream_cache.get("buf")
+    else:
+        arr, rid_s = T.group_stream(nb, all_scripts.astype(np.uint8))
+    g_rid, bs, bl, buf = char_trigrams(arr, rid_s, buf=buf0)
 
     n_grams = np.zeros(n, dtype=np.int64)
     surprise = np.zeros(n, dtype=np.int64)

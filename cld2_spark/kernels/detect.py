@@ -1000,6 +1000,13 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                     # bestEffort consumer derive the J2 backoff hash for
                     # its subset without re-gramming the stream
                     "buf": buf, "bs": bs, "tri3": tri_len,
+                    # the raw compressed stream (fresh path only):
+                    # crosscheck_batch reuses it -- and the encoded buf --
+                    # when its script set matches `many` (all-Latin
+                    # batches, the common case), skipping its own
+                    # group_stream + encode_utf8 passes
+                    "arr": arr if _stream_cache is None else None,
+                    "rid_s": rid_s if _stream_cache is None else None,
                     "w_rid": w_rid if have_words else None,
                     "wh40": wh40 if have_words else None,
                     "pair40": pair40 if have_words else None,

@@ -139,3 +139,32 @@ def test_slim_and_full_langid_paths_decide_identically(spark):
                 .select("keep", "drop_reason").collect())
 
     assert verdicts(True) == verdicts(False)
+
+
+def test_crosscheck_stream_reuse():
+    """analyze_batch hands the detector's cached stream to the
+    cross-check when the script sets coincide; results must be
+    IDENTICAL to the uncached path on Latin, mixed-script and
+    CJK-bearing batches (the latter two must fall back internally)."""
+    import numpy as np
+
+    from cld2_spark.kernels import text as T
+    from cld2_spark.kernels.crosscheck import crosscheck_batch
+    from cld2_spark.kernels.detect import detect_batch
+    from cld2_spark.kernels.model import default_model
+
+    m = default_model()
+    batches = [
+        ["hello world this is plain english text", "bonjour le monde entier"],
+        ["hello world", "Ελληνικά κείμενο εδώ", "привет мир как дела"],
+        ["hello world", "これは日本語のテキストです", "mixed 中文 and english"],
+    ]
+    for texts in batches:
+        nb = T.normalize_batch(texts)
+        cache: dict = {}
+        detect_batch(texts, m, nb=nb, _export_cache=cache)
+        base = crosscheck_batch(texts, m, nb=nb)
+        reused = crosscheck_batch(texts, m, nb=nb, stream_cache=cache or None)
+        assert list(base["ft_lang"]) == list(reused["ft_lang"])
+        assert np.allclose(base["ppl"], reused["ppl"])
+        assert (base["n_grams"] == reused["n_grams"]).all()
