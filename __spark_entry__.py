@@ -508,6 +508,23 @@ def _q_audio_meta(spark, sf_dir):
     return decode_audio_meta(media)
 
 
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus heavy hitters: top-25 word bigrams by document frequency
+    (each doc counts a gram once -- the dedup-relevant notion). Exact
+    two-level aggregate with map-side partials; ties broken by gram text
+    so the result is deterministic."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    tk = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+    grams = (f"transform(sequence(1, size({tk}) - 1), "
+             f"i -> concat_ws(' ', slice({tk}, i, 2)))")
+    docs = spark.table("documents").where(F.expr(f"size({tk}) >= 2"))
+    return (docs
+            .select(F.explode(F.expr(f"array_distinct({grams})")).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+            .orderBy(F.desc("df"), F.asc("gram")).limit(25))
+
+
 def _q_dataset_split(spark, sf_dir):
     """Deterministic salted-hash train/val/test split (leakage-free,
     shuffle-free assignment) + per-split size audit."""
@@ -722,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": _q_event_quantiles,
         "event_sessions": _q_event_sessions,
         "dataset_split": _q_dataset_split,
+        "top_ngrams": _q_top_ngrams,
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -990,6 +1008,16 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS total_price, "
             "CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid "
             "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
+        "top_ngrams": (
+            "WITH toks AS (SELECT doc_id, string_split(trim("
+            "  regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk"
+            "  FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "  generate_series(1, len(tk) - 1), "
+            "  i -> array_to_string(tk[i:i+1], ' ')))) AS gram "
+            "  FROM toks WHERE len(tk) >= 2) "
+            "SELECT gram, COUNT(*) AS df FROM g GROUP BY gram "
+            "ORDER BY df DESC, gram ASC LIMIT 25"),
         "dataset_split": (
             "WITH b AS (SELECT text, "
             "  ('0x' || substr(md5('cld2s' || CAST(doc_id AS VARCHAR)), "
