@@ -526,30 +526,32 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
             lang_j = [np.ascontiguousarray(langs3[:, j]) for j in range(n_slots)]
             q_j = [np.ascontiguousarray(qprobs3[:, j]) for j in range(n_slots)]
 
+    # tote stride 256 (lang ids are uint8; model format caps n_langs at
+    # 255): votes whose slot decodes to UNKNOWN/an unmapped language in
+    # this domain (lang >= n_langs, incl. the 255 no-language encoding --
+    # reference tables overlap Latn/Othr pslang spaces) land in dead
+    # columns the winner scan never reads, which is exactly "dropped"
+    # (pslang 0 in ProcessProbV2Tote, internal/cldutil.cc:128-138) with
+    # ZERO per-slot validity masks/flatnonzero/boolean-gather passes
+    S = 256
+    assert n_langs <= 255, "lang-id domain must leave column 255 dead"
     for c0 in range(0, n_chunks, COHORT):
         c1 = min(c0 + COHORT, n_chunks)
         lo, hi = np.searchsorted(cid, (c0, c1))
-        size = (c1 - c0) * n_langs
-        base_idx = (cid[lo:hi] - c0) * n_langs
-        idx_parts, w_parts = [], []
-        for j in range(n_slots):
-            qj = q_j[j][lo:hi]
-            lj = lang_j[j][lo:hi]
-            # lang >= n_langs: slot decodes to UNKNOWN/an unmapped language
-            # in this domain (reference tables overlap Latn/Othr pslang
-            # spaces) -- such votes are dropped, like pslang 0 in
-            # ProcessProbV2Tote (internal/cldutil.cc:128-138)
-            valid = (qj > 0) & (lj < n_langs)
-            if valid.any():
-                idx_parts.append(base_idx[valid] + lj[valid])
-                w_parts.append(qj[valid])
+        size = (c1 - c0) * S
+        base_idx = (cid[lo:hi] - c0) * S
         # ONE weighted bincount replaces n_slots np.add.at scatter passes
         # (measured 6-15x faster at this fan-in; sums are <= 720 so the
-        # float64->int16 cast is exact)
-        if idx_parts:
-            csc = np.bincount(np.concatenate(idx_parts),
-                              weights=np.concatenate(w_parts),
-                              minlength=size).astype(np.int16)
+        # float64->int16 cast is exact; qprob-0 slots add zero)
+        if hi > lo:
+            csc = np.bincount(
+                np.concatenate([base_idx + lang_j[j][lo:hi]
+                                for j in range(n_slots)]),
+                weights=np.concatenate([q_j[j][lo:hi]
+                                        for j in range(n_slots)]),
+                minlength=size).astype(np.int16)
+            if len(csc) > size:  # bincount sized by max index
+                csc = csc[:size]
         else:
             csc = np.zeros(size, dtype=np.int16)
         if hint_lid is not None:
@@ -557,7 +559,7 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
             for j in range(hid_c.shape[1]):
                 hm = hid_c[:, j] >= 0
                 if hm.any():
-                    local = np.flatnonzero(hm).astype(np.int64) * n_langs
+                    local = np.flatnonzero(hm).astype(np.int64) * S
                     np.add.at(csc, local + hid_c[hm, j],
                               hw_c[hm, j].astype(np.int16))
             if whack_map:
@@ -567,8 +569,8 @@ def _score_hits(g_rid, langs3, qprobs3, gram_bytes, chunk_size, n_rows, n_langs,
                 for hid, others in whack_map.items():
                     sel = np.flatnonzero((hid_c == hid).any(axis=1)).astype(np.int64)
                     if len(sel):
-                        csc[(sel[:, None] * n_langs + others[None, :]).ravel()] = 0
-        csm = csc.reshape(c1 - c0, n_langs)
+                        csc[(sel[:, None] * S + others[None, :]).ravel()] = 0
+        csm = csc.reshape(c1 - c0, S)[:, :n_langs]
         w1 = np.argmax(csm, axis=1)
         win[c0:c1] = w1
         if n_langs >= 2:
