@@ -88,15 +88,25 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling STUB: emits (media_id, frame_ts_ms) rows for the
-    sampling grid; the actual frame decode is NotImplemented by design."""
+def frame_sample(df: DataFrame, every_ms: int = 1000,
+                 from_payload: bool = False) -> DataFrame:
+    """Video frame-sampling grid: emits (media_id, frame_ts_ms) rows.
+    With from_payload=True the duration comes from the REAL MP4 header
+    parse of the payload bytes (parse_mp4_meta) instead of the metadata
+    column -- the self-contained path for tables without trusted
+    metadata. The actual frame decode remains NotImplemented by design
+    (no codecs in this container)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vids = pdf[pdf["kind"] == "video"]
             mids = vids["media_id"].to_numpy(dtype=np.int64)
-            durs = vids["duration_ms"].fillna(0).to_numpy(dtype=np.int64)
+            if from_payload:
+                durs = np.array(
+                    [max((parse_mp4_meta(b) or (0, 0, 0))[2], 0)
+                     for b in vids["payload"]], dtype=np.int64)
+            else:
+                durs = vids["duration_ms"].fillna(0).to_numpy(dtype=np.int64)
             n_frames = np.maximum(-(-durs // every_ms), 0)
             rid = np.repeat(np.arange(len(mids)), n_frames)
             # frame index within each video: position minus its video's start

@@ -507,3 +507,17 @@ def test_with_split_deterministic_and_proportional(spark):
     # different salt redraws; same salt never migrates a doc
     c = with_split(df, salt="other").toPandas().set_index("doc_id")["split"]
     assert (a != c).any()
+
+
+def test_frame_sample_from_real_mp4_durations(spark):
+    """from_payload=True derives the sampling grid from the parsed MP4
+    header, matching the metadata-driven grid on the synth fixtures
+    (whose payload durations equal their metadata)."""
+    from cld2_spark.operators.multimodal import frame_sample, synth_media
+    media = synth_media(spark, 24)
+    a = (frame_sample(media, 1000).toPandas()
+         .sort_values(["media_id", "frame_ts_ms"]).reset_index(drop=True))
+    b = (frame_sample(media, 1000, from_payload=True).toPandas()
+         .sort_values(["media_id", "frame_ts_ms"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert len(a) > 0 and (a.media_id % 3 == 2).all()
