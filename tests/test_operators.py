@@ -521,3 +521,56 @@ def test_frame_sample_from_real_mp4_durations(spark):
          .sort_values(["media_id", "frame_ts_ms"]).reset_index(drop=True))
     assert a.equals(b)
     assert len(a) > 0 and (a.media_id % 3 == 2).all()
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    """Differential check: the inverted-index operator must equal a
+    brute-force all-pairs word-bigram Jaccard (df_cap high enough that
+    nothing is pruned) on a small deterministic corpus."""
+    import itertools
+    import re
+
+    from cld2_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    texts = []
+    for i in range(14):
+        toks = [words[(i + j * j) % len(words)] for j in range(3 + i % 5)]
+        texts.append(" ".join(toks))
+    texts[5] = texts[2]                      # exact dup
+    texts[9] = texts[3] + " extraword"       # near dup
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+
+    def grams(t):
+        tk = re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+        return {f"{a} {b}" for a, b in zip(tk, tk[1:])}
+
+    want = {}
+    sets = {i: grams(t) for i, t in enumerate(texts) if len(t.split()) >= 2}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter < 2:
+            continue
+        jacc = inter * 100 // len(sets[a] | sets[b])
+        if jacc >= 50:
+            want[(a, b)] = (inter, jacc)
+
+    out = ngram_jaccard_pairs(df, df_cap=1000).toPandas()
+    got = {(a, b): (c, j) for a, b, c, j in
+           zip(out.a, out.b, out.common, out.jacc_pct)}
+    assert got == want
+
+
+def test_mp4_parser_total_on_mutations():
+    """parse_mp4_meta must be total (return a value or None, never
+    raise) on arbitrary truncations and byte flips of a valid file."""
+    from cld2_spark.operators.multimodal import (encode_mp4_fixture,
+                                                 parse_mp4_meta)
+    base = encode_mp4_fixture(640, 480, 7000)
+    for cut in range(0, len(base), 7):
+        parse_mp4_meta(base[:cut])
+    for pos in range(0, len(base), 5):
+        for val in (0x00, 0xFF, 0x01):
+            mutated = base[:pos] + bytes([val]) + base[pos + 1:]
+            parse_mp4_meta(mutated)
