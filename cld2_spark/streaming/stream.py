@@ -118,13 +118,31 @@ def run_events_window_stream(spark: SparkSession, events_path: str,
 
 
 def start_pipeline_stream(spark: SparkSession, source_dir: str, sink_dir: str,
-                          checkpoint_dir: str, trigger_once: bool = True):
+                          checkpoint_dir: str, trigger_once: bool = True,
+                          exactly_once: bool = False):
     """Run the full pipeline as a stream; parquet sink via foreachBatch
-    (swap the write for `writeTo(...).append()` on an Iceberg catalog)."""
+    (swap the write for `writeTo(...).append()` on an Iceberg catalog).
+
+    exactly_once=True makes the sink IDEMPOTENT under micro-batch
+    re-delivery: foreachBatch is at-least-once (a crash between the sink
+    write and the checkpoint commit replays the epoch), so a plain
+    append duplicates the replayed rows. The idempotent sink writes each
+    epoch to its own `batch_id=<epoch>` partition directory with
+    overwrite -- a replay of the same epoch rewrites the same partition
+    byte-for-byte instead of appending a second copy (the standard
+    exactly-once foreachBatch recipe; on Iceberg the equivalent is
+    `overwritePartitions()` keyed the same way). Readers see the
+    `batch_id` partition column and may prune or drop it.
+    """
     src = stream_transcripts(spark, source_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        run_pipeline(batch_df).write.mode("append").parquet(sink_dir)
+        out = run_pipeline(batch_df)
+        if exactly_once:
+            out.write.mode("overwrite").parquet(
+                f"{sink_dir}/batch_id={batch_id}")
+        else:
+            out.write.mode("append").parquet(sink_dir)
 
     writer = (src.writeStream.foreachBatch(sink)
               .option("checkpointLocation", checkpoint_dir))

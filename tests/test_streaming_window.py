@@ -138,3 +138,39 @@ def test_streaming_dedup_drops_in_horizon_rearrivals(spark, tmp_path):
     assert texts == ["other text", "same text", "third text"], texts
     # the survivor of the duplicated text is its first delivery
     assert out[out.text == "same text"].conv_id.iloc[0] == "c1"
+
+
+def test_exactly_once_sink_idempotent_under_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate an epoch re-delivery by
+    running the exactly-once stream twice from a CLEARED checkpoint (the
+    same epoch ids replay against the already-written sink). The
+    per-epoch overwrite sink must leave row counts unchanged; the
+    append sink under the same replay duplicates every row."""
+    from cld2_spark.sources.transcripts import synth_transcripts_pandas
+    from cld2_spark.streaming.stream import start_pipeline_stream
+
+    src = tmp_path / "src"
+    pdf = synth_transcripts_pandas(120)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+
+    import shutil
+
+    # exactly-once: replayed epoch overwrites its own partition
+    sink1, ckpt1 = tmp_path / "s1", tmp_path / "c1"
+    for _ in range(2):
+        shutil.rmtree(ckpt1, ignore_errors=True)  # force epoch replay
+        q = start_pipeline_stream(spark, str(src), str(sink1), str(ckpt1),
+                                  exactly_once=True)
+        assert q.awaitTermination(120)
+    out = spark.read.parquet(str(sink1))
+    assert out.count() == 120
+    assert "batch_id" in out.columns  # partition column visible, prunable
+
+    # plain append under the same replay: duplicates (the failure mode
+    # the idempotent sink exists to prevent)
+    sink2, ckpt2 = tmp_path / "s2", tmp_path / "c2"
+    for _ in range(2):
+        shutil.rmtree(ckpt2, ignore_errors=True)
+        q = start_pipeline_stream(spark, str(src), str(sink2), str(ckpt2))
+        assert q.awaitTermination(120)
+    assert spark.read.parquet(str(sink2)).count() == 240
