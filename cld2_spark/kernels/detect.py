@@ -116,6 +116,21 @@ def _word_walk(arr: np.ndarray):
     return is_sp, wid, idx, wstart, wlen, boff, buf
 
 
+def _sorted_unique(a: np.ndarray, return_index: bool = False):
+    """np.unique for an ALREADY-SORTED array: one neighbor compare
+    instead of a re-sort (the hit-stream row ids are sorted by
+    construction)."""
+    if len(a) == 0:
+        return (a, np.zeros(0, dtype=np.int64)) if return_index else a
+    first = np.empty(len(a), dtype=bool)
+    first[0] = True
+    np.not_equal(a[1:], a[:-1], out=first[1:])
+    if return_index:
+        idx = np.flatnonzero(first)
+        return a[idx], idx
+    return a[first]
+
+
 def _empty_quads():
     z = np.zeros(0, dtype=np.int64)
     return z, z, z, np.zeros(32, dtype=np.uint8), z, z, z
@@ -774,7 +789,7 @@ def _score_othr_bank(streams, orig_s, n_rows, n_langs, acc, hint_lid,
             # stream (the stable merge keeps it ahead of that hit)
             first_pos = np.full(n_rows, -1, dtype=np.int64)
             real = np.flatnonzero(~seeds)
-            uniq, first = np.unique(s_rid[real], return_index=True)
+            uniq, first = _sorted_unique(s_rid[real], return_index=True)
             first_pos[uniq] = s_pos[real[first]]
             s_pos[seeds] = first_pos[s_rid[seeds]]
         pl, pq = _pad_slots(langs3, qprobs3, width)
@@ -1063,7 +1078,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                 # text falls back to the script default, never to lang id 0
                 seed_gid = model.lang_id.get(ut.DEFAULT_LANG[s] or "")
                 if seed_gid is not None:
-                    rows_s = np.unique(s_rid)
+                    rows_s = _sorted_unique(s_rid)
                     k = len(rows_s)
                     hits.append((rows_s, np.full(k, -1, dtype=np.int32),
                                  np.full((k, 1), seed_gid, dtype=np.uint8),
@@ -1217,7 +1232,7 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
             # JAPANESE (internal/generated_ulscript.cc:480), qprob 1
             seed_gid = model.lang_id.get("ja")
             if seed_gid is not None:
-                rows_c = np.unique(g_rid)
+                rows_c = _sorted_unique(g_rid)
                 k = len(rows_c)
                 streams.append((rows_c, np.full(k, -1, dtype=np.int64),
                                 np.full((k, 1), seed_gid, dtype=np.uint8),
