@@ -508,6 +508,22 @@ def _q_audio_meta(spark, sf_dir):
     return decode_audio_meta(media)
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """int8 scalar quantization audit: per-vector scale + integer code
+    sum + max |code| (codegen projection, no shuffle). Integer outputs
+    make the cross-engine comparison exact."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.similarity import quantize_embeddings
+    _register(spark, sf_dir)
+    q = quantize_embeddings(spark.table("embeddings"))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.expr("aggregate(codes, 0, (a, c) -> a + c)").alias("code_sum"),
+        F.expr("array_max(transform(codes, c -> abs(c)))").alias("code_max"))
+
+
 def _q_top_ngrams(spark, sf_dir):
     """Corpus heavy hitters: top-25 word bigrams by document frequency
     (each doc counts a gram once -- the dedup-relevant notion). Exact
@@ -740,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": _q_event_sessions,
         "dataset_split": _q_dataset_split,
         "top_ngrams": _q_top_ngrams,
+        "embedding_quantize": _q_embedding_quantize,
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -1008,6 +1025,19 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(o_totalprice), 2) AS total_price, "
             "CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid "
             "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"),
+        "embedding_quantize": (
+            "WITH q AS (SELECT vec_id, "
+            "  list_max(list_transform(embedding, "
+            "    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale, "
+            "  embedding FROM embeddings) "
+            "SELECT vec_id, ROUND(scale, 6) AS scale_r, "
+            "CAST(CASE WHEN scale = 0 THEN 0 ELSE list_sum(list_transform("
+            "  embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) "
+            "  AS INT))) END AS INT) AS code_sum, "
+            "CAST(CASE WHEN scale = 0 THEN 0 ELSE list_max(list_transform("
+            "  embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) / scale) "
+            "  AS INT)))) END AS INT) AS code_max "
+            "FROM q"),
         "top_ngrams": (
             "WITH toks AS (SELECT doc_id, string_split(trim("
             "  regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk"

@@ -251,3 +251,24 @@ def embedding_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
             .withColumn("__sim", sim)
             .where(F.col("__sim") >= threshold)
             .select("a", "b", F.round("__sim", 4).alias("sim")))
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale =
+    max(|x|)/127, codes = round(x/scale) in [-127, 127].
+
+    The standard 4x storage / memory-bandwidth reduction for
+    billion-vector ANN serving (int8 dot products approximate the float
+    ones to ~1e-2 relative). Pure whole-stage-codegen SQL -- a
+    projection, no shuffle, no Python -- so it composes with any scan.
+    Adds `scale` (double) and `codes` (array<int>); zero vectors get
+    scale 0 and all-zero codes.
+    """
+    amax = f"array_max(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"
+    return (df
+            .withColumn("scale", F.expr(f"{amax} / 127.0D"))
+            .withColumn("codes", F.expr(
+                f"CASE WHEN scale = 0D THEN transform({vec_col}, x -> 0) "
+                f"ELSE transform({vec_col}, "
+                f"x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END")))

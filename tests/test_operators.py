@@ -574,3 +574,30 @@ def test_mp4_parser_total_on_mutations():
         for val in (0x00, 0xFF, 0x01):
             mutated = base[:pos] + bytes([val]) + base[pos + 1:]
             parse_mp4_meta(mutated)
+
+
+def test_quantize_embeddings_roundtrip(vectors):
+    import numpy as np
+
+    from cld2_spark.operators.similarity import quantize_embeddings
+    out = quantize_embeddings(vectors).toPandas()
+    for _, r in out.iterrows():
+        emb = np.array(r["embedding"], dtype=np.float64)
+        codes = np.array(r["codes"], dtype=np.int64)
+        assert np.abs(codes).max() <= 127
+        recon = codes * r["scale"]
+        # max reconstruction error is half a quantization step
+        assert np.abs(recon - emb).max() <= r["scale"] / 2 + 1e-12
+    # zero vector: scale 0, all-zero codes (no NaN/div-by-zero)
+    z = vectors.sparkSession.createDataFrame(
+        [(99, [0.0] * 4)], "vec_id long, embedding array<float>")
+    zr = quantize_embeddings(z).toPandas().iloc[0]
+    assert zr["scale"] == 0 and list(zr["codes"]) == [0, 0, 0, 0]
+
+
+def test_quantize_embeddings_plan_pure(spark):
+    from cld2_spark.operators.similarity import quantize_embeddings
+    from cld2_spark.plans.inspect import plan_stats
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    stats = plan_stats(quantize_embeddings(df))
+    assert stats["exchanges"] == 0 and stats["python_stages"] == 0
