@@ -588,6 +588,33 @@ def _q_event_sessions(spark, sf_dir):
         FROM per_sess GROUP BY user_id""")
 
 
+def _q_event_asof(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): each click event picks up
+    the latest prior purchase by the same user via the single-shuffle
+    union+window formulation (Spark has no ASOF JOIN; DuckDB/kdb/pandas
+    do). No-match and age columns coalesce to -1.0 doubles so the oracle
+    hash never compares NaT vs NULL representations."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.asof import asof_join_backward
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    j = asof_join_backward(clicks, purch, ["user_id"], "ts", "p_ts",
+                           ["p_value"])
+    age_us = (F.unix_micros(F.col("ts").cast("timestamp"))
+              - F.unix_micros(F.col("ts_asof").cast("timestamp")))
+    return j.select(
+        "event_id", "user_id",
+        F.col("value").alias("click_value"),
+        F.coalesce(F.col("p_value_asof"), F.lit(-1.0)).alias("purchase_value"),
+        F.coalesce(age_us / F.lit(1000000.0), F.lit(-1.0))
+         .alias("purchase_age_sec"))
+
+
 def _q_regional_revenue(spark, sf_dir):
     """TPC-H Q5-shaped 6-table join: revenue by (region, nation) where the
     customer and supplier share a nation. The three dimension tables
@@ -754,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rollup": _q_order_rollup,
         "event_quantiles": _q_event_quantiles,
         "event_sessions": _q_event_sessions,
+        "event_asof": _q_event_asof,
         "dataset_split": _q_dataset_split,
         "top_ngrams": _q_top_ngrams,
         "embedding_quantize": _q_embedding_quantize,
@@ -1082,6 +1110,22 @@ def oracle_sql() -> dict[str, str]:
             "       CAST(MAX(n_events) AS INT) AS longest_session,"
             "       CAST(SUM(n_events) AS BIGINT) AS n_events "
             "FROM per_sess GROUP BY user_id"),
+        "event_asof": (
+            "WITH l AS (SELECT event_id, user_id, ts, value FROM events"
+            "           WHERE event_type = 'click'),"
+            "r AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events"
+            "      WHERE event_type = 'purchase'),"
+            "j AS (SELECT l.event_id, l.user_id, l.value, l.ts, r.p_ts,"
+            "             r.p_value,"
+            "             ROW_NUMBER() OVER (PARTITION BY l.event_id"
+            "               ORDER BY r.p_ts DESC, r.p_value DESC) AS rn"
+            "      FROM l LEFT JOIN r"
+            "        ON l.user_id = r.user_id AND r.p_ts <= l.ts) "
+            "SELECT event_id, user_id, value AS click_value,"
+            "       COALESCE(p_value, -1.0) AS purchase_value,"
+            "       COALESCE(date_diff('microsecond', p_ts, ts)/1000000.0,"
+            "                -1.0) AS purchase_age_sec "
+            "FROM j WHERE rn = 1"),
         "event_quantiles": (
             "SELECT event_type, "
             "ROUND(quantile_cont(value, 0.5), 4) AS p50, "

@@ -173,7 +173,7 @@ def main() -> None:
                      # round 4: streaming replay, media header decode,
                      # word-gram jaccard dedup, sessionization
                      "events_stream", "media_meta",
-                     "dedup_jaccard", "event_sessions"]:
+                     "dedup_jaccard", "event_sessions", "event_asof"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()
