@@ -615,6 +615,29 @@ def _q_event_asof(spark, sf_dir):
          .alias("purchase_age_sec"))
 
 
+def _q_error_attribution(spark, sf_dir):
+    """Point-in-interval range join (operators/rangejoin.py): each click
+    within 2 hours after an error by the same user, as a bucketed
+    equi-join on (user_id, time_bucket) + residual filter -- never a
+    BroadcastNestedLoopJoin/Cartesian (plan-test pinned)."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.rangejoin import range_join_points
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_ts"))
+    j = range_join_points(clicks, errors, ["user_id"], "ts", "err_ts",
+                          end_sec=7200.0)
+    lag_us = (F.unix_micros(F.col("ts").cast("timestamp"))
+              - F.unix_micros(F.col("err_ts").cast("timestamp")))
+    return j.select("click_id", "error_id", "user_id",
+                    (lag_us / F.lit(1000000.0)).alias("lag_sec"))
+
+
 def _q_regional_revenue(spark, sf_dir):
     """TPC-H Q5-shaped 6-table join: revenue by (region, nation) where the
     customer and supplier share a nation. The three dimension tables
@@ -782,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_quantiles": _q_event_quantiles,
         "event_sessions": _q_event_sessions,
         "event_asof": _q_event_asof,
+        "error_attribution": _q_error_attribution,
         "dataset_split": _q_dataset_split,
         "top_ngrams": _q_top_ngrams,
         "embedding_quantize": _q_embedding_quantize,
@@ -1126,6 +1150,17 @@ def oracle_sql() -> dict[str, str]:
             "       COALESCE(date_diff('microsecond', p_ts, ts)/1000000.0,"
             "                -1.0) AS purchase_age_sec "
             "FROM j WHERE rn = 1"),
+        "error_attribution": (
+            "SELECT c.event_id AS click_id, e.event_id AS error_id,"
+            "       c.user_id,"
+            "       date_diff('microsecond', e.ts, c.ts)/1000000.0"
+            "         AS lag_sec "
+            "FROM (SELECT * FROM events WHERE event_type='click') c "
+            "JOIN (SELECT * FROM events WHERE event_type='error') e"
+            "  ON c.user_id = e.user_id"
+            " AND date_diff('microsecond', e.ts, c.ts) >= 0"
+            " AND date_diff('microsecond', e.ts, c.ts)"
+            "     < CAST(7200 AS BIGINT)*1000000"),
         "event_quantiles": (
             "SELECT event_type, "
             "ROUND(quantile_cont(value, 0.5), 4) AS p50, "
