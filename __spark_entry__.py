@@ -559,15 +559,23 @@ def _q_event_sessions(spark, sf_dir):
     """Sessionization (gaps-and-islands): a user's events split into
     sessions at >30-minute gaps via lag + conditional running sum --
     two window passes over the same (user_id, ts) partitioning (ONE
-    shuffle; Catalyst reuses the sort), then a two-level aggregate."""
+    shuffle; Catalyst reuses the sort), then a two-level aggregate.
+
+    Gap compare is at MICROSECOND precision (unix_micros) on both the
+    Spark and DuckDB sides: the events timestamps carry fractional
+    seconds, so a second-truncated unix_timestamp() diff would
+    sessionize gaps within ~1s of the 1800s boundary differently from
+    the stated 30-minute rule (and from the oracle). The CAST to
+    TIMESTAMP relabels the parquet TIMESTAMP_NTZ values under the
+    UTC session timezone, which is exact."""
     _register(spark, sf_dir)
     return spark.sql("""
         WITH g AS (
           SELECT user_id, event_id, ts,
-                 CASE WHEN unix_timestamp(ts)
-                      - lag(unix_timestamp(ts))
+                 CASE WHEN unix_micros(CAST(ts AS TIMESTAMP))
+                      - lag(unix_micros(CAST(ts AS TIMESTAMP)))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                      > 1800 THEN 1
+                      > 1800000000 THEN 1
                       WHEN lag(ts) OVER (PARTITION BY user_id
                                          ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS new_sess
@@ -1112,10 +1120,10 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": (
             "WITH g AS ("
             "  SELECT user_id, event_id, ts,"
-            "         CASE WHEN epoch(ts)"
-            "              - lag(epoch(ts))"
+            "         CASE WHEN epoch_us(ts)"
+            "              - lag(epoch_us(ts))"
             "                OVER (PARTITION BY user_id ORDER BY ts, event_id)"
-            "              > 1800 THEN 1"
+            "              > 1800000000 THEN 1"
             "              WHEN lag(ts) OVER (PARTITION BY user_id"
             "                                 ORDER BY ts, event_id) IS NULL"
             "              THEN 1 ELSE 0 END AS new_sess"

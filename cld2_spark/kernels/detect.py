@@ -334,7 +334,11 @@ def row_dedupe_filter(h: np.ndarray, g_rid: np.ndarray, max_occ: int = 2) -> np.
     if n == 0:
         return np.ones(0, dtype=bool)
     h64 = np.asarray(h, dtype=np.uint64)
-    if h64.max() < (np.uint64(1) << np.uint64(44)):
+    # fast path needs the row id to fit the remaining 64-44=20 bits too
+    # (g_rid is sorted, so the last element is the max); an oversized
+    # batch would silently wrap the shift and merge distinct groups
+    if (h64.max() < (np.uint64(1) << np.uint64(44))
+            and g_rid[-1] < (1 << 20)):
         # quad (32-bit) and word/pair (40-bit) hashes pack with the row id
         # into ONE uint64 sort key: a single stable argsort replaces
         # lexsort's two passes (~2x on the hot dedupe path)

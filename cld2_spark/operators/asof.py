@@ -2,11 +2,18 @@
 
 Spark has no ASOF JOIN operator (DuckDB/kdb/pandas do); the standard
 distributed formulation is the union+window trick: tag both sides, union
-them, and run one `last(..., ignorenulls=True)` window per carried column
-over (key) ordered by (ts, side, tiebreak). Right-side rows sort BEFORE
-left-side rows at equal timestamps, so a probe row sees every right row
-with `r.ts <= l.ts` — exactly backward-as-of semantics with inclusive
-ties, matching `pandas.merge_asof(direction="backward")`.
+them, and run ONE `last(..., ignorenulls=True)` window over (key) ordered
+by (ts, side, tiebreak). Right-side rows sort BEFORE left-side rows at
+equal timestamps, so a probe row sees every right row with `r.ts <= l.ts`
+— exactly backward-as-of semantics with inclusive ties, matching
+`pandas.merge_asof(direction="backward")`.
+
+All carried columns (the match timestamp + every value column) travel as
+a SINGLE struct filled by one `last(ignorenulls=True)` pass: the struct
+is non-null on every right row even when individual value columns are
+null, so the result always unpacks one coherent right row — a per-column
+fill would otherwise mix columns from different right rows whenever a
+right value is null.
 
 Scale shape: ONE exchange (hash partition on the key) followed by an
 in-partition sort — the same plan a sort-merge join would need, minus the
@@ -22,6 +29,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 _SIDE = "__asof_side"
 _TIE = "__asof_tie"
+_PACK = "__asof_pack"
 
 
 def asof_join_backward(left: DataFrame, right: DataFrame, on: list[str],
@@ -39,11 +47,13 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: list[str],
     carried = [right_ts] + value_cols
     out_names = {right_ts: f"{left_ts}{suffix}"}
     out_names.update({c: f"{c}{suffix}" for c in value_cols})
+    pack_type = "struct<" + ",".join(
+        f"`{c}`:{right.schema[c].dataType.simpleString()}"
+        for c in carried) + ">"
 
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(out_names[c])
-          for c in carried],
+        F.lit(None).cast(pack_type).alias(_PACK),
         F.col(left_ts).alias("__asof_ts"),
         F.lit(1).alias(_SIDE),
         F.lit(None).cast("double").alias(_TIE),
@@ -52,7 +62,9 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: list[str],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in on],
         *[F.col(c) for c in on],
-        *[F.col(c).alias(out_names[c]) for c in carried],
+        # one struct per right row: non-null even when a value column is
+        # null, so last(ignorenulls) always carries a COHERENT right row
+        F.struct(*[F.col(c) for c in carried]).alias(_PACK),
         F.col(right_ts).alias("__asof_ts"),
         F.lit(0).alias(_SIDE),
         F.col(value_cols[0]).cast("double").alias(_TIE),
@@ -62,26 +74,21 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: list[str],
          .orderBy(F.col("__asof_ts").asc(), F.col(_SIDE).asc(),
                   F.col(_TIE).asc_nulls_last())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    u = l_tagged.unionByName(r_tagged)
-    for c in carried:
-        u = u.withColumn(out_names[c],
-                         F.last(out_names[c], ignorenulls=True).over(w))
+    u = (l_tagged.unionByName(r_tagged)
+         .withColumn(_PACK, F.last(_PACK, ignorenulls=True).over(w)))
     out = u.where(F.col(_SIDE) == 1).drop(_SIDE, _TIE, "__asof_ts")
     if tolerance_sec is not None:
-        # materialize the predicate BEFORE nulling any carried column --
-        # it reads the matched-ts column, which the loop below overwrites
-        matched_ts = out_names[right_ts]
+        # null the WHOLE pack when the match is older than the window --
         # cast("timestamp") accepts TIMESTAMP_NTZ parquet columns; the
         # session tz is pinned UTC (session.py) so the relabel is exact
-        out = out.withColumn("__asof_stale",
-                             F.unix_micros(F.col(left_ts).cast("timestamp"))
-                             - F.unix_micros(
-                                 F.col(matched_ts).cast("timestamp"))
-                             > int(tolerance_sec * 1_000_000))
-        for c in carried:
-            out = out.withColumn(
-                out_names[c],
-                F.when(F.col("__asof_stale"), F.lit(None))
-                 .otherwise(F.col(out_names[c])))
-        out = out.drop("__asof_stale")
+        out = out.withColumn(
+            _PACK,
+            F.when(F.unix_micros(F.col(left_ts).cast("timestamp"))
+                   - F.unix_micros(
+                       F.col(_PACK)[right_ts].cast("timestamp"))
+                   > int(tolerance_sec * 1_000_000),
+                   F.lit(None)).otherwise(F.col(_PACK)))
+    out = out.select(
+        *[F.col(c) for c in out.columns if c != _PACK],
+        *[F.col(_PACK)[c].alias(out_names[c]) for c in carried])
     return out
