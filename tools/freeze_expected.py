@@ -1,0 +1,139 @@
+"""Freeze the single-node oracle's outputs for the 4 non-SQL-expressible
+driver queries (langid / keep_drop / lang_histogram / lang_spans) as
+parquet fixtures that DuckDB can read back.
+
+VERDICT r4 item #3: the driver's correctness gate runs oracle_sql() in
+DuckDB; langid is not SQL-expressible, so those queries were rows-only.
+With these fixtures the oracle becomes `SELECT ... FROM read_parquet(
+'<repo>/tests/data/expected_*.parquet')`: the driver then hash-compares
+the Spark result against the FROZEN single-node truth (pipeline/oracle.py,
+which runs the same kernels via plain pandas/NumPy — the FIXTURES.md §4
+label oracle), turning all 4 rows into full rows+schema+hash checks.
+
+The fixtures are frozen at sf0.01 — the scale the driver's correctness
+gate runs at. `tests/test_frozen_fixture.py` regenerates them in a temp
+dir each run and asserts byte-level equality with the checked-in files,
+so a kernel change that shifts any label fails CI until the fixtures are
+intentionally re-frozen with:
+
+    python tools/freeze_expected.py /root/testdata/sf0.01 tests/data
+
+Determinism: every value is a pure function of the input parquet (no
+timestamps, no RNG); detect_batch/analyze_batch are row-independent, so
+single-node (one batch) and Spark (many Arrow batches) produce
+bit-identical doubles — the driver's exact value hash relies on this.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+LANGID_FILE = "expected_langid_sf0_01.parquet"
+KEEP_DROP_FILE = "expected_keep_drop_sf0_01.parquet"
+SPANS_FILE = "expected_spans_sf0_01.parquet"
+
+_LANGID_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("lang1", pa.string()), ("pct1", pa.int32()),
+    ("is_reliable", pa.bool_()),
+])
+_KEEP_DROP_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("lang1", pa.string()), ("pct1", pa.int32()), ("rel1", pa.int32()),
+    ("is_reliable", pa.bool_()), ("ft_lang", pa.string()),
+    ("ppl", pa.float64()), ("keep", pa.bool_()),
+    ("drop_reason", pa.string()), ("scrubbed_text", pa.string()),
+])
+_SPANS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("span_idx", pa.int32()), ("off", pa.int32()), ("len", pa.int32()),
+    ("off_b", pa.int32()), ("len_b", pa.int32()), ("lang", pa.string()),
+])
+
+
+def load_transcripts(sf_dir: str) -> pd.DataFrame:
+    """The same transcripts view the driver queries, materialized via
+    DuckDB (deterministic column arithmetic — identical rows to Spark)."""
+    from cld2_spark.sources.transcripts import transcripts_view_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    tr = con.execute(transcripts_view_sql("duckdb", "documents")).df()
+    con.close()
+    return tr.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def compute_fixtures(sf_dir: str) -> dict[str, pa.Table]:
+    from cld2_spark.kernels.detect import detect_batch
+    from cld2_spark.kernels.model import default_model
+    from cld2_spark.pipeline.oracle import oracle_labels
+
+    tr = load_transcripts(sf_dir)
+    texts = tr["text"].fillna("").tolist()
+    model = default_model()
+
+    # langid: the detect_summary_udf surface (summary_lang as the answer)
+    det = detect_batch(texts, model)
+    langid = pa.table({
+        "conv_id": tr["conv_id"], "turn_idx": tr["turn_idx"],
+        "lang1": det["summary_lang"], "pct1": det["pct1"],
+        "is_reliable": det["is_reliable"],
+    }, schema=_LANGID_SCHEMA)
+
+    # keep_drop: the full pipeline verdict (analyze path incl. bestEffort
+    # rescue + cross-check + perplexity + rules + scrub + decision)
+    lab = oracle_labels(tr)
+    keep_drop = pa.table(
+        {c: lab[c] for c in _KEEP_DROP_SCHEMA.names},
+        schema=_KEEP_DROP_SCHEMA)
+
+    # lang_spans: the W4 chunk vector, exploded to one row per span with
+    # a per-turn span_idx (rows with zero spans are simply absent, the
+    # same shape posexplode produces on the Spark side)
+    res = detect_batch(texts, model, return_spans=True)
+    rid = np.asarray(res["span_rid"])
+    order = np.argsort(rid, kind="stable")  # stable: keeps per-row order
+    srid = rid[order]
+    # span_idx = position within the row's span list
+    starts = np.searchsorted(srid, srid)
+    span_idx = np.arange(len(srid)) - starts
+    spans = pa.table({
+        "conv_id": tr["conv_id"].to_numpy()[srid],
+        "turn_idx": tr["turn_idx"].to_numpy()[srid],
+        "span_idx": span_idx,
+        "off": res["span_off"][order], "len": res["span_len"][order],
+        "off_b": res["span_off_b"][order], "len_b": res["span_len_b"][order],
+        "lang": res["span_lang"][order],
+    }, schema=_SPANS_SCHEMA)
+
+    return {LANGID_FILE: langid, KEEP_DROP_FILE: keep_drop,
+            SPANS_FILE: spans}
+
+
+def write_fixtures(sf_dir: str, out_dir: str) -> dict[str, int]:
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    counts = {}
+    for fname, table in compute_fixtures(sf_dir).items():
+        pq.write_table(table, out / fname, compression="zstd")
+        counts[fname] = table.num_rows
+    return counts
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    dest = sys.argv[2] if len(sys.argv) > 2 else str(REPO / "tests" / "data")
+    for f, n in write_fixtures(sf, dest).items():
+        print(f"{f}: {n} rows")
