@@ -697,17 +697,16 @@ def _q_order_rollup(spark, sf_dir):
 
 def _q_event_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per event type (sort-based agg;
-    DuckDB quantile_cont implements the same continuous estimator)."""
-    from pyspark.sql import functions as F
+    DuckDB quantile_cont implements the same continuous estimator).
+
+    This exact=True path exists FOR THE ORACLE: at production scale the
+    default is operators.quantiles.grouped_quantiles(exact=False) — the
+    mergeable bounded-memory Greenwald-Khanna approx_percentile sketch
+    (rank error <= 1/accuracy, tested in tests/test_quantiles.py)."""
+    from cld2_spark.operators.quantiles import grouped_quantiles
     _register(spark, sf_dir)
-    v = F.col("value")
-    return (spark.table("events").groupBy("event_type")
-            .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-                 F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-                 F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
-                 F.round(F.min(v), 4).alias("vmin"),
-                 F.round(F.max(v), 4).alias("vmax"),
-                 F.count(F.lit(1)).alias("n")))
+    return grouped_quantiles(spark.table("events"), ["event_type"], "value",
+                             probs=(0.5, 0.9, 0.99), exact=True)
 
 
 # video_meta contract arithmetic (mirrors media_meta/audio_meta): both
