@@ -126,6 +126,66 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _arrow_binary(payload):
+    """Normalize any payload container (pa.Array from mapInArrow,
+    pd.Series from mapInPandas, plain list) to an Arrow binary array.
+    The mapInArrow path is zero-copy; the others pay one C-loop
+    conversion (still no Python-level per-row work)."""
+    import pyarrow as pa
+
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    if isinstance(payload, pa.Array):
+        arr = payload
+        if not (pa.types.is_binary(arr.type)
+                or pa.types.is_large_binary(arr.type)):
+            arr = arr.cast(pa.large_binary())
+        return arr
+    if isinstance(payload, pd.Series):
+        return pa.Array.from_pandas(payload, type=pa.large_binary())
+    return pa.array(payload, type=pa.large_binary())
+
+
+def _head_matrix(arr, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, width) uint8 matrix of each value's first `width` bytes
+    (zero-padded) + int64 lengths, from an Arrow binary array: one
+    C-level binary_slice compacts the heads (payload BODIES are never
+    copied), then a reshape when uniform or a masked gather otherwise.
+    Zero per-row Python — the vectorized-decoder batch shape."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    odt = np.int32 if pa.types.is_binary(arr.type) else np.int64
+    offs = np.frombuffer(arr.buffers()[1], odt)[arr.offset:arr.offset + n + 1]
+    lens = np.diff(offs).astype(np.int64, copy=False)
+    if arr.null_count:
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        lens = np.where(valid, lens, 0)
+
+    heads = pc.binary_slice(arr, 0, width)
+    hdt = np.int32 if pa.types.is_binary(heads.type) else np.int64
+    hoffs = np.frombuffer(heads.buffers()[1],
+                          hdt)[heads.offset:heads.offset + n + 1]
+    hbuf = heads.buffers()[2]
+    hdata = (np.frombuffer(hbuf, np.uint8) if hbuf is not None
+             else np.zeros(0, np.uint8))
+    hl = np.diff(hoffs)
+    if n and (hl == width).all():
+        return (hdata[hoffs[0]:hoffs[0] + n * width]
+                .reshape(n, width), lens)
+    m = np.zeros((n, width), dtype=np.uint8)
+    if hdata.size:
+        idx = np.minimum(hoffs[:-1, None].astype(np.int64)
+                         + np.arange(width), hdata.size - 1)
+        np.copyto(m, hdata[idx], where=np.arange(width) < hl[:, None])
+    return m, lens
+
+
+def _u32(sig: bytes) -> int:
+    return int.from_bytes(sig, "little")
+
+
 def encode_image_fixture(img_id: int, width: int, height: int,
                          fmt: str) -> bytes:
     """Minimal well-formed image file of `fmt` ('png'|'gif'|'jpeg') with
@@ -201,6 +261,55 @@ def parse_image_meta(buf: bytes) -> tuple[str | None, int, int]:
     return None, -1, -1
 
 
+_FMT_LUT = np.array([None, "png", "gif", "jpeg"], dtype=object)
+
+
+def parse_image_meta_batch(payload) -> tuple[np.ndarray, np.ndarray,
+                                             np.ndarray]:
+    """Vectorized parse_image_meta over a whole batch (VERDICT r4 #4):
+    PNG and GIF dimensions live at FIXED offsets, so they come out of
+    the 24-byte head matrix with pure view arithmetic — zero per-row
+    Python. Only JPEG rows (variable-length marker walk) fall back to
+    the scalar parser, row by row. Byte-identical to the scalar path on
+    every input (tests/test_multimodal_vec.py). Accepts pa.Array
+    (mapInArrow — zero-copy), pd.Series, or list. Returns (fmt object
+    array, width int32, height int32) with the same -1/None conventions.
+    """
+    arr = _arrow_binary(payload)
+    m, lens = _head_matrix(arr, 24)
+    n = len(lens)
+    # copy-free reinterpretations of the head matrix: every fixed-offset
+    # field is 4/2-aligned within the 24-byte row, so each signature
+    # check / dimension read is ONE vectorized compare on a view column
+    v4l = m.view("<u4")   # (n, 6) little-endian u32 columns
+    v4b = m.view(">u4")   # (n, 6) big-endian u32 columns
+    v2l = m.view("<u2")   # (n, 12) little-endian u16 columns
+    code = np.zeros(n, dtype=np.int8)
+    w = np.full(n, -1, dtype=np.int64)
+    h = np.full(n, -1, dtype=np.int64)
+
+    is_png = ((lens >= 24) & (v4l[:, 0] == _u32(_PNG_SIG[:4]))
+              & (v4l[:, 1] == _u32(_PNG_SIG[4:]))
+              & (v4l[:, 3] == _u32(b"IHDR")))
+    code[is_png] = 1
+    w[is_png] = v4b[:, 4][is_png]
+    h[is_png] = v4b[:, 5][is_png]
+
+    is_gif = ((lens >= 10) & ~is_png & (v4l[:, 0] == _u32(b"GIF8"))
+              & ((m[:, 4] == ord("7")) | (m[:, 4] == ord("9")))
+              & (m[:, 5] == ord("a")))
+    code[is_gif] = 2
+    w[is_gif] = v2l[:, 3][is_gif]
+    h[is_gif] = v2l[:, 4][is_gif]
+
+    # JPEG: SOFn position is variable -> scalar marker walk, those rows only
+    is_jpeg = (lens >= 4) & ~is_png & ~is_gif & (v2l[:, 0] == 0xD8FF)
+    fmts = _FMT_LUT[code]
+    for i in np.flatnonzero(is_jpeg):
+        fmts[i], w[i], h[i] = parse_image_meta(arr[i].as_py())
+    return fmts, w.astype(np.int32), h.astype(np.int32)
+
+
 def encode_wav_fixture(sample_rate: int, channels: int, n_samples: int,
                        bits: int = 16) -> bytes:
     """Minimal fully well-formed PCM WAV file (RIFF + fmt + data chunks,
@@ -242,6 +351,50 @@ def parse_wav_meta(buf: bytes) -> tuple[int, int, int] | None:
     return sr, ch, data_size * 1000 // byte_rate
 
 
+def parse_wav_meta_batch(payload) -> tuple[np.ndarray, np.ndarray,
+                                           np.ndarray]:
+    """Vectorized parse_wav_meta (VERDICT r4 #4): the canonical PCM
+    layout — 'fmt ' (size 16) at offset 12, 'data' at offset 36, data
+    chunk last — covers fixture and real-world PCM WAVs, and every field
+    sits at a fixed offset in the 44-byte head matrix. Rows with any
+    other chunk layout (extra chunks before 'data', extensible fmt,
+    trailing chunks that the scalar walk would let override 'data') fall
+    back to the scalar chunk walk. Byte-identical to the scalar path;
+    non-WAV rows yield -1s. Returns (sample_rate, channels, duration_ms)
+    int32 arrays."""
+    arr = _arrow_binary(payload)
+    m, lens = _head_matrix(arr, 44)
+    n = len(lens)
+    # copy-free view columns (all canonical WAV fields are 4/2-aligned)
+    v4l = m.view("<u4")   # (n, 11)
+    v2l = m.view("<u2")   # (n, 22)
+    sr = np.full(n, -1, dtype=np.int64)
+    ch = np.full(n, -1, dtype=np.int64)
+    dur = np.full(n, -1, dtype=np.int64)
+
+    is_riff = ((lens >= 12) & (v4l[:, 0] == _u32(b"RIFF"))
+               & (v4l[:, 2] == _u32(b"WAVE")))
+    data_size = v4l[:, 10].astype(np.int64)
+    canonical = (is_riff & (lens >= 44) & (v4l[:, 3] == _u32(b"fmt "))
+                 & (v4l[:, 4] == 16) & (v4l[:, 9] == _u32(b"data"))
+                 # data must be the LAST chunk the scalar walk would see
+                 & (44 + data_size + (data_size & 1) >= lens))
+    c_sr = v4l[:, 6].astype(np.int64)
+    c_rate = v4l[:, 7].astype(np.int64)
+    ok = canonical & (c_sr > 0) & (c_rate > 0)
+    sr[ok] = c_sr[ok]
+    ch[ok] = v2l[:, 11][ok]
+    dur[ok] = (data_size[ok] * 1000) // c_rate[ok]
+
+    # non-canonical RIFF/WAVE rows: scalar chunk walk, those rows only
+    for i in np.flatnonzero(is_riff & ~canonical):
+        meta = parse_wav_meta(arr[i].as_py())
+        if meta is not None:
+            sr[i], ch[i], dur[i] = meta
+    return (sr.astype(np.int32), ch.astype(np.int32),
+            dur.astype(np.int32))
+
+
 AUDIO_META_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("sample_rate", IntegerType()),
@@ -252,20 +405,26 @@ AUDIO_META_SCHEMA = StructType([
 
 def decode_audio_meta(df: DataFrame, id_col: str = "media_id",
                       payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched WAV header decode; non-WAV rows yield -1s."""
+    """WAV header decode over RAW ARROW batches (mapInArrow): the binary
+    column feeds the vectorized fixed-offset fast path zero-copy — no
+    arrow→pandas object materialization of the payloads at all; only
+    non-canonical RIFF rows fall back to the scalar chunk walk. Non-WAV
+    rows yield -1s."""
+    import pyarrow as pa
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = [parse_wav_meta(b) or (-1, -1, -1)
-                     for b in pdf[payload_col]]
-            yield pd.DataFrame({
-                "media_id": pdf[id_col],
-                "sample_rate": np.array([m[0] for m in metas], dtype=np.int32),
-                "channels": np.array([m[1] for m in metas], dtype=np.int32),
-                "duration_ms": np.array([m[2] for m in metas], dtype=np.int32),
-            })
+    def fn(batches):
+        for rb in batches:
+            sr, ch, dur = parse_wav_meta_batch(
+                rb.column(rb.schema.get_field_index(payload_col)))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(rb.schema.get_field_index(id_col)),
+                 pa.array(sr, type=pa.int32()),
+                 pa.array(ch, type=pa.int32()),
+                 pa.array(dur, type=pa.int32())],
+                names=["media_id", "sample_rate", "channels",
+                       "duration_ms"])
 
-    return df.mapInPandas(fn, schema=AUDIO_META_SCHEMA)
+    return df.mapInArrow(fn, schema=AUDIO_META_SCHEMA)
 
 
 # ---- real video-container codec (ISO BMFF / MP4, public byte format) ----
@@ -407,22 +566,25 @@ IMAGE_META_SCHEMA = StructType([
 
 def decode_image_meta(df: DataFrame, id_col: str = "media_id",
                       payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched header decode: (media_id, fmt, width, height) per
-    row. Per-row work is O(header bytes) -- the marker walk touches at
-    most the first 64 KB and PNG/GIF reads are fixed offsets -- so the
-    stage stays linear in input bytes at any scale."""
+    """Image header decode over RAW ARROW batches (mapInArrow):
+    (media_id, fmt, width, height) per row. PNG/GIF dims come out of
+    the vectorized head-matrix fast path zero-copy from the Arrow
+    buffers (no per-row Python, no pandas object conversion); only
+    JPEG rows walk markers row-by-row, bounded to the first 64 KB."""
+    import pyarrow as pa
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = [parse_image_meta(b) for b in pdf[payload_col]]
-            yield pd.DataFrame({
-                "media_id": pdf[id_col],
-                "fmt": [m[0] for m in metas],
-                "width": np.array([m[1] for m in metas], dtype=np.int32),
-                "height": np.array([m[2] for m in metas], dtype=np.int32),
-            })
+    def fn(batches):
+        for rb in batches:
+            fmts, w, h = parse_image_meta_batch(
+                rb.column(rb.schema.get_field_index(payload_col)))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(rb.schema.get_field_index(id_col)),
+                 pa.array(fmts, type=pa.string()),
+                 pa.array(w, type=pa.int32()),
+                 pa.array(h, type=pa.int32())],
+                names=["media_id", "fmt", "width", "height"])
 
-    return df.mapInPandas(fn, schema=IMAGE_META_SCHEMA)
+    return df.mapInArrow(fn, schema=IMAGE_META_SCHEMA)
 
 
 def synth_media(spark, n: int = 64) -> DataFrame:
