@@ -1,0 +1,94 @@
+"""Real PNG pixel decode (VERDICT r4 item #7): stdlib-zlib inflate +
+spec defilter must round-trip exactly through our own encoder for every
+filter type and color shape, and extract_features must produce
+decoder-true features for PNG rows. No JVM except the last test."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cld2_spark.operators.multimodal import (
+    decode_png_pixels, encode_image_fixture, encode_png_pixels,
+    png_pixel_features)
+
+
+def _rand_px(h, w, ch, seed):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_png_roundtrip_exact(filter_type, ch):
+    px = _rand_px(13, 17, ch, seed=filter_type * 10 + ch)
+    buf = encode_png_pixels(px, filter_type=filter_type)
+    got = decode_png_pixels(buf)
+    assert got is not None
+    want = px[:, :, None] if ch == 1 else px
+    assert got.shape == want.shape
+    assert (got == want).all(), f"filter {filter_type} ch {ch} mismatch"
+
+
+def test_png_decode_rejects_unsupported():
+    assert decode_png_pixels(None) is None
+    assert decode_png_pixels(b"not a png") is None
+    # header-only fixture (no IDAT) must be rejected, not crash
+    assert decode_png_pixels(encode_image_fixture(1, 10, 10, "png")) is None
+    # corrupt IDAT
+    buf = bytearray(encode_png_pixels(_rand_px(4, 4, 3, 1)))
+    i = bytes(buf).find(b"IDAT")
+    buf[i + 6] ^= 0xFF
+    assert decode_png_pixels(bytes(buf)) is None
+
+
+def test_features_constant_color():
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:, :, 0] = 255  # pure red
+    f = png_pixel_features(px)
+    assert f[0] == pytest.approx(1.0)          # mean R
+    assert f[1] == f[2] == 0.0                 # mean G, B
+    assert (f[3:6] == 0).all()                 # stds
+    luma = 0.299 * 255
+    bin_idx = int(luma // (255.0001 / 4))
+    hist = np.zeros(4)
+    hist[bin_idx] = 1.0
+    assert np.allclose(f[6:10], hist)
+    assert np.allclose(f[10:14], [1, 0, 0, 0])  # zero gradient
+    assert f[14] == pytest.approx(luma / 255.0)
+    assert f[15] == 0.0                         # luma 76 < 127.5
+
+
+def test_features_gradient_image():
+    # left half black, right half white: gradient spike at the seam
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    px[:, 4:, :] = 255
+    f = png_pixel_features(px)
+    assert f[14] == pytest.approx(0.5)
+    assert f[15] == pytest.approx(0.5)
+    assert f[6] == pytest.approx(0.5) and f[9] == pytest.approx(0.5)
+    # 1 of 7 horizontal diffs per row is 255, rest 0
+    assert f[13] == pytest.approx(1 / 7)
+    assert f[10] == pytest.approx(6 / 7)
+
+
+def test_extract_features_decoder_true_for_png(spark):
+    from cld2_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                 extract_features)
+    px0 = _rand_px(10, 12, 3, seed=42)
+    px1 = _rand_px(6, 6, 1, seed=43)
+    rows = [
+        (0, "image", encode_png_pixels(px0, filter_type=4), 12, 10, None),
+        (1, "image", encode_png_pixels(px1, filter_type=2), 6, 6, None),
+        (2, "image", encode_image_fixture(2, 20, 20, "jpeg"), 20, 20, None),
+    ]
+    out = (extract_features(spark.createDataFrame(rows, MEDIA_SCHEMA))
+           .toPandas().set_index("media_id"))
+    f0 = np.array(out.loc[0, "feature"], dtype=np.float32)
+    assert np.allclose(f0, png_pixel_features(px0[:, :, :3]), atol=1e-6)
+    f1 = np.array(out.loc[1, "feature"], dtype=np.float32)
+    assert np.allclose(f1, png_pixel_features(px1[:, :, None]), atol=1e-6)
+    # JPEG row keeps the disclosed placeholder (nibble histogram sums ~1)
+    f2 = np.array(out.loc[2, "feature"], dtype=np.float32)
+    assert f2.sum() == pytest.approx(1.0, abs=1e-5)
