@@ -769,9 +769,16 @@ def _q_lang_spans(spark, sf_dir):
     from cld2_spark.functions.langid import detect_spans_udf
     _register(spark, sf_dir)
     df = spark.table("transcripts")
+    # posexplode_OUTER + post-filter, NOT posexplode: the inner variant
+    # plants an implicit `size(spans)>0` pre-filter below the Generate,
+    # which Catalyst satisfies by evaluating the UDF a SECOND time; the
+    # outer variant needs no pre-filter, and the null-row filter on the
+    # GENERATED column cannot sink below the Generate (plan-tested: ONE
+    # ArrowEvalPython stage)
     return (df.withColumn("spans", detect_spans_udf(F.col("text")))
             .select("conv_id", "turn_idx",
-                    F.posexplode("spans").alias("span_idx", "s"))
+                    F.posexplode_outer("spans").alias("span_idx", "s"))
+            .where(F.col("span_idx").isNotNull())
             .select("conv_id", "turn_idx",
                     F.col("span_idx").cast("int").alias("span_idx"),
                     F.col("s.off").alias("off"), F.col("s.len").alias("len"),
