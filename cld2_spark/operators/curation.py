@@ -1,0 +1,241 @@
+"""Training-data curation operators: stratified sampling, benchmark
+decontamination, and Gopher-style repetition quality stats.
+
+All three are the standard large-corpus curation steps that sit between
+dedup and training-set assembly; each is expressed Spark-first:
+
+- `stratified_sample`: deterministic salted-hash sampling per stratum —
+  a pure codegen projection + filter (NO shuffle, no sampling state, no
+  RNG), so a document's membership is a stable function of (salt, id,
+  rate) exactly like `textstats.with_split`: re-runs, repartitions and
+  corpus growth never flip a kept row, which is what makes incremental
+  re-curation of a 100 TB corpus reproducible.
+
+- `contaminated_ids`: exact word-n-gram overlap against a benchmark
+  table (the industry decontamination rule: a training doc sharing any
+  length-n token window with an eval benchmark is flagged). Shape: both
+  sides explode to DISTINCT n-gram hashes (ids-only rows), the join key
+  is the 60-bit hash, and the benchmark side is tiny by construction —
+  Spark broadcasts it, so the corpus side never shuffles; output is a
+  per-doc match count (drop = semi-join, keep = anti-join downstream).
+
+- `repetition_stats`: per-document repeated-content ratios from the
+  Gopher quality rules (Rae et al. 2021, table A1): duplicate-line
+  fraction (by line count and by character mass) and the character
+  fraction covered by the single most frequent word 2-gram. Pure
+  explode + two-level aggregate, map-side combinable, one shuffle keyed
+  by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cld2_spark.operators.dedup import MERSENNE31
+
+_TOK = "split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')), ' ')"
+
+
+def sample_hash(id_col: str, salt: str, dialect: str = "spark") -> str:
+    """Uniform-in-[0,1M) deterministic hash of (salt, id) — the sampling
+    coin. Same value in Spark and DuckDB so oracles can replay it."""
+    if dialect == "spark":
+        return (f"conv(substring(md5(concat('{salt}', "
+                f"CAST({id_col} AS STRING))), 1, 8), 16, 10) % 1000000")
+    return (f"('0x' || substr(md5('{salt}' || "
+            f"CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT % 1000000")
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, rates: dict[str, float],
+                      id_col: str = "doc_id",
+                      salt: str = "cld2s-sample",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row kept iff hash(salt, id) < rate * 1e6. Rows in strata not listed
+    in `rates` use default_rate. Zero shuffle; the whole operator is a
+    codegen filter."""
+    coin = F.expr(sample_hash(id_col, salt)).cast("bigint")
+    thr: Column = F.lit(int(default_rate * 1_000_000))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum,
+                     F.lit(int(rate * 1_000_000))).otherwise(thr)
+    return df.where(coin < thr)
+
+
+def _gram_hashes(df: DataFrame, text_col: str, id_col: str,
+                 n: int) -> DataFrame:
+    """(id, gram_hash) pairs — DISTINCT word n-gram hashes per doc;
+    ids-only rows so the downstream join never carries text."""
+    tk = _TOK.format(c=text_col)
+    grams = (f"transform(sequence(1, size({tk}) - {n - 1}), "
+             f"i -> concat_ws(' ', slice({tk}, i, {n})))")
+    ghash = (f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
+             f" % {MERSENNE31}")
+    return (df.where(F.expr(f"size({tk}) >= {n}"))
+            .select(F.col(id_col),
+                    F.explode(F.expr(f"array_distinct({grams})")).alias("g"))
+            .select(id_col, F.expr(ghash).alias("gh")))
+
+
+def contaminated_ids(corpus: DataFrame, bench: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 8) -> DataFrame:
+    """(id, n_hits) for every corpus doc sharing >=1 word n-gram with the
+    benchmark table. The benchmark's distinct gram-hash set is small
+    (eval sets are KB-MB scale) -> broadcast, so the 100 TB side is a
+    single scan + explode with NO corpus shuffle before the final
+    per-doc count."""
+    bg = (_gram_hashes(bench, text_col, id_col, n)
+          .select("gh").distinct())
+    cg = _gram_hashes(corpus, text_col, id_col, n)
+    return (cg.join(F.broadcast(bg), on="gh", how="inner")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+
+
+def decontaminate(corpus: DataFrame, bench: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 8) -> DataFrame:
+    """corpus minus contaminated docs (left_anti on the flagged ids)."""
+    bad = contaminated_ids(corpus, bench, text_col, id_col, n)
+    return corpus.join(bad.select(id_col), on=id_col, how="left_anti")
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     line_sep: str = "\\\\.",
+                     joiner: str = ". ") -> DataFrame:
+    """Corpus-wide paragraph/line dedup with document reassembly (the
+    RefinedWeb / CCNet line-dedup rule): every distinct trimmed line is
+    kept ONLY at its first occurrence — first = smallest (doc_id, pos) —
+    and each document is rebuilt from its surviving lines in original
+    order. Documents whose every line loses are dropped.
+
+    Shape at 100 TB: explode to (line_hash, doc_id, pos) id-rows (the
+    line TEXT travels only on the exploded side, once), one map-side-
+    combinable shuffle on line_hash picks the winner via min(struct),
+    the winner join reuses that same hash partitioning, and reassembly
+    is one shuffle on doc_id with sort_array over (pos, line) structs —
+    no window over the whole corpus, no driver state.
+    """
+    lines = (f"filter(transform(split({text_col}, '{line_sep}'), "
+             f"x -> trim(x)), x -> length(x) > 0)")
+    ex = (df.select(id_col, F.posexplode(F.expr(lines))
+                    .alias("pos", "line"))
+          .select(id_col, "pos", "line",
+                  F.expr("CAST(conv(substring(md5(line), 1, 15), 16, 10) "
+                         "AS BIGINT)").alias("lh")))
+    winners = (ex.groupBy("lh")
+               .agg(F.min(F.struct(F.col(id_col).alias("d"),
+                                   F.col("pos").alias("p"))).alias("w")))
+    kept = (ex.join(winners, on="lh", how="inner")
+            .where((F.col(id_col) == F.col("w.d"))
+                   & (F.col("pos") == F.col("w.p"))))
+    return (kept.groupBy(id_col)
+            .agg(F.array_join(
+                    F.expr("transform(array_sort(collect_list("
+                           "struct(pos, line))), s -> s.line)"),
+                    joiner).alias("text_dedup"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines_kept")))
+
+
+def pack_sequences(df: DataFrame, budget: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_blocks: int = 64) -> DataFrame:
+    """Training-sequence packing: assign documents to fixed token-budget
+    sequences (greedy first-fit in id order), the step that turns a
+    curated corpus into context-length-sized training rows.
+
+    Documents are hashed into `n_blocks` independent packing blocks
+    (block = doc_id % n_blocks) and packed greedily WITHIN a block in
+    doc_id order: a sequence closes when the next doc would overflow
+    `budget`; a single doc larger than the budget gets its own
+    (oversized) sequence. Blocks are the parallelism unit — packing is
+    inherently sequential per block, so at 100 TB you size n_blocks to
+    ~10x your core count and every block packs independently with NO
+    global coordination; determinism is per-block, so re-runs reproduce
+    byte-identical sequences regardless of partitioning.
+
+    The greedy scan is vectorized per BIN, not per doc: from each
+    sequence start the close position is found with one searchsorted on
+    the block's token cumsum, so Python iterations = number of output
+    sequences, not number of documents.
+
+    Returns (id, block, seq, tok_offset, n_tok): the sequence index
+    within the block and the doc's token offset inside its sequence.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tk = _TOK.format(c=text_col)
+    base = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_blocks).cast("int").alias("block"),
+        F.expr(f"size({tk})").cast("bigint").alias("n_tok"))
+
+    out_schema = (f"{id_col} bigint, block int, seq bigint, "
+                  f"tok_offset bigint, n_tok bigint")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n_tok = pdf["n_tok"].to_numpy(np.int64)
+        csum = np.cumsum(n_tok)
+        n = len(n_tok)
+        seq = np.empty(n, np.int64)
+        off = np.empty(n, np.int64)
+        i = s = 0
+        while i < n:
+            prev = csum[i - 1] if i else 0
+            # last j with csum[j] - prev <= budget; always >= i itself
+            j = int(np.searchsorted(csum, prev + budget, side="right"))
+            j = max(j, i + 1)
+            seq[i:j] = s
+            off[i:j] = csum[i:j] - n_tok[i:j] - prev
+            s += 1
+            i = j
+        return pd.DataFrame({id_col: pdf[id_col], "block": pdf["block"],
+                             "seq": seq, "tok_offset": off,
+                             "n_tok": n_tok})
+
+    return base.groupBy("block").applyInPandas(pack, out_schema)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     line_sep: str = "\\\\.") -> DataFrame:
+    """Gopher-style per-doc repetition ratios:
+      dup_line_frac      — fraction of lines that are duplicates of an
+                           earlier identical line (count basis)
+      dup_line_char_frac — character mass of those duplicate lines
+      top_2gram_char_frac— chars covered by the most frequent word
+                           2-gram / total chars
+    `line_sep` is a regex AS EMBEDDED in the SQL string literal (one
+    backslash level is consumed by the SQL parser, like _TOK's '\\\\s+'):
+    the default splits sentence-ish on '.'; pass '\\\\n' for
+    newline-delimited corpora."""
+    tk = _TOK.format(c=text_col)
+    lines = (f"filter(transform(split({text_col}, '{line_sep}'), "
+             f"x -> trim(x)), x -> length(x) > 0)")
+    ln = (df.select(id_col, F.explode(F.expr(lines)).alias("line"))
+          .groupBy(id_col, "line")
+          .agg(F.count(F.lit(1)).alias("c"),
+               F.length("line").alias("len"))
+          .groupBy(id_col)
+          .agg((F.sum(F.col("c") - 1) / F.sum("c")).alias("dup_line_frac"),
+               (F.sum((F.col("c") - 1) * F.col("len"))
+                / F.sum(F.col("c") * F.col("len")))
+               .alias("dup_line_char_frac")))
+    grams = (f"transform(sequence(1, size({tk}) - 1), "
+             f"i -> concat_ws(' ', slice({tk}, i, 2)))")
+    g2 = (df.where(F.expr(f"size({tk}) >= 2"))
+          .select(id_col, F.length(text_col).alias("n_chars"),
+                  F.explode(F.expr(grams)).alias("g"))
+          .groupBy(id_col, "n_chars", "g")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .groupBy(id_col, "n_chars")
+          .agg(F.max(F.struct(F.col("c"), F.length("g").alias("gl"),
+                              F.col("g"))).alias("top"))
+          .select(id_col,
+                  (F.col("top.c") * F.col("top.gl")
+                   / F.col("n_chars")).alias("top_2gram_char_frac")))
+    return ln.join(g2, on=id_col, how="left")

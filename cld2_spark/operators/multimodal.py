@@ -186,6 +186,20 @@ def encode_png_pixels(pixels: np.ndarray, filter_type: int = 0) -> bytes:
     return b"".join(out)
 
 
+def feature_pixels(media_id: int) -> np.ndarray:
+    """Deterministic RGB test image for a media id — the single source of
+    truth shared by the driver's `media_features` query and the frozen
+    single-node oracle fixture (tools/freeze_expected.py), so the round
+    trip verifies the REAL zlib decode + defilter + feature kernel."""
+    mid = int(media_id)
+    w = 8 + (mid * 7) % 24
+    h = 8 + (mid * 5) % 16
+    y, x = np.mgrid[0:h, 0:w]
+    base = (x * 3 + y * 5 + mid) % 256
+    return np.stack([base, (base * 2 + 7) % 256, (base * 5 + mid) % 256],
+                    axis=2).astype(np.uint8)
+
+
 def decode_png_pixels(buf: bytes) -> np.ndarray | None:
     """REAL PNG pixel decode with stdlib zlib only: chunk walk -> IDAT
     inflate -> spec-correct defilter (all five filters, RFC 2083 §6).

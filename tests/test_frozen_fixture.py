@@ -10,7 +10,8 @@ from pathlib import Path
 import pyarrow.parquet as pq
 import pytest
 
-from tools.freeze_expected import (KEEP_DROP_FILE, LANGID_FILE, SPANS_FILE,
+from tools.freeze_expected import (KEEP_DROP_FILE, LANGID_FILE,
+                                   MEDIA_FEATURES_FILE, SPANS_FILE,
                                    compute_fixtures)
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -24,7 +25,8 @@ def recomputed():
     return compute_fixtures(SF_DIR)
 
 
-@pytest.mark.parametrize("fname", [LANGID_FILE, KEEP_DROP_FILE, SPANS_FILE])
+@pytest.mark.parametrize("fname", [LANGID_FILE, KEEP_DROP_FILE, SPANS_FILE,
+                                   MEDIA_FEATURES_FILE])
 def test_fixture_matches_recompute(recomputed, fname):
     frozen = pq.read_table(FIXDIR / fname)
     fresh = recomputed[fname]
@@ -44,3 +46,5 @@ def test_fixture_rowcounts():
     spans = pq.read_table(FIXDIR / SPANS_FILE)
     assert langid.num_rows == kd.num_rows == 500  # sf0.01 transcripts
     assert spans.num_rows > 500  # multilingual rows emit several spans
+    mf = pq.read_table(FIXDIR / MEDIA_FEATURES_FILE)
+    assert mf.num_rows == 500 and mf.num_columns == 18

@@ -41,6 +41,7 @@ sys.path.insert(0, str(REPO))
 LANGID_FILE = "expected_langid_sf0_01.parquet"
 KEEP_DROP_FILE = "expected_keep_drop_sf0_01.parquet"
 SPANS_FILE = "expected_spans_sf0_01.parquet"
+MEDIA_FEATURES_FILE = "expected_media_features_sf0_01.parquet"
 
 _LANGID_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -119,7 +120,36 @@ def compute_fixtures(sf_dir: str) -> dict[str, pa.Table]:
     }, schema=_SPANS_SCHEMA)
 
     return {LANGID_FILE: langid, KEEP_DROP_FILE: keep_drop,
-            SPANS_FILE: spans}
+            SPANS_FILE: spans,
+            MEDIA_FEATURES_FILE: _media_features_fixture(sf_dir)}
+
+
+def _media_features_fixture(sf_dir: str) -> pa.Table:
+    """Expected `media_features` rows: the driver query's deterministic
+    doc_id -> PNG -> decode -> 16-dim feature path, run single-node.
+    float32 features are stored raw (bit-identical to the Spark side —
+    same numpy kernel, row-independent), so the driver's exact value
+    hash matches without any rounding convention."""
+    from cld2_spark.operators.multimodal import (encode_png_pixels,
+                                                 feature_pixels,
+                                                 png_pixel_features)
+
+    con = duckdb.connect()
+    ids = con.execute(
+        "SELECT doc_id FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') ORDER BY doc_id").df()["doc_id"]
+    con.close()
+    feats = np.zeros((len(ids), 16), dtype=np.float32)
+    n_bytes = np.zeros(len(ids), dtype=np.int64)
+    for j, did in enumerate(ids):
+        px = feature_pixels(did)
+        n_bytes[j] = len(encode_png_pixels(px, filter_type=int(did) % 5))
+        feats[j] = png_pixel_features(px)
+    cols = {"media_id": pa.array(ids.astype(np.int64), type=pa.int64()),
+            "n_bytes": pa.array(n_bytes, type=pa.int64())}
+    for i in range(16):
+        cols[f"f{i}"] = pa.array(feats[:, i], type=pa.float32())
+    return pa.table(cols)
 
 
 def write_fixtures(sf_dir: str, out_dir: str) -> dict[str, int]:
