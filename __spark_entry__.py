@@ -633,6 +633,29 @@ def _q_decontam(spark, sf_dir):
     return contaminated_ids(docs, bench, n=8)
 
 
+def _q_mixture_sample(spark, sf_dir):
+    """Data-mixture assembly (operators/curation): per-source keep rates
+    derived from target mixture weights + a global token budget (4000
+    tokens: src0 oversubscribed -> capped at 1.0, src1-3 sampled), then
+    the deterministic salted-hash coin. The rates table is a k-row
+    broadcast; the corpus side never shuffles."""
+    from cld2_spark.operators.curation import mixture_sample
+    _register(spark, sf_dir)
+    return mixture_sample(spark.table("documents"),
+                          {"src0": 0.5, "src1": 0.2,
+                           "src2": 0.05, "src3": 0.05},
+                          token_budget=4000)
+
+
+def _q_tfidf_terms(spark, sf_dir):
+    """Per-source characteristic terms by tf-idf (operators/curation):
+    integer-exact ranking (floor(tf*1e6/df), term) so engine float
+    disagreement cannot flip an ordering; top-3 per source."""
+    from cld2_spark.operators.curation import tfidf_top_terms
+    _register(spark, sf_dir)
+    return tfidf_top_terms(spark.table("documents"), k=3)
+
+
 def _q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide paragraph dedup + reassembly (operators/curation):
     every distinct trimmed line survives only at its first (doc_id, pos)
@@ -955,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": _q_rep_stats,
         "paragraph_dedup": _q_paragraph_dedup,
         "seq_pack": _q_seq_pack,
+        "mixture_sample": _q_mixture_sample,
+        "tfidf_terms": _q_tfidf_terms,
         "top_ngrams": _q_top_ngrams,
         "embedding_quantize": _q_embedding_quantize,
         "priority_semijoin": _q_priority_semijoin,
@@ -1283,6 +1308,47 @@ def oracle_sql() -> dict[str, str]:
             f"  WHERE doc_id % 101 = 0) "
             f"SELECT doc_id, COUNT(*) AS n_hits FROM dc_cg "
             f"WHERE gh IN (SELECT gh FROM dc_bg) GROUP BY doc_id"),
+        "mixture_sample": (
+            "WITH mx_t AS (SELECT doc_id, source, "
+            "  CAST(len(string_split(trim(regexp_replace(lower(text), "
+            "  '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok "
+            "  FROM documents), "
+            "mx_tot AS (SELECT source, SUM(n_tok) AS src_tok "
+            "  FROM mx_t GROUP BY source), "
+            "mx_r AS (SELECT source, LEAST(CAST(1.0 AS DOUBLE), "
+            "  CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE) "
+            "  WHEN 'src1' THEN CAST(0.2 AS DOUBLE) "
+            "  WHEN 'src2' THEN CAST(0.05 AS DOUBLE) "
+            "  WHEN 'src3' THEN CAST(0.05 AS DOUBLE) "
+            "  ELSE CAST(0.0 AS DOUBLE) END "
+            "  * CAST(4000.0 AS DOUBLE) / src_tok) AS keep_rate "
+            "  FROM mx_tot) "
+            "SELECT t.doc_id, t.source, t.n_tok, "
+            "ROUND(keep_rate, 6) AS keep_rate "
+            "FROM mx_t t JOIN mx_r r USING (source) "
+            "WHERE ('0x' || substr(md5('cld2s-mix' || "
+            "CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000 "
+            "< FLOOR(keep_rate * 1000000)"),
+        "tfidf_terms": (
+            "WITH tt AS (SELECT doc_id, source, "
+            "  unnest(string_split(trim(regexp_replace(lower(text), "
+            "  '\\s+', ' ', 'g')), ' ')) AS term FROM documents), "
+            "tt2 AS (SELECT * FROM tt WHERE length(term) >= 3), "
+            "tdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df "
+            "  FROM tt2 GROUP BY term), "
+            "ttf AS (SELECT source, term, COUNT(*) AS tf "
+            "  FROM tt2 GROUP BY source, term), "
+            "tn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs "
+            "  FROM documents), "
+            "ts AS (SELECT source, term, tf, df, "
+            "  FLOOR(tf * 1000000 / df) AS rank_key, "
+            "  ROUND(tf * ln(n_docs / df), 4) AS score "
+            "  FROM ttf JOIN tdf USING (term) CROSS JOIN tn), "
+            "tr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
+            "  ORDER BY rank_key DESC, term ASC) AS rk FROM ts) "
+            "SELECT source, term, CAST(tf AS BIGINT) AS tf, "
+            "CAST(df AS BIGINT) AS df, score, CAST(rk AS INTEGER) AS rk "
+            "FROM tr WHERE rk <= 3"),
         "paragraph_dedup": (
             f"{ctes}, pd_ls AS (SELECT doc_id, "
             f"  list_filter(list_transform(string_split_regex(text, '\\.'), "

@@ -239,3 +239,86 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                   (F.col("top.c") * F.col("top.gl")
                    / F.col("n_chars")).alias("top_2gram_char_frac")))
     return ln.join(g2, on=id_col, how="left")
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   token_budget: int,
+                   source_col: str = "source", text_col: str = "text",
+                   id_col: str = "doc_id",
+                   salt: str = "cld2s-mix") -> DataFrame:
+    """Data-mixture assembly: sample each source down so the surviving
+    corpus approximates `token_budget` tokens split across sources by
+    `weights` (each weight = that source's target fraction of the
+    budget; sources not listed are dropped). Per-source keep rate =
+    min(1, weight * budget / source_tokens) — an undersupplied source
+    is capped at 1.0 (its shortfall is NOT redistributed; that keeps
+    the rule a pure per-source function, so membership is stable under
+    corpus growth exactly like stratified_sample).
+
+    Shape at 100 TB: one map-side-combinable agg produces a k-row rates
+    table (k = #sources), broadcast back onto the corpus; the keep
+    decision is the same deterministic salted-hash coin as
+    stratified_sample — the corpus side never shuffles.
+    """
+    tk = _TOK.format(c=text_col)
+    toks = df.select(F.col(source_col),
+                     F.expr(f"size({tk})").cast("bigint").alias("n_tok"),
+                     F.col(id_col), F.col(text_col))
+    totals = toks.groupBy(source_col).agg(F.sum("n_tok").alias("src_tok"))
+    w: Column = F.lit(0.0)
+    for src, wt in sorted(weights.items()):
+        w = F.when(F.col(source_col) == src, F.lit(float(wt))).otherwise(w)
+    rates = totals.select(
+        source_col,
+        F.least(F.lit(1.0),
+                w * F.lit(float(token_budget)) / F.col("src_tok"))
+        .alias("keep_rate"))
+    coin = F.expr(sample_hash(id_col, salt)).cast("bigint")
+    return (toks.join(F.broadcast(rates), on=source_col, how="inner")
+            .where(coin < (F.col("keep_rate") * 1_000_000)
+                   .cast("bigint"))
+            .select(id_col, source_col, "n_tok",
+                    F.round("keep_rate", 6).alias("keep_rate")))
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 5,
+                    group_col: str = "source", text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-analysis: the k most characteristic terms per group by
+    tf-idf — tf = term occurrences within the group, idf = ln(N/df)
+    over document frequency corpus-wide. Ranking is integer-exact
+    (tf * 10^6 // df, then term) so it cannot flip on a last-ulp float
+    disagreement between engines; the displayed score is the usual
+    tf*ln(N/df), rounded.
+
+    Shape: one explode -> two partial-agg shuffles (corpus df keyed by
+    term, group tf keyed by (group, term)) -> broadcast of the tiny df
+    side is NOT safe at 100 TB (term vocabulary is unbounded), so the
+    tf/df join shuffles on term — both sides are already (term, counts)
+    aggregates, orders of magnitude smaller than the corpus.
+    """
+    tk = _TOK.format(c=text_col)
+    tok = (df.select(id_col, group_col,
+                     F.explode(F.expr(tk)).alias("term"))
+           .where(F.length("term") >= 3))
+    dfreq = (tok.groupBy("term")
+             .agg(F.count_distinct(id_col).alias("df")))
+    tf = (tok.groupBy(group_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    total = df.agg(F.count_distinct(id_col).alias("n_docs"))
+    scored = (tf.join(dfreq, on="term", how="inner")
+              .crossJoin(F.broadcast(total))
+              .select(group_col, "term", "tf", "df",
+                      F.floor(F.col("tf") * 1_000_000 / F.col("df"))
+                      .alias("rank_key"),
+                      F.round(F.col("tf")
+                              * F.log(F.col("n_docs") / F.col("df")), 4)
+                      .alias("score")))
+    from pyspark.sql import Window
+    win = (Window.partitionBy(group_col)
+           .orderBy(F.desc("rank_key"), F.asc("term")))
+    return (scored.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= k)
+            .select(group_col, "term", F.col("tf").cast("bigint").alias("tf"),
+                    F.col("df").cast("bigint").alias("df"),
+                    "score", F.col("rk").cast("int").alias("rk")))

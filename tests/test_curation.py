@@ -180,3 +180,52 @@ def test_pack_sequences_budget_respected_sf(spark):
     grp = out.groupby(["block", "seq"])["n_tok"]
     assert (out["tok_offset"].to_numpy()
             == (grp.cumsum() - out["n_tok"]).to_numpy()).all()
+
+
+def test_mixture_sample_rates_and_membership(spark):
+    from cld2_spark.operators.curation import mixture_sample
+    # source a: 10 docs x 10 tok; source b: 10 x 10; source c unlisted
+    rows = []
+    for i in range(30):
+        src = "abc"[i % 3]
+        rows.append((i, src, " ".join(["w"] * 10)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    # budget 1000, weights a=0.05 (rate 0.5), b=2.0 (rate capped 1.0)
+    got = (mixture_sample(spark.createDataFrame(pdf),
+                          {"a": 0.05, "b": 2.0}, token_budget=1000,
+                          salt="m1")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    assert set(got["source"]) <= {"a", "b"}          # c dropped entirely
+    assert (got[got.source == "b"].keep_rate == 1.0).all()
+    assert got[got.source == "b"].shape[0] == 10      # capped: all kept
+    assert (got[got.source == "a"].keep_rate == 0.5).all()
+    a_ids = [i for i in range(0, 30, 3) if _coin("m1", i) < 500_000]
+    assert got[got.source == "a"]["doc_id"].tolist() == a_ids
+    assert (got["n_tok"] == 10).all()
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from cld2_spark.operators.curation import tfidf_top_terms
+    pdf = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "source": ["g1", "g1", "g2", "g2"],
+        "text": [
+            "apple apple apple common",   # g1: apple tf3 df1
+            "banana common common",       # g1: banana tf1
+            "common cherry cherry",       # g2: cherry tf2 df1
+            "common dd ee",               # len<3 terms dropped
+        ],
+    })
+    got = (tfidf_top_terms(spark.createDataFrame(pdf), k=2)
+           .toPandas().sort_values(["source", "rk"]).reset_index(drop=True))
+    g1 = got[got.source == "g1"]
+    # rank_key: apple 3e6/1, common 3e6/4=750000, banana 1e6/1
+    assert g1["term"].tolist() == ["apple", "banana"]
+    assert g1["tf"].tolist() == [3, 1] and g1["df"].tolist() == [1, 1]
+    g2 = got[got.source == "g2"]
+    assert g2["term"].tolist() == ["cherry", "common"]
+    # df is corpus-wide: 'common' appears in all 4 docs
+    assert g2["df"].tolist() == [1, 4]
+    # score = tf * ln(n_docs/df); common has ln(4/4)=0
+    assert g2["score"].tolist()[1] == 0.0
+    assert "dd" not in set(got["term"]) and "ee" not in set(got["term"])
