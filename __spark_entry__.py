@@ -567,6 +567,17 @@ def _q_embedding_quantize(spark, sf_dir):
         F.expr("array_max(transform(codes, c -> abs(c)))").alias("code_max"))
 
 
+def _q_kmeans(spark, sf_dir):
+    """Deterministic k-means corpus clustering (SemDeDup prelude):
+    int8-quantized codes, hash-sampled init cells, 2 Lloyd iterations
+    with exact-integer centroid sums so the whole refinement is
+    engine-exact. Oracle: the same two iterations unrolled in DuckDB
+    SQL. Output = per-vector final (cluster, squared distance)."""
+    from cld2_spark.operators.similarity import kmeans_assign
+    _register(spark, sf_dir)
+    return kmeans_assign(spark.table("embeddings"), iters=2, cent_mod=61)
+
+
 def _q_top_ngrams(spark, sf_dir):
     """Corpus heavy hitters: top-25 word bigrams by document frequency
     (each doc counts a gram once -- the dedup-relevant notion). Exact
@@ -982,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "top_ngrams": _q_top_ngrams,
         "embedding_quantize": _q_embedding_quantize,
+        "kmeans_clusters": _q_kmeans,
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -1064,6 +1076,62 @@ def _duck_dot(a: str, b: str) -> str:
 def _duck_norm(a: str) -> str:
     return (f"sqrt(list_sum(list_transform({a}, "
             f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+
+
+def _kmeans_duck_sql(iters: int = 2, cent_mod: int = 61) -> str:
+    """DuckDB replay of operators.similarity.kmeans_assign: int8 codes,
+    hash-sampled init, `iters` Lloyd rounds unrolled as CTE pairs
+    (assign -> integer-sum centroid update). Every arithmetic step is
+    the exact analogue of the Spark expression (see kmeans_assign's
+    docstring for why this is engine-exact)."""
+    def dist(cent: str) -> str:
+        d = "(CAST(v.codes[i] AS DOUBLE) - c.s[i] / c.n)"
+        return (f"SELECT v.vec_id, v.codes, c.cell, "
+                f"list_sum(list_transform(generate_series(1, "
+                f"len(v.codes)), i -> {d} * {d})) AS dist "
+                f"FROM km_c v CROSS JOIN {cent} c")
+
+    def argmin(d: str) -> str:
+        return (f"SELECT vec_id, codes, cell, dist FROM ("
+                f"SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+                f"ORDER BY dist ASC, cell ASC) AS rn FROM {d}) "
+                f"WHERE rn = 1")
+
+    ctes = [
+        ("km_q", "SELECT vec_id, list_max(list_transform(embedding, "
+                 "x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale, "
+                 "embedding FROM embeddings"),
+        ("km_c", "SELECT vec_id, CASE WHEN scale = 0 THEN "
+                 "list_transform(embedding, x -> 0) ELSE "
+                 "list_transform(embedding, x -> CAST(round("
+                 "CAST(x AS DOUBLE) / scale) AS INTEGER)) END AS codes "
+                 "FROM km_q"),
+        ("km_cent0", "SELECT vec_id AS cell, list_transform(codes, "
+                     "x -> CAST(x AS BIGINT)) AS s, "
+                     "CAST(1 AS BIGINT) AS n FROM km_c WHERE "
+                     "('0x' || substr(md5(CAST(vec_id AS VARCHAR)), "
+                     f"1, 15))::BIGINT % {cent_mod} = 0"),
+        ("km_a1", argmin(f"({dist('km_cent0')})")),
+    ]
+    for it in range(2, iters + 1):
+        p = it - 1
+        ctes += [
+            (f"km_s{p}",
+             f"SELECT cell, pos, CAST(SUM(x) AS BIGINT) AS sx FROM ("
+             f"SELECT cell, unnest(generate_series(1, len(codes))) "
+             f"AS pos, unnest(codes) AS x FROM km_a{p}) "
+             f"GROUP BY cell, pos"),
+            (f"km_cent{p}",
+             f"SELECT t.cell, list(sx ORDER BY pos) AS s, cn.n "
+             f"FROM km_s{p} t JOIN (SELECT cell, "
+             f"CAST(COUNT(*) AS BIGINT) AS n FROM km_a{p} "
+             f"GROUP BY cell) cn ON t.cell = cn.cell "
+             f"GROUP BY t.cell, cn.n"),
+            (f"km_a{it}", argmin(f"({dist(f'km_cent{p}')})")),
+        ]
+    body = ", ".join(f"{name} AS ({sql})" for name, sql in ctes)
+    return (f"WITH {body} SELECT vec_id, cell AS cluster, "
+            f"ROUND(dist, 4) AS dist FROM km_a{iters}")
 
 
 def _dedup_embedding_duck_ctes() -> str:
@@ -1265,6 +1333,7 @@ def oracle_sql() -> dict[str, str]:
             "  embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) / scale) "
             "  AS INT)))) END AS INT) AS code_max "
             "FROM q"),
+        "kmeans_clusters": _kmeans_duck_sql(iters=2, cent_mod=61),
         "top_ngrams": (
             "WITH toks AS (SELECT doc_id, string_split(trim("
             "  regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk"

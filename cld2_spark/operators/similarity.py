@@ -272,3 +272,71 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                 f"CASE WHEN scale = 0D THEN transform({vec_col}, x -> 0) "
                 f"ELSE transform({vec_col}, "
                 f"x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) END")))
+
+
+def kmeans_assign(df: DataFrame, iters: int = 2, cent_mod: int = 61,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd k-means over int8-quantized codes — the
+    SemDeDup-style corpus-clustering step (cluster, then dedup/select
+    within clusters). Engineered so EVERY step is engine-exact and
+    therefore fully oracle-checkable, with no float-aggregation hazard:
+
+    - vectors are first int8-quantized (quantize_embeddings), so all
+      coordinates are small exact integers;
+    - initial centroids are the deterministic id-hash sample
+      (hash % cent_mod == 0), like IVF — no RNG, stable under appends;
+    - a centroid is carried as (per-dim INTEGER sum vector, count):
+      integer addition is associative+commutative, so the distributed
+      aggregation is order-independent and bit-equal to any single-node
+      replay — the mean s_i/n is then one IEEE division on identical
+      inputs in any engine;
+    - assignment = argmin over sum_i (code_i - s_i/n)^2, computed
+      sequentially per row (the proven _dot/_norm lambda idiom), ties
+      broken by centroid id via min(struct).
+
+    Cells that attract no vectors simply drop out (k shrinks). Shape at
+    100 TB per iteration: one broadcast of the k-row centroid table, one
+    map-side-combinable explode-agg shuffle keyed by (cell, dim) — the
+    corpus never shuffles on its own key.
+
+    Returns (id, cluster, dist) after `iters` refinement rounds, where
+    dist is the exact squared distance to the final assigned centroid.
+    """
+    h = hash_id_expr(id_col, "spark")
+    codes = (quantize_embeddings(df, vec_col=vec_col, id_col=id_col)
+             .select(id_col, "codes"))
+    cents = (codes.where(F.expr(f"{h} % {cent_mod} = 0"))
+             .select(F.col(id_col).alias("cell"),
+                     F.expr("transform(codes, x -> CAST(x AS BIGINT))")
+                     .alias("s"),
+                     F.lit(1).cast("bigint").alias("n")))
+    dist = ("aggregate(sequence(1, size(codes)), 0D, (acc, i) -> acc + "
+            "(CAST(element_at(codes, i) AS DOUBLE) "
+            " - element_at(s, i) / n) * "
+            "(CAST(element_at(codes, i) AS DOUBLE) "
+            " - element_at(s, i) / n))")
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        j = (codes.crossJoin(F.broadcast(cent_df))
+             .withColumn("dist", F.expr(dist)))
+        return (j.groupBy(id_col)
+                .agg(F.min(F.struct("dist", "cell")).alias("m"),
+                     F.first("codes").alias("codes"))
+                .select(id_col, "codes", F.col("m.cell").alias("cell"),
+                        F.col("m.dist").alias("dist")))
+
+    a = assign(cents)
+    for _ in range(iters - 1):
+        sums = (a.select("cell", F.posexplode("codes").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("sx")))
+        cents = (sums.groupBy("cell")
+                 .agg(F.expr("transform(array_sort(collect_list("
+                             "struct(pos, sx))), t -> t.sx)").alias("s"))
+                 .join(a.groupBy("cell")
+                       .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+                       on="cell"))
+        a = assign(cents)
+    return a.select(id_col, F.col("cell").alias("cluster"),
+                    F.round("dist", 4).alias("dist"))

@@ -601,3 +601,27 @@ def test_quantize_embeddings_plan_pure(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     stats = plan_stats(quantize_embeddings(df))
     assert stats["exchanges"] == 0 and stats["python_stages"] == 0
+
+
+def test_kmeans_assign_refines_and_is_deterministic(spark):
+    from cld2_spark.operators.similarity import kmeans_assign
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    one = kmeans_assign(df, iters=1, cent_mod=61).toPandas()
+    two = kmeans_assign(df, iters=2, cent_mod=61).toPandas()
+    assert len(one) == len(two) == 500
+    # Lloyd iteration never increases total distortion
+    assert two["dist"].sum() <= one["dist"].sum() + 1e-6
+    # assignments are a pure function of the data: repartitioning the
+    # input must reproduce the exact same (cluster, dist) per vector
+    again = kmeans_assign(df.repartition(13), iters=2,
+                          cent_mod=61).toPandas()
+    a = two.sort_values("vec_id").reset_index(drop=True)
+    b = again.sort_values("vec_id").reset_index(drop=True)
+    assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+    assert (a["dist"].to_numpy() == b["dist"].to_numpy()).all()
+    # every cluster id is one of the hash-sampled seed cells
+    import hashlib
+    seeds = {i for i in two["vec_id"]
+             if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+             % 61 == 0}
+    assert set(two["cluster"]) <= seeds and len(seeds) > 1
