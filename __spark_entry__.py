@@ -412,6 +412,18 @@ def _q_dedup_embedding(spark, sf_dir):
                                n_planes=8, n_tables=2, dim=64)
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup: kmeans-cluster the corpus (engine-exact int8 Lloyd),
+    then exact-cosine near-dup pairs ONLY within a cluster — candidate
+    cost bounded by cluster size, the published recipe for embedding
+    dedup at 10^10 vectors. Run on dup_embs (planted perturbed copies)
+    so the pair set is non-trivial and the planted dups must be found."""
+    from cld2_spark.operators.similarity import semdedup_pairs
+    _register(spark, sf_dir)
+    return semdedup_pairs(spark.table("dup_embs"), threshold=0.98,
+                          iters=2, cent_mod=61, cluster_cap=2000)
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF approximate cosine top-k (scale path #2: hash-sampled centroid
     cells + n_probe nearest-cell search + exact rerank)."""
@@ -994,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": _q_top_ngrams,
         "embedding_quantize": _q_embedding_quantize,
         "kmeans_clusters": _q_kmeans,
+        "semdedup": _q_semdedup,
         "priority_semijoin": _q_priority_semijoin,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -1132,6 +1145,33 @@ def _kmeans_duck_sql(iters: int = 2, cent_mod: int = 61) -> str:
     body = ", ".join(f"{name} AS ({sql})" for name, sql in ctes)
     return (f"WITH {body} SELECT vec_id, cell AS cluster, "
             f"ROUND(dist, 4) AS dist FROM km_a{iters}")
+
+
+def _semdedup_duck_sql(threshold: float, iters: int = 2,
+                       cent_mod: int = 61, cluster_cap: int = 2000) -> str:
+    """DuckDB replay of operators.similarity.semdedup_pairs: the kmeans
+    CTE chain over dup_embs, then intra-cluster exact-cosine pairs."""
+    km = _kmeans_duck_sql(iters, cent_mod)
+    # graft onto dup_embs (defined in _duck_ctes) and keep composing
+    # CTEs after the kmeans chain
+    km_body = (km[: km.rindex(" SELECT vec_id, cell AS cluster,")]
+               .replace("FROM embeddings", "FROM dup_embs")
+               .removeprefix("WITH "))
+    dot = _duck_dot("x.embedding", "y.embedding")
+    nx, ny = _duck_norm("x.embedding"), _duck_norm("y.embedding")
+    return (
+        f"{_duck_ctes()}, {km_body}, "
+        f"sd_ok AS (SELECT cell FROM km_a{iters} GROUP BY cell "
+        f"  HAVING COUNT(*) <= {cluster_cap}), "
+        f"sd_e AS (SELECT a.vec_id, a.cell, e.embedding "
+        f"  FROM km_a{iters} a JOIN dup_embs e USING (vec_id) "
+        f"  JOIN sd_ok USING (cell)), "
+        f"sd_p AS (SELECT x.vec_id AS a, y.vec_id AS b, "
+        f"  {dot} / ({nx} * {ny}) AS sim "
+        f"  FROM sd_e x JOIN sd_e y "
+        f"  ON x.cell = y.cell AND x.vec_id < y.vec_id) "
+        f"SELECT a, b, ROUND(sim, 4) AS sim FROM sd_p "
+        f"WHERE sim >= {threshold}")
 
 
 def _dedup_embedding_duck_ctes() -> str:
@@ -1334,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
             "  AS INT)))) END AS INT) AS code_max "
             "FROM q"),
         "kmeans_clusters": _kmeans_duck_sql(iters=2, cent_mod=61),
+        "semdedup": _semdedup_duck_sql(0.98, iters=2, cent_mod=61, cluster_cap=2000),
         "top_ngrams": (
             "WITH toks AS (SELECT doc_id, string_split(trim("
             "  regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk"

@@ -340,3 +340,43 @@ def kmeans_assign(df: DataFrame, iters: int = 2, cent_mod: int = 61,
         a = assign(cents)
     return a.select(id_col, F.col("cell").alias("cluster"),
                     F.round("dist", 4).alias("dist"))
+
+
+def semdedup_pairs(df: DataFrame, threshold: float = 0.98,
+                   iters: int = 2, cent_mod: int = 61,
+                   cluster_cap: int = 2000,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-dup pairs found by
+    clustering the corpus (kmeans_assign, engine-exact) and comparing
+    exact cosine ONLY within a cluster — the candidate set is bounded by
+    cluster size instead of the corpus, which is what makes embedding
+    dedup tractable at 10^10 vectors.
+
+    `cluster_cap` skips clusters larger than the cap outright (a giant
+    cluster means cent_mod is mis-sized for the corpus — re-size k
+    rather than paying its quadratic join; the skip is deterministic and
+    auditable). At 100 TB: size cent_mod so expected cluster size is
+    1-10K, making each intra-cluster join a bounded local quadratic
+    keyed by one shuffle on the cluster id.
+
+    Returns (a, b, sim) with a < b and sim >= threshold.
+    """
+    a = kmeans_assign(df, iters=iters, cent_mod=cent_mod,
+                      id_col=id_col, vec_col=vec_col)
+    ok = (a.groupBy("cluster")
+          .agg(F.count(F.lit(1)).alias("cn"))
+          .where(F.col("cn") <= cluster_cap)
+          .select("cluster"))
+    e = (a.join(ok, on="cluster")
+         .join(df.select(id_col, vec_col), on=id_col)
+         .select("cluster", F.col(id_col).alias("id"),
+                 F.col(vec_col).alias("v")))
+    x = e.select("cluster", F.col("id").alias("a"), F.col("v").alias("va"))
+    y = e.select("cluster", F.col("id").alias("b"), F.col("v").alias("vb"))
+    sim = F.expr(_dot("va", "vb")) / (F.expr(_norm("va")) * F.expr(_norm("vb")))
+    return (x.join(y, on="cluster")
+            .where(F.col("a") < F.col("b"))
+            .withColumn("sim", sim)
+            .where(F.col("sim") >= threshold)
+            .select("a", "b", F.round("sim", 4).alias("sim")))

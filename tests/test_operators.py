@@ -625,3 +625,19 @@ def test_kmeans_assign_refines_and_is_deterministic(spark):
              if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
              % 61 == 0}
     assert set(two["cluster"]) <= seeds and len(seeds) > 1
+
+
+def test_semdedup_recovers_planted_near_dups(spark):
+    """SemDeDup on dup_embs must recover nearly all planted clone pairs
+    (vec_id, vec_id+1000000): a near-identical vector co-clusters with
+    its original almost surely, so only genuine cluster-boundary cases
+    may be missed."""
+    from __spark_entry__ import _q_semdedup
+    out = _q_semdedup(spark, "/root/testdata/sf0.01").toPandas()
+    assert (out["sim"] >= 0.98).all()
+    planted = out[(out["b"] - out["a"]) == 1_000_000]
+    n_planted_found = planted.shape[0]
+    assert n_planted_found >= 90  # 100 planted at sf0.01
+    # pairs are canonical (a < b) and unique
+    assert (out["a"] < out["b"]).all()
+    assert not out.duplicated(["a", "b"]).any()
