@@ -656,6 +656,27 @@ def _q_decontam(spark, sf_dir):
     return contaminated_ids(docs, bench, n=8)
 
 
+def _q_funnel(spark, sf_dir):
+    """Ordered 3-step funnel view->click->purchase (operators/funnel):
+    greedy-earliest strictly-increasing chain per user; one filtered
+    partial agg per step keyed by user, no windows, no per-user
+    buffering. Times are epoch microseconds (engine-exact ints)."""
+    from cld2_spark.operators.funnel import funnel_steps
+    _register(spark, sf_dir)
+    return funnel_steps(spark.table("events"),
+                        ["view", "click", "purchase"])
+
+
+def _q_quality_rank_filter(spark, sf_dir):
+    """Adaptive per-source quality floor (operators/textstats): drop the
+    bottom 25% of each source by lexical diversity via percent_rank —
+    rank-based so the filter is engine-exact (no percentile
+    interpolation boundary)."""
+    from cld2_spark.operators.textstats import quality_rank_filter
+    _register(spark, sf_dir)
+    return quality_rank_filter(spark.table("documents"), pct=0.25)
+
+
 def _q_mixture_sample(spark, sf_dir):
     """Data-mixture assembly (operators/curation): per-source keep rates
     derived from target mixture weights + a global token budget (4000
@@ -1002,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "seq_pack": _q_seq_pack,
         "mixture_sample": _q_mixture_sample,
+        "funnel": _q_funnel,
+        "quality_rank_filter": _q_quality_rank_filter,
         "tfidf_terms": _q_tfidf_terms,
         "top_ngrams": _q_top_ngrams,
         "embedding_quantize": _q_embedding_quantize,
@@ -1261,6 +1284,7 @@ def oracle_sql() -> dict[str, str]:
     from cld2_spark.kernels.html import strip_html_sql
     from cld2_spark.kernels.quality import low_quality_sql, too_short_sql
     from cld2_spark.kernels.scrub import scrub_sql, toxicity_sql
+    from cld2_spark.operators.funnel import funnel_steps_duck_sql
     from cld2_spark.operators.dedup import MERSENNE31 as _MERSENNE31
 
     ctes = _duck_ctes()
@@ -1418,6 +1442,17 @@ def oracle_sql() -> dict[str, str]:
             f"  WHERE doc_id % 101 = 0) "
             f"SELECT doc_id, COUNT(*) AS n_hits FROM dc_cg "
             f"WHERE gh IN (SELECT gh FROM dc_bg) GROUP BY doc_id"),
+        "funnel": funnel_steps_duck_sql(["view", "click", "purchase"]),
+        "quality_rank_filter": (
+            "WITH qr AS (SELECT doc_id, source, "
+            "  len(list_distinct(string_split(trim(regexp_replace("
+            "  lower(text), '\\s+', ' ', 'g')), ' '))) * 1.0 "
+            "  / len(string_split(trim(regexp_replace(lower(text), "
+            "  '\\s+', ' ', 'g')), ' ')) AS score FROM documents), "
+            "qp AS (SELECT doc_id, source, score, PERCENT_RANK() OVER ("
+            "  PARTITION BY source ORDER BY score) AS pr FROM qr) "
+            "SELECT doc_id, source, ROUND(score, 6) AS score, "
+            "ROUND(pr, 6) AS pr FROM qp WHERE pr >= 0.25"),
         "mixture_sample": (
             "WITH mx_t AS (SELECT doc_id, source, "
             "  CAST(len(string_split(trim(regexp_replace(lower(text), "

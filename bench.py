@@ -173,7 +173,11 @@ def main() -> None:
                      # round 4: streaming replay, media header decode,
                      # word-gram jaccard dedup, sessionization
                      "events_stream", "media_meta",
-                     "dedup_jaccard", "event_sessions", "event_asof"]:
+                     "dedup_jaccard", "event_sessions", "event_asof",
+                     # round 5: paragraph dedup + doc reassembly,
+                     # kmeans+SemDeDup, sequence packing, decontamination
+                     "paragraph_dedup", "semdedup", "seq_pack",
+                     "decontam"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()

@@ -55,3 +55,34 @@ def with_split(df: DataFrame, id_col: str = "doc_id",
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test"))
+
+
+def quality_rank_filter(df: DataFrame, pct: float = 0.25,
+                        group_col: str = "source",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Adaptive per-group quality floor: drop each group's bottom `pct`
+    by lexical-diversity score (distinct tokens / tokens — the cheapest
+    repetition-robust quality proxy), keeping docs with
+    percent_rank >= pct within their group.
+
+    Rank-based on purpose: the score is a ratio of small exact integers
+    and percent_rank is (rank-1)/(n-1) on those, so the whole filter is
+    engine-exact — no percentile-interpolation float boundary to flip a
+    doc between engines. This exact path costs one sort per group (the
+    group key bounds the shuffle); at 100 TB with billion-row groups,
+    swap the cutoff computation for operators.quantiles.grouped_quantiles
+    (exact=False, mergeable GK sketch) and broadcast the per-group
+    cutoffs instead — same API shape, documented trade in BENCH/BASELINE.md.
+    """
+    from pyspark.sql import Window
+
+    tk = ("split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')), ' ')"
+          .format(c=text_col))
+    score = F.expr(f"size(array_distinct({tk})) / size({tk})")
+    w = Window.partitionBy(group_col).orderBy("score")
+    return (df.select(id_col, group_col, score.alias("score"))
+            .withColumn("pr", F.percent_rank().over(w))
+            .where(F.col("pr") >= pct)
+            .select(id_col, group_col, F.round("score", 6).alias("score"),
+                    F.round("pr", 6).alias("pr")))

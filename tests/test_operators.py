@@ -641,3 +641,43 @@ def test_semdedup_recovers_planted_near_dups(spark):
     # pairs are canonical (a < b) and unique
     assert (out["a"] < out["b"]).all()
     assert not out.duplicated(["a", "b"]).any()
+
+
+def test_funnel_greedy_earliest_chain(spark):
+    from cld2_spark.operators.funnel import funnel_steps
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1 completes a->b->c but only via the LATER 'a' not at all —
+    # greedy earliest a still admits b,c after it
+    for u, typ, sec in [
+        (1, "a", 0), (1, "b", 10), (1, "c", 20),
+        # user 2: b before a, never after -> incomplete
+        (2, "b", 0), (2, "a", 10), (2, "c", 20),   # a->c but no b after a
+        # user 3: simultaneous a,b (strictness: b NOT after a) -> out
+        (3, "a", 0), (3, "b", 0), (3, "c", 5),
+        # user 4: full chain with decoys
+        (4, "b", 0), (4, "a", 1), (4, "b", 2), (4, "c", 3), (4, "a", 9),
+    ]:
+        rows.append((u, typ, t0 + dt.timedelta(seconds=sec)))
+    df = spark.createDataFrame(rows, "user_id: long, event_type: string, ts: timestamp")
+    out = (funnel_steps(df, ["a", "b", "c"]).toPandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 4]
+    u4 = out[out.user_id == 4].iloc[0]
+    assert (u4.t2 - u4.t1, u4.t3 - u4.t1) == (1_000_000, 2_000_000)
+    assert u4.convert_sec == 2.0
+
+
+def test_quality_rank_filter_drops_bottom_quartile(spark):
+    from cld2_spark.operators.textstats import quality_rank_filter
+    # 8 docs in one source with strictly increasing diversity
+    rows = []
+    for i in range(8):
+        toks = ["w%d" % j for j in range(i + 1)] + ["x"] * (7 - i)
+        rows.append((i, "s", " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id: long, source: string, text: string")
+    out = quality_rank_filter(df, pct=0.25).toPandas()
+    # percent_rank of doc i = i/7; keep i/7 >= 0.25 -> docs 2..7
+    assert sorted(out["doc_id"]) == [2, 3, 4, 5, 6, 7]
+    assert (out["pr"] >= 0.25).all()
