@@ -677,6 +677,88 @@ def _q_quality_rank_filter(spark, sf_dir):
     return quality_rank_filter(spark.table("documents"), pct=0.25)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring detection (operators/dedup): every
+    16-token window hashed, one count aggregate finds windows shared by
+    >= 2 docs — the distributed form of Lee et al.'s exact-substring
+    dedup (suffix-array-free; one (hash, id) row per corpus token, all
+    aggregates map-side combinable, no candidate join)."""
+    from cld2_spark.operators.dedup import duplicated_spans
+    _register(spark, sf_dir)
+    return duplicated_spans(spark.table("dup_docs"), w=16)
+
+
+def _q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global shuffle + sharding for training order
+    (operators/curation): (shard, pos) from md5(salt:id) — the terasort
+    shape, one hash exchange + per-shard sort, no global ordering."""
+    from cld2_spark.operators.curation import corpus_shuffle
+    _register(spark, sf_dir)
+    return corpus_shuffle(spark.table("documents"), n_shards=8)
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention (operators/cohorts): first-event-week
+    cohorts x week offset -> distinct active users; integer epoch-week
+    arithmetic so the DuckDB oracle is bit-exact."""
+    from cld2_spark.operators.cohorts import retention_cohorts
+    _register(spark, sf_dir)
+    return retention_cohorts(spark.table("events"))
+
+
+def _q_order_distribution(spark, sf_dir):
+    """Customer-order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join customer<-filtered orders, per-customer count, then the
+    distribution of counts. Exercises the outer join + double
+    aggregation; all-integer output."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders").where("o_orderpriority NOT LIKE '1%'")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def _q_big_orders(spark, sf_dir):
+    """Large-volume orders (TPC-H Q18 shape): HAVING-filtered per-order
+    quantity sum (exact: l_quantity is integral, summed as BIGINT), then
+    joins back to orders + broadcast customer."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    li, o, c = (spark.table("lineitem"), spark.table("orders"),
+                spark.table("customer"))
+    qty = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+           .where(F.col("total_qty") > 300))
+    return (qty.join(o, qty.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_custkey", "o_orderkey", "total_qty",
+                    F.round("o_totalprice", 2).alias("o_totalprice")))
+
+
+def _q_cheapest_supplier(spark, sf_dir):
+    """Min-per-group + join-back (TPC-H Q2 shape) via the one-shuffle
+    argmin aggregate min(struct(acctbal, suppkey)) instead of a window
+    sort — the scale-correct form of a correlated MIN subquery (no
+    per-group sort; partial aggregation does the work map-side)."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    li, s = spark.table("lineitem"), spark.table("supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    j = pairs.join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
+    agg = (j.groupBy("l_partkey")
+           .agg(F.min(F.struct("s_acctbal", "s_suppkey")).alias("m")))
+    out = agg.select(F.col("l_partkey").alias("p_partkey"),
+                     F.col("m.s_suppkey").alias("s_suppkey"),
+                     F.round(F.col("m.s_acctbal"), 2).alias("s_acctbal"))
+    return (out.join(F.broadcast(s.select("s_suppkey", "s_name")),
+                     "s_suppkey")
+            .select("p_partkey", "s_suppkey", "s_name", "s_acctbal"))
+
+
 def _q_mixture_sample(spark, sf_dir):
     """Data-mixture assembly (operators/curation): per-source keep rates
     derived from target mixture weights + a global token budget (4000
@@ -1025,6 +1107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "funnel": _q_funnel,
         "quality_rank_filter": _q_quality_rank_filter,
+        "dup_spans": _q_dup_spans,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "retention_cohorts": _q_retention_cohorts,
+        "order_distribution": _q_order_distribution,
+        "big_orders": _q_big_orders,
+        "cheapest_supplier": _q_cheapest_supplier,
         "tfidf_terms": _q_tfidf_terms,
         "top_ngrams": _q_top_ngrams,
         "embedding_quantize": _q_embedding_quantize,
@@ -1284,6 +1372,9 @@ def oracle_sql() -> dict[str, str]:
     from cld2_spark.kernels.html import strip_html_sql
     from cld2_spark.kernels.quality import low_quality_sql, too_short_sql
     from cld2_spark.kernels.scrub import scrub_sql, toxicity_sql
+    from cld2_spark.operators.cohorts import retention_cohorts_duck_sql
+    from cld2_spark.operators.curation import corpus_shuffle_duck_sql
+    from cld2_spark.operators.dedup import duplicated_spans_duck_sql
     from cld2_spark.operators.funnel import funnel_steps_duck_sql
     from cld2_spark.operators.dedup import MERSENNE31 as _MERSENNE31
 
@@ -1443,6 +1534,36 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, COUNT(*) AS n_hits FROM dc_cg "
             f"WHERE gh IN (SELECT gh FROM dc_bg) GROUP BY doc_id"),
         "funnel": funnel_steps_duck_sql(["view", "click", "purchase"]),
+        "dup_spans": f"{ctes}, {duplicated_spans_duck_sql(16, 'dup_docs')}",
+        "corpus_shuffle": corpus_shuffle_duck_sql("documents", n_shards=8),
+        "retention_cohorts": retention_cohorts_duck_sql("events"),
+        "order_distribution": (
+            "WITH od_pc AS (SELECT c.c_custkey, "
+            "  COUNT(o.o_orderkey) AS c_count "
+            "  FROM customer c LEFT JOIN orders o "
+            "  ON c.c_custkey = o.o_custkey "
+            "  AND o.o_orderpriority NOT LIKE '1%' "
+            "  GROUP BY c.c_custkey) "
+            "SELECT c_count, COUNT(*) AS custdist FROM od_pc "
+            "GROUP BY c_count"),
+        "big_orders": (
+            "WITH bo_q AS (SELECT l_orderkey, "
+            "  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
+            "  FROM lineitem GROUP BY l_orderkey "
+            "  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300) "
+            "SELECT c.c_custkey, o.o_orderkey, q.total_qty, "
+            "ROUND(o.o_totalprice, 2) AS o_totalprice "
+            "FROM bo_q q JOIN orders o ON q.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey"),
+        "cheapest_supplier": (
+            "WITH cs_p AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "  FROM lineitem), "
+            "cs_j AS (SELECT l_partkey, s_suppkey, s_name, s_acctbal, "
+            "  ROW_NUMBER() OVER (PARTITION BY l_partkey "
+            "    ORDER BY s_acctbal, s_suppkey) AS rn "
+            "  FROM cs_p JOIN supplier ON l_suppkey = s_suppkey) "
+            "SELECT l_partkey AS p_partkey, s_suppkey, s_name, "
+            "ROUND(s_acctbal, 2) AS s_acctbal FROM cs_j WHERE rn = 1"),
         "quality_rank_filter": (
             "WITH qr AS (SELECT doc_id, source, "
             "  len(list_distinct(string_split(trim(regexp_replace("

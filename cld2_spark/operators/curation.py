@@ -322,3 +322,57 @@ def tfidf_top_terms(df: DataFrame, k: int = 5,
             .select(group_col, "term", F.col("tf").cast("bigint").alias("tf"),
                     F.col("df").cast("bigint").alias("df"),
                     "score", F.col("rk").cast("int").alias("rk")))
+
+
+def _hex_byte_expr(key: str, dialect: str) -> str:
+    """0..255 from the first two hex chars of `key`, expressible
+    identically in Spark SQL and DuckDB (both have 1-based position())."""
+    digits = "'0123456789abcdef'"
+    c1 = f"substr({key}, 1, 1)"
+    c2 = f"substr({key}, 2, 1)"
+    if dialect == "spark":
+        pos = "position({c} IN " + digits + ")"
+    else:
+        pos = "strpos(" + digits + ", {c})"
+    return (f"(({pos.format(c=c1)}) - 1) * 16 + ({pos.format(c=c2)}) - 1")
+
+
+def corpus_shuffle(df: DataFrame, id_col: str = "doc_id",
+                   n_shards: int = 8, salt: str = "seed42") -> DataFrame:
+    """Deterministic global shuffle + sharding for training-order
+    assignment: every document gets a (shard, pos) such that reading the
+    shards in pos order is a uniform random permutation of the corpus,
+    reproducible from (salt, id) alone.
+
+    The permutation key is md5(salt:id); the shard is a uniform bucket of
+    the key's first byte, and pos is the rank of the key within its
+    shard. Scale shape: this is exactly the terasort pattern -- one hash
+    exchange on the shard id and one in-partition sort per shard; no
+    global single-partition ordering anywhere, so 10^11 documents sort in
+    parallel across the cluster. Re-running on a grown corpus preserves
+    relative order of surviving documents within a shard (the key is a
+    pure function of the id), which keeps resumable training-data
+    snapshots diffable.
+    """
+    from pyspark.sql import Window
+
+    key = f"md5(concat('{salt}:', CAST({id_col} AS STRING)))"
+    shard = f"CAST(({_hex_byte_expr(key, 'spark')}) % {n_shards} AS INT)"
+    w = Window.partitionBy("shard").orderBy("skey")
+    return (df.select(id_col, F.expr(key).alias("skey"),
+                      F.expr(shard).alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("bigint"))
+            .select(id_col, "shard", "pos"))
+
+
+def corpus_shuffle_duck_sql(table: str = "documents",
+                            id_col: str = "doc_id", n_shards: int = 8,
+                            salt: str = "seed42") -> str:
+    """DuckDB replay of corpus_shuffle."""
+    key = f"md5(concat('{salt}:', CAST({id_col} AS VARCHAR)))"
+    shard = f"CAST(({_hex_byte_expr(key, 'duckdb')}) % {n_shards} AS INT)"
+    return (
+        f"WITH cs AS (SELECT {id_col}, {key} AS skey, {shard} AS shard "
+        f"FROM {table}) "
+        f"SELECT {id_col}, shard, CAST(ROW_NUMBER() OVER ("
+        f"PARTITION BY shard ORDER BY skey) AS BIGINT) AS pos FROM cs")

@@ -513,3 +513,59 @@ def connected_components(pairs: DataFrame, id_a: str = "a", id_b: str = "b",
                              F.col("lab").alias("group_id"))
     finally:
         edges.unpersist()
+
+
+def duplicated_spans(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", w: int = 16) -> DataFrame:
+    """Exact duplicated-substring detection at token-window granularity
+    (the hashed-shingle formulation of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": any `w`-token window
+    occurring in two different documents is a verbatim cross-document
+    duplicate span worth cutting, not just down-weighting).
+
+    Every document emits one hash per token position (a rolling window of
+    `w` whitespace tokens, md5 over the space-joined window); a single
+    count aggregate keyed by the hash finds windows seen in >= 2 distinct
+    documents. Returns (span_hash, n_docs, n_occ, first_doc).
+
+    Scale shape at 100TB: this is the distributed alternative to the
+    paper's suffix array -- the shuffle ships exactly one (hash, doc_id)
+    row per token of corpus, all aggregates are map-side combinable
+    (count-distinct over doc_id is a two-level agg Spark rewrites to
+    partial aggregation), and there is no candidate join at all. md5 is
+    used here because the DuckDB oracle must reproduce it bit-for-bit;
+    in production swap the hash expr for xxhash64(window) to ship 8-byte
+    keys instead of 32-byte hex strings (4x less shuffle volume) --
+    everything downstream is hash-agnostic.
+    """
+    tk = (f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), "
+          f"' ')")
+    wins = (f"transform(sequence(1, size({tk}) - {w - 1}), "
+            f"i -> md5(array_join(slice({tk}, i, {w}), ' ')))")
+    rows = (df.where(F.expr(f"size({tk}) >= {w}"))
+            .select(F.col(id_col), F.explode(F.expr(wins)).alias("span_hash")))
+    return (rows.groupBy("span_hash")
+            .agg(F.countDistinct(id_col).alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occ"),
+                 F.min(id_col).alias("first_doc"))
+            .where(F.col("n_docs") >= 2))
+
+
+def duplicated_spans_duck_sql(w: int = 16, table: str = "dup_docs",
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> str:
+    """DuckDB replay of duplicated_spans (1-based inclusive list slices;
+    range() is end-exclusive, so the last window start is len-w+1).
+    Returns CTE bodies + SELECT without a leading WITH so callers can
+    splice it after their own CTE prelude (dup_docs lives there)."""
+    tk = (f"string_split(trim(regexp_replace(lower({text_col}), "
+          f"'\\s+', ' ', 'g')), ' ')")
+    return (
+        f"ds_t AS (SELECT {id_col}, {tk} AS toks FROM {table}), "
+        f"ds_w AS (SELECT {id_col}, unnest(list_transform("
+        f"  range(1, len(toks) - {w - 2}), "
+        f"  i -> md5(array_to_string(toks[i:i+{w - 1}], ' ')))) AS span_hash "
+        f"  FROM ds_t WHERE len(toks) >= {w}) "
+        f"SELECT span_hash, COUNT(DISTINCT {id_col}) AS n_docs, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_occ, MIN({id_col}) AS first_doc "
+        f"FROM ds_w GROUP BY span_hash HAVING COUNT(DISTINCT {id_col}) >= 2")

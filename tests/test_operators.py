@@ -681,3 +681,56 @@ def test_quality_rank_filter_drops_bottom_quartile(spark):
     # percent_rank of doc i = i/7; keep i/7 >= 0.25 -> docs 2..7
     assert sorted(out["doc_id"]) == [2, 3, 4, 5, 6, 7]
     assert (out["pr"] >= 0.25).all()
+
+
+def test_duplicated_spans_finds_planted_span(spark):
+    from cld2_spark.operators.dedup import duplicated_spans
+    span = " ".join(f"tok{i}" for i in range(16))
+    rows = [
+        (1, span + " tailA unique1 filler"),
+        (2, "headB " + span + " other tail"),
+        (3, " ".join(f"solo{i}" for i in range(30))),   # no dup
+        (4, "short doc"),                               # < 16 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = duplicated_spans(df, w=16).toPandas()
+    # exactly the planted window is shared (doc 1 pos 1, doc 2 pos 2)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.n_docs, r.n_occ, r.first_doc) == (2, 2, 1)
+
+
+def test_corpus_shuffle_is_a_deterministic_permutation(spark):
+    from cld2_spark.operators.cohorts import retention_cohorts  # noqa: F401
+    from cld2_spark.operators.curation import corpus_shuffle
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = corpus_shuffle(df, n_shards=8).toPandas()
+    assert len(out) == 200 and out.doc_id.nunique() == 200
+    assert set(out.shard.unique()) <= set(range(8))
+    # pos is dense 1..n within every shard (a permutation, no gaps)
+    for s, g in out.groupby("shard"):
+        assert sorted(g.pos) == list(range(1, len(g) + 1))
+    # deterministic: a repartitioned rerun yields identical assignments
+    import pandas as pd
+    out2 = (corpus_shuffle(df.repartition(7), n_shards=8).toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True), out2)
+
+
+def test_retention_cohorts_hand_case(spark):
+    from cld2_spark.operators.cohorts import WEEK_US, retention_cohorts
+    import datetime as dt
+    wk = dt.timedelta(microseconds=WEEK_US)
+    t0 = dt.datetime(2024, 1, 4)  # mid-week; exercises epoch-week floor
+    rows = [
+        (1, t0), (1, t0 + wk), (1, t0 + 2 * wk),  # cohort W, 3 weeks
+        (2, t0), (2, t0 + 2 * wk),                # cohort W, skips W+1
+        (3, t0 + wk),                             # cohort W+1, one week
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+    out = retention_cohorts(df).toPandas()
+    base = out.cohort_week.min()
+    got = {(int(r.cohort_week - base), int(r.week_offset)): int(r.active_users)
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
