@@ -311,6 +311,24 @@ def _q_events_stream(spark, sf_dir):
     return run_events_window_stream(spark, f"{sf_dir}/events.parquet", work)
 
 
+def _q_events_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join replay (streaming/stream): clicks joined
+    to same-user purchases within 30 minutes, both sides watermarked so
+    join state is evictable — must match the plain batch interval-join
+    oracle row-for-row."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cld2_spark.streaming.stream import run_click_purchase_join_stream
+
+    work = str(Path(tempfile.gettempdir())
+               / f"cld2s_stream_join_{spark.sparkContext.applicationId}")
+    shutil.rmtree(work, ignore_errors=True)
+    return run_click_purchase_join_stream(
+        spark, f"{sf_dir}/events.parquet", work)
+
+
 def _q_brand_revenue(spark, sf_dir):
     """lineitem JOIN part with a selective filter -- predicate/column
     pushdown reaches the parquet scan (verified in tests/test_plans.py)."""
@@ -1091,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": _q_ann_cosine,
         "events_windowed": _q_events_windowed,
         "events_stream": _q_events_stream,
+        "events_stream_join": _q_events_stream_join,
         "brand_revenue": _q_brand_revenue,
         "regional_revenue": _q_regional_revenue,
         "order_rollup": _q_order_rollup,
@@ -1769,6 +1788,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, "
             "event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value "
             "FROM events GROUP BY 1, 2"),
+        "events_stream_join": (
+            "SELECT c.user_id, c.event_id AS click_id, "
+            "epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS buy_us, "
+            "ROUND(p.value, 2) AS buy_value "
+            "FROM events c JOIN events p ON c.user_id = p.user_id "
+            "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+            "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE"),
         "brand_revenue": (
             "SELECT p_brand, "
             "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "

@@ -188,3 +188,78 @@ def start_dedup_stream(spark: SparkSession, source_dir: str, sink_dir: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_click_purchase_join_stream(spark: SparkSession, events_path: str,
+                                   work_dir: str,
+                                   horizon: str = "30 minutes",
+                                   watermark: str = "1 hour",
+                                   timeout_sec: int = 300):
+    """STREAM-STREAM inner join replay: every 'click' joined to the same
+    user's 'purchase' events landing in (click_ts, click_ts + horizon].
+
+    This is the canonical Structured Streaming two-stream join: both
+    sides carry an event-time watermark and the join predicate bounds
+    purchase time relative to click time, so Spark can compute the state
+    eviction bound for BOTH sides (clicks older than watermark+horizon
+    and purchases older than the watermark are dropped from the join
+    state) — unbounded streams run with bounded memory. An inner join
+    emits each match in the micro-batch that completes it (no
+    window-close wait), so a finite availableNow replay yields exactly
+    the batch join's rows; the driver compares against a plain batch
+    interval-join oracle.
+
+    Scale shape: state is hash-partitioned by user_id on both sides —
+    the same exchange a batch join would do — and per-key state size is
+    bounded by the horizon, not the stream length.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    out_dir = f"{work_dir}/data"
+
+    def _src(tag: str):
+        reader = spark.readStream.schema(EVENTS_DDL)
+        path = events_path
+        if os.path.isfile(path):
+            reader = reader.option("pathGlobFilter", os.path.basename(path))
+            path = os.path.dirname(path)
+        return reader.parquet(path)
+
+    clicks = (_src("c").where("event_type = 'click'")
+              .select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", watermark))
+    buys = (_src("p").where("event_type = 'purchase'")
+            .select(F.col("user_id").alias("p_user"),
+                    F.col("ts").alias("buy_ts"),
+                    F.col("value").alias("buy_value"))
+            .withWatermark("buy_ts", watermark))
+    joined = clicks.join(
+        buys,
+        F.expr(f"c_user = p_user AND buy_ts > click_ts "
+               f"AND buy_ts <= click_ts + INTERVAL {horizon}"),
+        "inner")
+
+    def sink(batch_df, batch_id: int) -> None:
+        # append mode: each micro-batch contributes only matches newly
+        # completed in that batch; per-batch subdirs keep retried batch
+        # writes idempotent (same batch id -> same dir, overwritten)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    q = (joined.writeStream.outputMode("append").foreachBatch(sink)
+         .option("checkpointLocation", f"{work_dir}/ckpt")
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"click/purchase join replay did not finish in {timeout_sec}s")
+    return (spark.read.parquet(f"{out_dir}/batch=*")
+            .select(F.col("c_user").alias("user_id"), "click_id",
+                    F.unix_micros(F.col("click_ts").cast("timestamp"))
+                    .alias("click_us"),
+                    F.unix_micros(F.col("buy_ts").cast("timestamp"))
+                    .alias("buy_us"),
+                    F.round("buy_value", 2).alias("buy_value")))

@@ -174,3 +174,42 @@ def test_exactly_once_sink_idempotent_under_replay(spark, tmp_path):
         q = start_pipeline_stream(spark, str(src), str(sink2), str(ckpt2))
         assert q.awaitTermination(120)
     assert spark.read.parquet(str(sink2)).count() == 240
+
+
+def _events(rows):
+    pdf = pd.DataFrame(
+        [{"event_id": i, "ts": ts, "user_id": u, "event_type": et,
+          "value": float(v), "props": ""}
+         for i, (u, et, ts, v) in enumerate(rows)])
+    return pdf.astype({"event_id": "int64", "user_id": "int64"})
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
+    """Stream-stream inner join: click->purchase within 30 min per user.
+    Matches the hand-computed batch interval join; purchases before the
+    click, past the horizon, or by another user never pair; one click
+    pairs with EVERY qualifying purchase (inner join, no dedup)."""
+    from cld2_spark.streaming.stream import run_click_purchase_join_stream
+
+    src = tmp_path / "events"
+    src.mkdir()
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    rows = [
+        (1, "click", t(10, 0), 0),
+        (1, "purchase", t(10, 10), 5),    # match (10 min)
+        (1, "purchase", t(10, 30), 7),    # match (exactly 30 min, <=)
+        (1, "purchase", t(10, 31), 9),    # NO: past horizon
+        (1, "purchase", t(9, 59), 3),     # NO: before click
+        (2, "purchase", t(10, 5), 11),    # NO: different user
+        (2, "click", t(12, 0), 0),
+        (2, "purchase", t(12, 1), 13),    # match
+        (3, "view", t(12, 0), 0),         # irrelevant type
+    ]
+    _write(_events(rows), str(src / "f1.parquet"))
+    out = run_click_purchase_join_stream(
+        spark, str(src), str(tmp_path / "work")).toPandas()
+    got = sorted(zip(out.user_id, out.buy_value))
+    assert got == [(1, 5.0), (1, 7.0), (2, 13.0)]
+    # click_us/buy_us are engine-exact epoch micros
+    m = out[out.buy_value == 7.0].iloc[0]
+    assert m.buy_us - m.click_us == 30 * 60 * 1_000_000
