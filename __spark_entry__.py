@@ -454,6 +454,32 @@ def _q_ann_ivf(spark, sf_dir):
     return out.select("qid", "nid", F.round("sim", 4).alias("sim"), "rank")
 
 
+def _q_audio_features(spark, sf_dir):
+    """REAL sample-level audio decode: every doc_id becomes a PCM WAV
+    carrying a deterministic int16 sawtooth; wav_sample_features locates
+    the data chunk by the RIFF walk, reinterprets the raw bytes as
+    samples, and computes integer-exact peak/energy/zero-crossing
+    features. The oracle recomputes the SAME waveform from doc_id
+    arithmetic in DuckDB (live, not a frozen fixture) -- so the hash
+    verifies the full byte-level decode path end to end."""
+    import pandas as pd
+
+    from cld2_spark.operators.multimodal import (encode_wav_pcm_fixture,
+                                                 wav_sample_features)
+    _register(spark, sf_dir)
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [encode_wav_pcm_fixture(i) for i in ids]})
+
+    media = (spark.table("documents").select("doc_id")
+             .mapInPandas(enc, "media_id long, payload binary"))
+    return wav_sample_features(media)
+
+
 def _q_media_features(spark, sf_dir):
     """REAL pixel-level features (VERDICT r4 #7): every doc_id becomes a
     deterministic RGB image (multimodal.feature_pixels), encoded as a
@@ -1148,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_meta": _q_audio_meta,
         "video_meta": _q_video_meta,
         "media_features": _q_media_features,
+        "audio_features": _q_audio_features,
         "lang_histogram": _q_lang_histogram,
         "conversation_features": _q_conversation_features,
         "lang_spans": _q_lang_spans,
@@ -1821,6 +1848,24 @@ def oracle_sql() -> dict[str, str]:
             "/ (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
             "WHEN 2 THEN 22050 ELSE 44100 END)) AS INT) AS duration_ms "
             "FROM documents"),
+        "audio_features": (
+            # recompute the fixture waveform s_j = ((a*j + b) % 2048) - 1024
+            # from id arithmetic and aggregate the SAME integer features the
+            # Spark side derives from the decoded PCM bytes
+            "WITH af_p AS (SELECT doc_id AS media_id, "
+            "  80 + doc_id % 50 AS n, 3 + doc_id % 7 AS a, "
+            "  doc_id % 997 AS b FROM documents), "
+            "af_s AS (SELECT media_id, n, list_transform(range(0, n), "
+            "  j -> ((a * j + b) % 2048) - 1024) AS smp FROM af_p) "
+            "SELECT media_id, CAST(n AS BIGINT) AS n_samples, "
+            "CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT) "
+            "  AS peak, "
+            "CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) "
+            "  AS energy, "
+            "CAST(list_sum(list_transform(range(1, n), j -> "
+            "  CASE WHEN (smp[j + 1] >= 0) <> (smp[j] >= 0) "
+            "  THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings "
+            "FROM af_s"),
         "video_meta": (
             "SELECT doc_id AS media_id, "
             "CAST(16 + (doc_id * 41) % 1008 AS INT) AS width, "

@@ -734,3 +734,31 @@ def test_retention_cohorts_hand_case(spark):
     got = {(int(r.cohort_week - base), int(r.week_offset)): int(r.active_users)
            for r in out.itertuples()}
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+
+
+def test_wav_sample_features_decode_true(spark):
+    """Features must come from the DECODED bytes, not from id arithmetic:
+    corrupting one sample byte in the payload changes energy; non-WAV
+    payloads are dropped."""
+    import numpy as np
+    import pandas as pd
+    from cld2_spark.operators.multimodal import (encode_wav_pcm_fixture,
+                                                 pcm_sawtooth,
+                                                 wav_sample_features,
+                                                 _wav_data_span)
+    good = encode_wav_pcm_fixture(7)
+    off, _ = _wav_data_span(good)
+    bad = bytearray(good)
+    bad[off + 1] ^= 0x40  # flip a high bit of sample 0
+    rows = [(7, bytes(good)), (8, bytes(bad)), (9, b"not a wav at all")]
+    df = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    out = (wav_sample_features(df).toPandas()
+           .set_index("media_id").sort_index())
+    assert list(out.index) == [7, 8]          # non-WAV row dropped
+    s = pcm_sawtooth(7, 80 + 7 % 50).astype(np.int64)
+    assert out.loc[7, "energy"] == int((s * s).sum())
+    assert out.loc[7, "peak"] == int(np.abs(s).max())
+    sign = s >= 0
+    assert out.loc[7, "zero_crossings"] == int((sign[1:] != sign[:-1]).sum())
+    assert out.loc[8, "energy"] != out.loc[7, "energy"]
+    assert out.loc[8, "n_samples"] == out.loc[7, "n_samples"]
