@@ -750,6 +750,16 @@ def _q_retention_cohorts(spark, sf_dir):
     return retention_cohorts(spark.table("events"))
 
 
+def _q_event_anomalies(spark, sf_dir):
+    """Daily volume anomaly flags per event type (operators/cohorts):
+    the 2-sigma rule evaluated entirely in integers via
+    (n*D - S1)^2 > 4*(S2*D - S1^2) — no float boundary; one combinable
+    count + a broadcast per-type rollup, no windows."""
+    from cld2_spark.operators.cohorts import daily_anomalies
+    _register(spark, sf_dir)
+    return daily_anomalies(spark.table("events"))
+
+
 def _q_order_distribution(spark, sf_dir):
     """Customer-order-count distribution (TPC-H Q13 shape): LEFT OUTER
     join customer<-filtered orders, per-customer count, then the
@@ -1155,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "corpus_shuffle": _q_corpus_shuffle,
         "retention_cohorts": _q_retention_cohorts,
+        "event_anomalies": _q_event_anomalies,
         "order_distribution": _q_order_distribution,
         "big_orders": _q_big_orders,
         "cheapest_supplier": _q_cheapest_supplier,
@@ -1418,7 +1429,8 @@ def oracle_sql() -> dict[str, str]:
     from cld2_spark.kernels.html import strip_html_sql
     from cld2_spark.kernels.quality import low_quality_sql, too_short_sql
     from cld2_spark.kernels.scrub import scrub_sql, toxicity_sql
-    from cld2_spark.operators.cohorts import retention_cohorts_duck_sql
+    from cld2_spark.operators.cohorts import (daily_anomalies_duck_sql,
+                                              retention_cohorts_duck_sql)
     from cld2_spark.operators.curation import corpus_shuffle_duck_sql
     from cld2_spark.operators.dedup import duplicated_spans_duck_sql
     from cld2_spark.operators.funnel import funnel_steps_duck_sql
@@ -1583,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": f"{ctes}, {duplicated_spans_duck_sql(16, 'dup_docs')}",
         "corpus_shuffle": corpus_shuffle_duck_sql("documents", n_shards=8),
         "retention_cohorts": retention_cohorts_duck_sql("events"),
+        "event_anomalies": daily_anomalies_duck_sql("events"),
         "order_distribution": (
             "WITH od_pc AS (SELECT c.c_custkey, "
             "  COUNT(o.o_orderkey) AS c_count "

@@ -55,3 +55,60 @@ def retention_cohorts_duck_sql(table: str = "events",
         f"COUNT(DISTINCT rc_ev.{user_col}) AS active_users "
         f"FROM rc_ev JOIN rc_first USING ({user_col}) "
         f"GROUP BY cohort_week, week_offset")
+
+
+def daily_anomalies(events: DataFrame, type_col: str = "event_type",
+                    ts_col: str = "ts") -> DataFrame:
+    """Per-(event_type, day) volume anomaly flags: a day is anomalous for
+    a type when its event count deviates from the type's mean daily count
+    by more than 2 population standard deviations.
+
+    The 2-sigma rule is evaluated ENTIRELY in integers: with S1 = sum of
+    daily counts, S2 = sum of squared daily counts, D = #days,
+
+        |n - S1/D| > 2*sqrt(S2/D - (S1/D)^2)
+        <=>  (n*D - S1)^2 > 4*(S2*D - S1^2)
+
+    so there is no float boundary for engines to disagree on (the
+    standard integer cross-multiplication trick used across this repo
+    for rankings). Magnitude bound: safe in int64 while n*D < ~3*10^9;
+    at planetary scale switch the comparison operands to DOUBLE -- the
+    flag then tolerates last-ulp ties, or keep DECIMAL(38).
+
+    Scale shape: one map-side-combinable count keyed by (type, day), one
+    tiny per-type rollup (cardinality = #types), broadcast back. No
+    window functions, no sort.
+    """
+    day_us = 24 * 3600 * 1_000_000
+    day = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {day_us}")
+    daily = (events.groupBy(F.col(type_col).alias("event_type"),
+                            day.alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    stats = (daily.groupBy("event_type")
+             .agg(F.sum("n_events").alias("s1"),
+                  F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+                  F.count(F.lit(1)).alias("d")))
+    j = daily.join(F.broadcast(stats), "event_type")
+    lhs = (F.col("n_events") * F.col("d") - F.col("s1"))
+    rhs = F.lit(4) * (F.col("s2") * F.col("d") - F.col("s1") * F.col("s1"))
+    return (j.select("event_type", "day", "n_events",
+                     (lhs * lhs > rhs).alias("is_anomaly")))
+
+
+def daily_anomalies_duck_sql(table: str = "events",
+                             type_col: str = "event_type",
+                             ts_col: str = "ts") -> str:
+    """DuckDB replay of daily_anomalies (same integer algebra)."""
+    day_us = 24 * 3600 * 1_000_000
+    return (
+        f"WITH da_d AS (SELECT {type_col} AS event_type, "
+        f"  epoch_us({ts_col}) // {day_us} AS day, "
+        f"  COUNT(*) AS n_events FROM {table} GROUP BY 1, 2), "
+        f"da_s AS (SELECT event_type, "
+        f"  CAST(SUM(n_events) AS BIGINT) AS s1, "
+        f"  CAST(SUM(n_events * n_events) AS BIGINT) AS s2, "
+        f"  COUNT(*) AS d FROM da_d GROUP BY event_type) "
+        f"SELECT da_d.event_type, day, n_events, "
+        f"(n_events * d - s1) * (n_events * d - s1) > "
+        f"4 * (s2 * d - s1 * s1) AS is_anomaly "
+        f"FROM da_d JOIN da_s ON da_d.event_type = da_s.event_type")

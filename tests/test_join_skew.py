@@ -121,3 +121,32 @@ def test_range_join_mega_key_matches_bruteforce_and_spreads(spark):
     bkt = pts["ts"].astype("int64") // int(end_sec * 1_000_000)
     sizes = pts.assign(b=bkt).groupby(["key", "b"]).size()
     assert sizes.max() < (pts["key"] == "mega").sum() / 50
+
+
+def test_funnel_mega_user_skew(spark):
+    """One user with 10^5 events (vs 1000 normal users) must not change
+    funnel semantics and must flow through partial aggregation -- the
+    operator is agg-only, so the hot key reduces map-side and reaches
+    the exchange as ONE row per (user, step) regardless of event count."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.funnel import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+    mega = (spark.range(100_000)
+            .select(F.lit(0).alias("user_id"),
+                    F.when(F.col("id") % 3 == 0, "a")
+                     .when(F.col("id") % 3 == 1, "b")
+                     .otherwise("c").alias("event_type"),
+                    (F.lit(t0) + F.make_interval(secs=F.col("id")))
+                    .alias("ts")))
+    normal = (spark.range(1, 1001)
+              .select(F.col("id").alias("user_id"), F.lit("a").alias("event_type"),
+                      F.lit(t0).alias("ts")))
+    out = funnel_steps(mega.unionByName(normal), ["a", "b", "c"]).toPandas()
+    # only the mega user completes a->b->c; earliest chain is ids 0,1,2
+    assert out.user_id.tolist() == [0]
+    r = out.iloc[0]
+    assert (r.t2 - r.t1, r.t3 - r.t1) == (1_000_000, 2_000_000)

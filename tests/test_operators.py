@@ -762,3 +762,22 @@ def test_wav_sample_features_decode_true(spark):
     assert out.loc[7, "zero_crossings"] == int((sign[1:] != sign[:-1]).sum())
     assert out.loc[8, "energy"] != out.loc[7, "energy"]
     assert out.loc[8, "n_samples"] == out.loc[7, "n_samples"]
+
+
+def test_daily_anomalies_integer_two_sigma(spark):
+    from cld2_spark.operators.cohorts import daily_anomalies
+    import datetime as dt
+    rows = []
+    # type 'x': 9 calm days of 10 events, 1 spike day of 30
+    for d in range(9):
+        rows += [(f"x", dt.datetime(2024, 1, 1 + d, 12, 0, s)) for s in range(10)]
+    rows += [("x", dt.datetime(2024, 1, 10, 12, 0, s)) for s in range(30)]
+    # type 'y': constant 5/day -> zero variance, never anomalous
+    for d in range(10):
+        rows += [("y", dt.datetime(2024, 1, 1 + d, 12, 0, s)) for s in range(5)]
+    df = spark.createDataFrame(rows, "event_type: string, ts: timestamp")
+    out = daily_anomalies(df).toPandas()
+    x = out[out.event_type == "x"].sort_values("day")
+    # mean 12, var = (9*(10-12)^2 + (30-12)^2)/10 = 36, sd 6; |30-12|=18 > 12
+    assert x.is_anomaly.tolist() == [False] * 9 + [True]
+    assert not out[out.event_type == "y"].is_anomaly.any()
