@@ -750,6 +750,16 @@ def _q_retention_cohorts(spark, sf_dir):
     return retention_cohorts(spark.table("events"))
 
 
+def _q_user_reach(spark, sf_dir):
+    """Distinct-user reach per event type (operators/cohorts): exact
+    COUNT(DISTINCT) is the oracle surface; reach(approx=True) is the
+    HLL++ scale path (fixed-size mergeable sketches), error-bound-tested
+    against this exact twin in tests/test_operators.py."""
+    from cld2_spark.operators.cohorts import reach
+    _register(spark, sf_dir)
+    return reach(spark.table("events"))
+
+
 def _q_event_anomalies(spark, sf_dir):
     """Daily volume anomaly flags per event type (operators/cohorts):
     the 2-sigma rule evaluated entirely in integers via
@@ -1166,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _q_corpus_shuffle,
         "retention_cohorts": _q_retention_cohorts,
         "event_anomalies": _q_event_anomalies,
+        "user_reach": _q_user_reach,
         "order_distribution": _q_order_distribution,
         "big_orders": _q_big_orders,
         "cheapest_supplier": _q_cheapest_supplier,
@@ -1596,6 +1607,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": corpus_shuffle_duck_sql("documents", n_shards=8),
         "retention_cohorts": retention_cohorts_duck_sql("events"),
         "event_anomalies": daily_anomalies_duck_sql("events"),
+        "user_reach": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS reach, "
+            "COUNT(*) AS n_events FROM events GROUP BY event_type"),
         "order_distribution": (
             "WITH od_pc AS (SELECT c.c_custkey, "
             "  COUNT(o.o_orderkey) AS c_count "

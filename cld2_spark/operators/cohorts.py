@@ -112,3 +112,21 @@ def daily_anomalies_duck_sql(table: str = "events",
         f"(n_events * d - s1) * (n_events * d - s1) > "
         f"4 * (s2 * d - s1 * s1) AS is_anomaly "
         f"FROM da_d JOIN da_s ON da_d.event_type = da_s.event_type")
+
+
+def reach(events: DataFrame, type_col: str = "event_type",
+          user_col: str = "user_id", approx: bool = False,
+          rsd: float = 0.02) -> DataFrame:
+    """(event_type, reach, n_events): distinct users + event volume per
+    type. exact=COUNT(DISTINCT) is the oracle surface; approx=True swaps
+    in approx_count_distinct (HyperLogLog++) -- the 100TB path: HLL
+    sketches are fixed-size and merge associatively, so the partial
+    aggregate ships ~1.5KB per (type, partition) instead of re-shuffling
+    every distinct user id. The exact form's expand+two-level rewrite is
+    fine while distinct users per type fit a shuffle; the sketch is the
+    default once user cardinality crosses ~10^9 (error ~ rsd)."""
+    agg = (F.approx_count_distinct(user_col, rsd) if approx
+           else F.countDistinct(user_col))
+    return (events.groupBy(F.col(type_col).alias("event_type"))
+            .agg(agg.alias("reach"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -781,3 +781,16 @@ def test_daily_anomalies_integer_two_sigma(spark):
     # mean 12, var = (9*(10-12)^2 + (30-12)^2)/10 = 36, sd 6; |30-12|=18 > 12
     assert x.is_anomaly.tolist() == [False] * 9 + [True]
     assert not out[out.event_type == "y"].is_anomaly.any()
+
+
+def test_reach_approx_within_rsd_of_exact(spark):
+    """The HLL scale path must land within ~3x the configured relative
+    standard deviation of the exact distinct count on real-ish data."""
+    from cld2_spark.operators.cohorts import reach
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {r.event_type: r.reach for r in reach(ev).collect()}
+    approx = {r.event_type: r.reach
+              for r in reach(ev, approx=True, rsd=0.02).collect()}
+    assert set(exact) == set(approx)
+    for t, e in exact.items():
+        assert abs(approx[t] - e) <= max(2, 0.06 * e), (t, e, approx[t])
