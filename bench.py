@@ -177,7 +177,11 @@ def main() -> None:
                      # round 5: paragraph dedup + doc reassembly,
                      # kmeans+SemDeDup, sequence packing, decontamination
                      "paragraph_dedup", "semdedup", "seq_pack",
-                     "decontam"]:
+                     "decontam",
+                     # round 5 session 3: exact span dedup, funnel,
+                     # stream-stream join, PCM sample decode
+                     "dup_spans", "funnel", "events_stream_join",
+                     "audio_features"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()
