@@ -732,6 +732,17 @@ def _q_dup_spans(spark, sf_dir):
     return duplicated_spans(spark.table("dup_docs"), w=16)
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup (operators/dedup): the dup_docs ingest
+    batch deduped against an already-curated corpus (even doc_ids of
+    documents) travelling as DISTINCT hashes only, then within itself.
+    The growing-corpus production shape: curated text never re-shuffles."""
+    from cld2_spark.operators.dedup import incremental_dedup
+    _register(spark, sf_dir)
+    seen = spark.table("documents").where("doc_id % 2 = 0")
+    return incremental_dedup(spark.table("dup_docs"), seen)
+
+
 def _q_corpus_shuffle(spark, sf_dir):
     """Deterministic global shuffle + sharding for training order
     (operators/curation): (shard, pos) from md5(salt:id) — the terasort
@@ -1173,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "quality_rank_filter": _q_quality_rank_filter,
         "dup_spans": _q_dup_spans,
+        "dedup_incremental": _q_dedup_incremental,
         "corpus_shuffle": _q_corpus_shuffle,
         "retention_cohorts": _q_retention_cohorts,
         "event_anomalies": _q_event_anomalies,
@@ -1604,6 +1616,14 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE gh IN (SELECT gh FROM dc_bg) GROUP BY doc_id"),
         "funnel": funnel_steps_duck_sql(["view", "click", "purchase"]),
         "dup_spans": f"{ctes}, {duplicated_spans_duck_sql(16, 'dup_docs')}",
+        "dedup_incremental": (
+            f"{ctes}, di_seen AS (SELECT DISTINCT md5(text) AS text_hash "
+            f"  FROM documents WHERE doc_id % 2 = 0), "
+            f"di_b AS (SELECT doc_id, md5(text) AS text_hash FROM dup_docs) "
+            f"SELECT MIN(doc_id) AS keep_id, text_hash, "
+            f"COUNT(*) AS n_copies FROM di_b "
+            f"WHERE text_hash NOT IN (SELECT text_hash FROM di_seen) "
+            f"GROUP BY text_hash"),
         "corpus_shuffle": corpus_shuffle_duck_sql("documents", n_shards=8),
         "retention_cohorts": retention_cohorts_duck_sql("events"),
         "event_anomalies": daily_anomalies_duck_sql("events"),

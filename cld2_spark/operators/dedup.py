@@ -569,3 +569,34 @@ def duplicated_spans_duck_sql(w: int = 16, table: str = "dup_docs",
         f"SELECT span_hash, COUNT(DISTINCT {id_col}) AS n_docs, "
         f"CAST(COUNT(*) AS BIGINT) AS n_occ, MIN({id_col}) AS first_doc "
         f"FROM ds_w GROUP BY span_hash HAVING COUNT(DISTINCT {id_col}) >= 2")
+
+
+def incremental_dedup(batch: DataFrame, seen: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup -- the production shape for a GROWING
+    corpus: a new ingest batch is deduplicated against the
+    already-curated corpus without ever re-scanning or re-shuffling the
+    curated documents themselves, then within itself.
+
+    Returns (keep_id, text_hash, n_copies): one row per content hash of
+    `batch` that is NOT present in `seen`, keeping the minimum id, with
+    the batch-internal copy count.
+
+    Scale shape at 100TB: the curated side travels as DISTINCT content
+    hashes only (32 hex bytes/row here; xxhash64 in production for 8) --
+    the full curated text never moves. The anti join shuffles on the
+    hash, both sides uniform by construction, so AQE needs no skew
+    handling; when the curated hash set fits executor memory it
+    broadcast-anti-joins and the batch side never shuffles at all. This
+    is also the natural place for a Bloom prefilter (build on the seen
+    hashes, filter the batch map-side, anti-join only survivors) -- the
+    exact anti join stays as the verify stage, so results are identical.
+    """
+    bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    sh = seen.select(F.md5(F.col(text_col)).alias("text_hash")).distinct()
+    fresh = bh.join(sh, "text_hash", "left_anti")
+    return (fresh.groupBy("text_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select("keep_id", "text_hash", "n_copies"))

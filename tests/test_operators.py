@@ -794,3 +794,106 @@ def test_reach_approx_within_rsd_of_exact(spark):
     assert set(exact) == set(approx)
     for t, e in exact.items():
         assert abs(approx[t] - e) <= max(2, 0.06 * e), (t, e, approx[t])
+
+
+def _brute_funnel(events, steps):
+    """Reference greedy-earliest funnel in plain python (exchange-argument
+    semantics: completers == users with ANY strictly increasing chain)."""
+    out = {}
+    byuser = {}
+    for u, t, ts in events:
+        byuser.setdefault(u, []).append((t, ts))
+    for u, evs in byuser.items():
+        ts_chain = []
+        prev = None
+        ok = True
+        for step in steps:
+            cand = [ts for t, ts in evs
+                    if t == step and (prev is None or ts > prev)]
+            if not cand:
+                ok = False
+                break
+            prev = min(cand)
+            ts_chain.append(prev)
+        if ok:
+            out[u] = ts_chain
+    return out
+
+
+def test_funnel_differential_vs_bruteforce(spark):
+    """Randomized differential: funnel_steps == the greedy reference on
+    arbitrary event soups (10 seeds x 300 events, ties/dups included)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from cld2_spark.operators.funnel import funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        n = 300
+        rows = [(int(rng.integers(0, 25)),
+                 "abc"[rng.integers(0, 3)],
+                 t0 + dt.timedelta(seconds=int(rng.integers(0, 60))))
+                for _ in range(n)]
+        got = {r.user_id: [r.t1, r.t2, r.t3] for r in
+               funnel_steps(
+                   spark.createDataFrame(
+                       rows, "user_id: long, event_type: string, ts: timestamp"),
+                   ["a", "b", "c"]).collect()}
+        want = {u: [int(ts.timestamp() * 1_000_000) for ts in chain]
+                for u, chain in _brute_funnel(
+                    [(u, t, ts.replace(tzinfo=dt.timezone.utc))
+                     for u, t, ts in rows], ["a", "b", "c"]).items()}
+        assert got == want, (seed, got, want)
+
+
+def test_duplicated_spans_differential_vs_bruteforce(spark):
+    """Randomized differential: hashed-window span dedup == a plain
+    python dictionary count over the same token windows."""
+    import numpy as np
+
+    from cld2_spark.operators.dedup import duplicated_spans
+
+    for seed in range(5):
+        rng = np.random.default_rng(100 + seed)
+        docs = []
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> collisions
+        for d in range(30):
+            n = int(rng.integers(3, 40))
+            docs.append((d, " ".join(vocab[i] for i in
+                                     rng.integers(0, 12, size=n))))
+        W = 8
+        counts = {}
+        for d, text in docs:
+            toks = text.split()
+            for i in range(len(toks) - W + 1):
+                key = " ".join(toks[i:i + W])
+                ds, occ = counts.get(key, (set(), 0))
+                ds.add(d)
+                counts[key] = (ds, occ + 1)
+        want = sorted((len(ds), occ, min(ds)) for ds, occ in counts.values()
+                      if len(ds) >= 2)
+        out = duplicated_spans(
+            spark.createDataFrame(docs, "doc_id: long, text: string"),
+            w=W).collect()
+        got = sorted((r.n_docs, r.n_occ, r.first_doc) for r in out)
+        assert got == want, seed
+
+
+def test_incremental_dedup_semantics(spark):
+    from cld2_spark.operators.dedup import incremental_dedup
+    seen = spark.createDataFrame(
+        [(100, "already curated"), (101, "also curated")],
+        "doc_id: long, text: string")
+    batch = spark.createDataFrame(
+        [(1, "already curated"),     # known -> dropped
+         (2, "brand new"), (5, "brand new"),  # internal dup -> keep min id
+         (3, "also curated"),        # known -> dropped
+         (4, "unique fresh")],
+        "doc_id: long, text: string")
+    out = (incremental_dedup(batch, seen).toPandas()
+           .sort_values("keep_id").reset_index(drop=True))
+    assert out.keep_id.tolist() == [2, 4]
+    assert out[out.keep_id == 2].n_copies.iloc[0] == 2
