@@ -732,6 +732,35 @@ def _q_dup_spans(spark, sf_dir):
     return duplicated_spans(spark.table("dup_docs"), w=16)
 
 
+def _q_curation_pipeline(spark, sf_dir):
+    """END-TO-END composed curation DAG — the 'a user runs their whole
+    pipeline here' query: exact dedup -> benchmark decontamination ->
+    per-source quality floor -> deterministic split -> per-(source,
+    split) audit rollup, every stage an existing operator. All-integer
+    output, one DuckDB WITH-chain oracle reproducing each stage."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.curation import decontaminate
+    from cld2_spark.operators.dedup import exact_dedup
+    from cld2_spark.operators.textstats import (quality_rank_filter,
+                                                with_split)
+    _register(spark, sf_dir)
+    inp = spark.sql(
+        "SELECT doc_id, text, source FROM documents UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text, source "
+        "FROM documents WHERE doc_id % 3 = 0")
+    d1 = exact_dedup(inp, "text", "doc_id")
+    bench = inp.where("doc_id % 101 = 0")
+    d2 = decontaminate(d1, bench, n=8)
+    kept = quality_rank_filter(d2, pct=0.25).select("doc_id")
+    d3 = d2.join(kept, "doc_id")  # quality floor as a semi join
+    tok = "size(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' '))"
+    return (with_split(d3)
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.expr(tok)).cast("bigint").alias("n_tokens")))
+
+
 def _q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup (operators/dedup): the dup_docs ingest
     batch deduped against an already-curated corpus (even doc_ids of
@@ -1185,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_rank_filter": _q_quality_rank_filter,
         "dup_spans": _q_dup_spans,
         "dedup_incremental": _q_dedup_incremental,
+        "curation_pipeline": _q_curation_pipeline,
         "corpus_shuffle": _q_corpus_shuffle,
         "retention_cohorts": _q_retention_cohorts,
         "event_anomalies": _q_event_anomalies,
@@ -1616,6 +1646,45 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE gh IN (SELECT gh FROM dc_bg) GROUP BY doc_id"),
         "funnel": funnel_steps_duck_sql(["view", "click", "purchase"]),
         "dup_spans": f"{ctes}, {duplicated_spans_duck_sql(16, 'dup_docs')}",
+        "curation_pipeline": (
+            f"WITH cp_in AS (SELECT doc_id, text, source FROM documents "
+            f"  UNION ALL SELECT doc_id + 1000000 AS doc_id, text, source "
+            f"  FROM documents WHERE doc_id % 3 = 0), "
+            f"cp_d1 AS (SELECT * FROM cp_in QUALIFY ROW_NUMBER() OVER ("
+            f"  PARTITION BY md5(text) ORDER BY doc_id) = 1), "
+            f"cp_tk AS (SELECT doc_id, source, "
+            f"  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', "
+            f"  'g')), ' ') AS tk FROM cp_d1), "
+            f"cp_cg AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            f"  generate_series(1, len(tk) - 7), i -> "
+            f"  ('0x' || substr(md5(array_to_string("
+            f"    list_slice(tk, i, i + 7), ' ')), 1, 15))::BIGINT"
+            f"  % {_MERSENNE31}))) AS gh "
+            f"  FROM cp_tk WHERE len(tk) >= 8), "
+            f"cp_btk AS (SELECT doc_id, string_split(trim(regexp_replace("
+            f"  lower(text), '\\s+', ' ', 'g')), ' ') AS tk FROM cp_in "
+            f"  WHERE doc_id % 101 = 0), "
+            f"cp_bg AS (SELECT DISTINCT unnest(list_distinct(list_transform("
+            f"  generate_series(1, len(tk) - 7), i -> "
+            f"  ('0x' || substr(md5(array_to_string("
+            f"    list_slice(tk, i, i + 7), ' ')), 1, 15))::BIGINT"
+            f"  % {_MERSENNE31}))) AS gh "
+            f"  FROM cp_btk WHERE len(tk) >= 8), "
+            f"cp_bad AS (SELECT DISTINCT doc_id FROM cp_cg "
+            f"  WHERE gh IN (SELECT gh FROM cp_bg)), "
+            f"cp_d2 AS (SELECT * FROM cp_tk WHERE doc_id NOT IN "
+            f"  (SELECT doc_id FROM cp_bad)), "
+            f"cp_qf AS (SELECT doc_id, source, tk, PERCENT_RANK() OVER ("
+            f"  PARTITION BY source ORDER BY "
+            f"  len(list_distinct(tk)) * 1.0 / len(tk)) AS pr FROM cp_d2), "
+            f"cp_s AS (SELECT source, CASE WHEN b < 80 THEN 'train' "
+            f"  WHEN b < 90 THEN 'val' ELSE 'test' END AS split, "
+            f"  len(tk) AS ntok FROM (SELECT source, tk, "
+            f"  ('0x' || substr(md5('cld2s' || CAST(doc_id AS VARCHAR)), "
+            f"  1, 8))::BIGINT % 100 AS b FROM cp_qf WHERE pr >= 0.25)) "
+            f"SELECT source, split, COUNT(*) AS n_docs, "
+            f"CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM cp_s "
+            f"GROUP BY source, split"),
         "dedup_incremental": (
             f"{ctes}, di_seen AS (SELECT DISTINCT md5(text) AS text_hash "
             f"  FROM documents WHERE doc_id % 2 = 0), "
