@@ -177,10 +177,20 @@ def cheap_squeeze(text: str, chunksize: int = CHUNKSIZE) -> str:
     space_n = space_cum[lo + len4] - space_cum[lo]
     drop = (space_n >= space_thresh) | (pred_n >= predict_thresh)
 
+    # splice by RUNS of equal keep/drop decisions, not per chunk: within
+    # a kept run the chunks are adjacent in buf (bounds are contiguous),
+    # so the whole run appends as ONE slice; within a dropped run only
+    # the FIRST chunk triggers the backscan (the skipping flag guarded
+    # the rest anyway). Behavior-identical to the per-chunk loop --
+    # transitions do exactly the same two scans -- but the Python-level
+    # iteration count falls from #chunks (<=~3400 under the 160KB cap)
+    # to #decision-runs (typically a handful; boilerplate clusters).
+    edges = np.flatnonzero(np.diff(drop)) + 1
+    run_bounds = np.concatenate(([0], edges, [len(lo)]))
     out = bytearray()
     skipping = False
-    for k in range(len(lo)):
-        if drop[k]:
+    for a, b in zip(run_bounds[:-1], run_bounds[1:]):
+        if drop[a]:
             if not skipping:
                 # keep->skip transition: backscan the kept OUTPUT to a
                 # space (BackscanToSpace scans the contiguous dst buffer,
@@ -194,7 +204,7 @@ def cheap_squeeze(text: str, chunksize: int = CHUNKSIZE) -> str:
                     out += b" "  # force a leading space (reference :820)
                 skipping = True
         else:
-            chunk = buf[int(lo[k]):int(hi[k])]
+            chunk = buf[int(lo[a]):int(hi[b - 1])]
             if skipping:
                 # skip->keep transition: forwardscan to a space
                 p = chunk.find(b" ", 0, MAX_SPACE_SCAN)

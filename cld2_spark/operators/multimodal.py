@@ -838,6 +838,75 @@ def _wav_data_span(buf: bytes) -> tuple[int, int] | None:
     return None
 
 
+def pcm_sample_features_batch(payload) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray, np.ndarray]:
+    """Vectorized core of wav_sample_features: integer-exact
+    (n_samples, peak, energy, zero_crossings) int64 arrays, -1s for rows
+    that are not parseable PCM WAVs with a non-empty data chunk.
+
+    Canonical-layout rows ('fmt ' size 16 at offset 12, first 'data' at
+    offset 36 -- every fixture and typical real PCM WAV) are decoded with
+    ZERO per-row Python: the Arrow values buffer already holds all
+    payloads concatenated, so one fancy-index gather pulls every sample
+    byte, one int16 view reinterprets them, and np.add.reduceat /
+    np.maximum.reduceat segment-aggregate per row (cross-row sign flips
+    are masked at the segment boundaries). Non-canonical RIFF rows fall
+    back to the scalar chunk walk, byte-identical by construction."""
+    import pyarrow as pa
+
+    arr = _arrow_binary(payload)
+    n = len(arr)
+    ns = np.full(n, -1, dtype=np.int64)
+    pk, en, zc = ns.copy(), ns.copy(), ns.copy()
+    if n == 0:
+        return ns, pk, en, zc
+    m, lens = _head_matrix(arr, 44)
+    v4l = m.view("<u4")
+    is_riff = ((lens >= 12) & (v4l[:, 0] == _u32(b"RIFF"))
+               & (v4l[:, 2] == _u32(b"WAVE")))
+    data_size = v4l[:, 10].astype(np.int64)
+    canonical = (is_riff & (lens >= 44) & (v4l[:, 3] == _u32(b"fmt "))
+                 & (v4l[:, 4] == 16) & (v4l[:, 9] == _u32(b"data")))
+    nsamp = np.maximum(np.minimum(data_size, lens - 44), 0) // 2
+    ci = np.flatnonzero(canonical & (nsamp > 0))
+    if ci.size:
+        odt = np.int32 if pa.types.is_binary(arr.type) else np.int64
+        offs = (np.frombuffer(arr.buffers()[1], odt)
+                [arr.offset:arr.offset + n + 1].astype(np.int64))
+        vbuf = arr.buffers()[2]
+        vals = (np.frombuffer(vbuf, np.uint8) if vbuf is not None
+                else np.zeros(0, np.uint8))
+        seg = 2 * nsamp[ci]
+        cum = np.concatenate(([0], np.cumsum(seg)))
+        within = (np.arange(int(cum[-1]), dtype=np.int64)
+                  - np.repeat(cum[:-1], seg))
+        idx = np.repeat(offs[:-1][ci] + 44, seg) + within
+        s = vals[idx].view("<i2").astype(np.int64)  # gather copies -> aligned
+        sstart = cum[:-1] // 2
+        en[ci] = np.add.reduceat(s * s, sstart)
+        pk[ci] = np.maximum.reduceat(np.abs(s), sstart)
+        sign = s >= 0
+        flips = np.zeros(len(s), dtype=np.int64)
+        flips[:-1] = sign[1:] != sign[:-1]
+        flips[sstart[1:] - 1] = 0  # boundary between rows never flips
+        zc[ci] = np.add.reduceat(flips, sstart)
+        ns[ci] = nsamp[ci]
+    for i in np.flatnonzero(is_riff & ~canonical):
+        buf = arr[i].as_py()
+        span = _wav_data_span(buf)
+        if span is None:
+            continue
+        off, size = span
+        s = np.frombuffer(buf, dtype="<i2", offset=off,
+                          count=size // 2).astype(np.int64)
+        if len(s) == 0:
+            continue
+        sign = s >= 0
+        ns[i], pk[i], en[i] = len(s), int(np.abs(s).max()), int((s * s).sum())
+        zc[i] = int((sign[1:] != sign[:-1]).sum())
+    return ns, pk, en, zc
+
+
 def wav_sample_features(df: DataFrame, id_col: str = "media_id",
                         payload_col: str = "payload") -> DataFrame:
     """REAL sample-level audio features decoded from raw PCM bytes -- no
@@ -848,11 +917,11 @@ def wav_sample_features(df: DataFrame, id_col: str = "media_id",
         n_samples, peak = max|s|, energy = sum(s^2),
         zero_crossings = count of sign flips (s >= 0 boundary)
 
-    Rows whose payload is not a parseable PCM WAV are dropped. Per-row
-    work is O(n_samples) inside numpy; the Python-level loop is one
-    iteration per row (same bounded pattern as the JPEG marker walk --
-    at extreme row counts, concatenate payloads per batch and segment-sum
-    with np.add.reduceat, same trade documented in VERDICT r4)."""
+    Rows whose payload is not a parseable PCM WAV (or has no samples) are
+    dropped. Decode is fully vectorized for the canonical PCM layout via
+    pcm_sample_features_batch (one gather + reduceat segment aggregates,
+    zero per-row Python); only non-canonical RIFF variants pay the scalar
+    chunk walk."""
     import pandas as pd
 
     schema = ("media_id long, n_samples long, peak long, energy long, "
@@ -860,22 +929,11 @@ def wav_sample_features(df: DataFrame, id_col: str = "media_id",
 
     def fn(batches):
         for pdf in batches:
-            out = []
-            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
-                span = _wav_data_span(bytes(buf)) if buf is not None else None
-                if span is None:
-                    continue
-                off, size = span
-                s = np.frombuffer(buf, dtype="<i2", offset=off,
-                                  count=size // 2).astype(np.int64)
-                if len(s) == 0:
-                    continue
-                sign = s >= 0
-                out.append((int(mid), len(s), int(np.abs(s).max()),
-                            int((s * s).sum()),
-                            int((sign[1:] != sign[:-1]).sum())))
-            yield pd.DataFrame(out, columns=["media_id", "n_samples",
-                                             "peak", "energy",
-                                             "zero_crossings"])
+            ns, pk, en, zc = pcm_sample_features_batch(pdf[payload_col])
+            keep = ns >= 0
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].to_numpy()[keep],
+                "n_samples": ns[keep], "peak": pk[keep],
+                "energy": en[keep], "zero_crossings": zc[keep]})
 
     return df.mapInPandas(fn, schema)

@@ -123,3 +123,70 @@ def test_all_jpeg_batch_still_correct():
     fmts, w, h = parse_image_meta_batch(bufs)
     assert (fmts == "jpeg").all()
     assert (w == np.arange(20, 70)).all() and (h == np.arange(30, 80)).all()
+
+
+def _scalar_pcm_features(bufs):
+    """Per-row reference for pcm_sample_features_batch (the original
+    loop: RIFF walk + frombuffer + direct numpy aggregates)."""
+    from cld2_spark.operators.multimodal import _wav_data_span
+    out = []
+    for buf in bufs:
+        row = (-1, -1, -1, -1)
+        span = _wav_data_span(buf) if buf is not None else None
+        if span is not None:
+            off, size = span
+            s = np.frombuffer(buf, dtype="<i2", offset=off,
+                              count=size // 2).astype(np.int64)
+            if len(s):
+                sign = s >= 0
+                row = (len(s), int(np.abs(s).max()), int((s * s).sum()),
+                       int((sign[1:] != sign[:-1]).sum()))
+        out.append(row)
+    return np.array(out, dtype=np.int64).reshape(-1, 4)
+
+
+def _pcm_corpus() -> list[bytes | None]:
+    from cld2_spark.operators.multimodal import (encode_wav_fixture,
+                                                 encode_wav_pcm_fixture)
+    out = [encode_wav_pcm_fixture(i, (8000, 16000, 22050, 44100)[i % 4])
+           for i in range(50)]
+    out += [encode_wav_fixture(8000, 2, 40)]  # zeroed stereo payload
+    full = encode_wav_pcm_fixture(3)
+    out += [full[:k] for k in range(0, len(full), 5)]  # truncations
+    import struct
+    body = full[12:]
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    out.append(b"RIFF" + struct.pack("<I", 4 + len(lst) + len(body))
+               + b"WAVE" + lst + body)  # non-canonical -> scalar path
+    out += [None, b"", b"RIFF", b"RIFFxxxxWAVE", b"garbage", full + b"xx"]
+    return out
+
+
+def test_pcm_features_batch_matches_scalar():
+    from cld2_spark.operators.multimodal import pcm_sample_features_batch
+    corpus = _pcm_corpus()
+    got = np.stack(pcm_sample_features_batch(corpus), axis=1)
+    want = _scalar_pcm_features(corpus)
+    assert (got == want).all(), np.argwhere(got != want)
+
+
+def test_pcm_features_batch_speedup():
+    import time
+
+    from cld2_spark.operators.multimodal import (encode_wav_pcm_fixture,
+                                                 pcm_sample_features_batch)
+    corpus = [encode_wav_pcm_fixture(i % 500) for i in range(10_000)]
+    best_v = best_s = float("inf")
+    for _ in range(5):  # retry windows: this box has heavy neighbor steal
+        t = time.perf_counter()
+        pcm_sample_features_batch(corpus)
+        best_v = min(best_v, time.perf_counter() - t)
+        t = time.perf_counter()
+        _scalar_pcm_features(corpus)
+        best_s = min(best_s, time.perf_counter() - t)
+        if best_s / best_v >= 2.5:
+            break
+    # measured ~3.3x clean: the scalar loop is already numpy-inner per
+    # row, so vectorization removes only the per-row dispatch -- the bar
+    # is 2.5x to stay robust to neighbor steal
+    assert best_s / best_v >= 2.5, (best_s, best_v)

@@ -897,3 +897,81 @@ def test_incremental_dedup_semantics(spark):
            .sort_values("keep_id").reset_index(drop=True))
     assert out.keep_id.tolist() == [2, 4]
     assert out[out.keep_id == 2].n_copies.iloc[0] == 2
+
+
+def test_squeeze_run_splice_differential():
+    """The run-grouped splice must be byte-identical to a per-chunk
+    reference splice on randomized keep/drop patterns (incl. alternating
+    worst case, all-drop, all-keep, transition scans)."""
+    import numpy as np
+
+    from cld2_spark.kernels import squeeze as sq
+
+    def per_chunk_reference(text, chunksize=sq.CHUNKSIZE):
+        # the original per-chunk loop, reconstructed for the differential
+        buf = text.encode("utf-8")
+        n = len(buf)
+        if n == 0:
+            return text
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        space_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(arr == 0x20, out=space_cum[1:])
+        starts, c, incr = sq._packed_chars(arr)
+        space_thresh = chunksize * sq.SPACES_THRESH_PCT // 100
+        predict_thresh = chunksize * sq.PREDICT_THRESH_PCT // 100
+        bounds = [0]
+        src = 0
+        while src < n:
+            ln = min(chunksize, n - src)
+            while src + ln < n and (buf[src + ln] & 0xC0) == 0x80:
+                ln += 1
+            src += ln
+            bounds.append(src)
+        bounds_a = np.asarray(bounds, dtype=np.int64)
+        lo, hi = bounds_a[:-1], bounds_a[1:]
+        pred_cum = np.zeros(len(c) + 1, dtype=np.int64)
+        np.cumsum(sq._predicted_incr(c, incr), out=pred_cum[1:])
+        cidx = np.searchsorted(starts, bounds_a)
+        pred_n = pred_cum[cidx[1:]] - pred_cum[cidx[:-1]]
+        len4 = (hi - lo) & ~np.int64(3)
+        space_n = space_cum[lo + len4] - space_cum[lo]
+        drop = (space_n >= space_thresh) | (pred_n >= predict_thresh)
+        out = bytearray()
+        skipping = False
+        for k in range(len(lo)):
+            if drop[k]:
+                if not skipping:
+                    window = min(sq.MAX_SPACE_SCAN, len(out))
+                    p = (out.rfind(b" ", len(out) - window)
+                         if window else -1)
+                    if p >= 0:
+                        del out[p + 1:]
+                    if not out:
+                        out += b" "
+                    skipping = True
+            else:
+                chunk = buf[int(lo[k]):int(hi[k])]
+                if skipping:
+                    p = chunk.find(b" ", 0, sq.MAX_SPACE_SCAN)
+                    chunk = chunk[p + 1:] if p >= 0 else chunk
+                    skipping = False
+                out += chunk
+        return bytes(out).decode("utf-8", errors="ignore")
+
+    rng = np.random.default_rng(42)
+    cases = []
+    for _ in range(40):
+        # mix of repetitive (drop-prone) and diverse segments
+        segs = []
+        for _s in range(rng.integers(1, 8)):
+            if rng.random() < 0.5:
+                segs.append(("spam " * int(rng.integers(10, 40))))
+            else:
+                segs.append(" ".join(
+                    f"w{rng.integers(0, 10 ** 6)}"
+                    for _ in range(int(rng.integers(5, 40)))))
+        cases.append("".join(segs))
+    cases += ["", "a", "spam " * 500, "x" * 500, ("spam " * 20 + "end")]
+    for text in cases:
+        assert (sq.cheap_squeeze(text)
+                == per_chunk_reference(text)), text[:60]
