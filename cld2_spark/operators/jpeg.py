@@ -1,0 +1,403 @@
+"""Baseline JPEG (ITU-T T.81) grayscale codec in pure numpy — no image
+library. Closes the JPEG half of the "pixel-level features are stubbed"
+gap the same way the PNG path did (multimodal.decode_png_pixels): the
+container has no codecs, so the repo carries its own spec-conformant
+implementation of the public byte format.
+
+Scope: baseline DCT (SOF0), single 8-bit component (grayscale), standard
+Annex-K luminance quantization and Huffman tables, no restart markers,
+no subsampling (one component makes sampling factors moot). Color
+(YCbCr 3-component, chroma subsampling) remains out of scope and the
+multimodal feature kernel keeps its disclosed placeholder for color
+JPEG payloads.
+
+Conformance evidence without a reference codec in the container:
+- encoder and decoder are independent directions of the spec sharing
+  only constant tables — the decoder parses DQT/SOF0/DHT from the FILE
+  (canonical Huffman reconstruction per F.2.2.3), never from the
+  encoder's in-memory tables, so a table-emission bug breaks round-trip;
+- the zigzag order is GENERATED from the anti-diagonal walk rather than
+  transcribed (transcription errors impossible);
+- round-trip error is bounded by quantization analytically: a constant
+  block is DC-only and reconstructs EXACTLY (pinned in pytest), and
+  smooth gradients reconstruct within the quant-table bound;
+- bit-stuffing (0xFF -> 0xFF 0x00) and byte padding (1-fill) follow
+  B.1.1.5/F.1.2.3 and are exercised by fixtures whose entropy stream
+  contains 0xFF bytes.
+
+Reference parity note: CLD2 itself has no media path; this module exists
+for the training-pipeline multimodal mandate (SURVEY.md §2.13).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K Table K.1 — luminance quantization (quality 50)
+QTABLE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int64)
+
+# Annex K Tables K.3/K.5 — luminance DC/AC Huffman (BITS, HUFFVAL)
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _zigzag_order() -> np.ndarray:
+    """The T.81 Figure A.6 zigzag scan, generated from the anti-diagonal
+    walk (even diagonals ascend, odd descend) instead of transcribed."""
+    order = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]
+        order += [r * 8 + c for r, c in diag]
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix: FDCT = D @ B @ D.T, IDCT = D.T @ C @ D."""
+    k, n = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    d = np.cos((2 * n + 1) * k * np.pi / 16) * 0.5
+    d[0, :] = 1 / np.sqrt(8)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical assignment (C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:           # B.1.1.5 byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # 1-fill padding (F.1.2.3)
+        return bytes(self.buf)
+
+
+def _csize(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
+    """Baseline grayscale JPEG of a uint8 (h, w) array: edge-replication
+    pad to 8x8 multiples, level shift, FDCT, Annex-K quantization,
+    zigzag, DC differencing, canonical Huffman entropy coding."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    blocks = (padded.astype(np.float64) - 128.0).reshape(
+        ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            coef = _DCT @ blocks[by, bx] @ _DCT.T
+            q = np.round(coef / QTABLE).astype(np.int64)
+            zz = q.reshape(64)[ZIGZAG]
+            # DC: category + amplitude bits
+            diff = int(zz[0] - prev_dc)
+            prev_dc = int(zz[0])
+            s = _csize(diff)
+            c, ln = dc_codes[s]
+            bw.write(c, ln)
+            if s:
+                amp = diff if diff > 0 else diff + (1 << s) - 1
+                bw.write(amp, s)
+            # AC: run/size with ZRL and EOB
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for i in range(1, 64):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]     # ZRL
+                    bw.write(c, ln)
+                    run -= 16
+                s = _csize(v)
+                c, ln = ac_codes[(run << 4) | s]
+                bw.write(c, ln)
+                amp = v if v > 0 else v + (1 << s) - 1
+                bw.write(amp, s)
+                run = 0
+                if i == last_nz:
+                    break
+            if last_nz < 63:
+                c, ln = ac_codes[0x00]         # EOB
+                bw.write(c, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qz = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    dqt = seg(0xFFDB, b"\x00" + qz)
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+           + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)))
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        # un-stuff FF00 -> FF once, up front
+        self.data = data.replace(b"\xff\x00", b"\xff")
+        self.pos = 0    # bit position
+
+    def read_bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        bit = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_huff_tables(payload: bytes) -> dict[int, dict[tuple[int, int], int]]:
+    """DHT payload -> {table_class<<4|id: {(length, code): symbol}}
+    (canonical reconstruction, F.2.2.3). One DHT segment may carry
+    multiple tables back to back."""
+    out = {}
+    i = 0
+    while i < len(payload):
+        tc_id = payload[i]
+        bits = list(payload[i + 1:i + 17])
+        nvals = sum(bits)
+        vals = list(payload[i + 17:i + 17 + nvals])
+        table = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        out[tc_id] = table
+        i += 17 + nvals
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg_gray(buf: bytes) -> np.ndarray | None:
+    """Decode a baseline single-component JPEG produced by any conformant
+    encoder (not just encode_jpeg_gray): marker walk, DQT/SOF0/DHT from
+    the file, Huffman entropy decode, dequantize, dezigzag, IDCT.
+    Returns a uint8 (h, w) array, or None for anything unparseable or
+    outside the supported profile (progressive, color, restart markers).
+    """
+    try:
+        if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+            return None
+        qt = None
+        dims = None
+        huff: dict[int, dict[tuple[int, int], int]] = {}
+        i = 2
+        scan = None
+        while i + 4 <= len(buf):
+            if buf[i] != 0xFF:
+                return None
+            marker = (buf[i] << 8) | buf[i + 1]
+            if marker == 0xFFD9:
+                break
+            (ln,) = struct.unpack_from(">H", buf, i + 2)
+            payload = buf[i + 4:i + 2 + ln]
+            if marker == 0xFFDB:
+                j = 0
+                while j < len(payload):
+                    if payload[j] & 0xF0:
+                        return None    # 16-bit table: out of profile
+                    t = np.zeros(64, dtype=np.int64)
+                    t[ZIGZAG] = np.frombuffer(
+                        payload[j + 1:j + 65], dtype=np.uint8)
+                    if payload[j] & 0x0F == 0:
+                        qt = t.reshape(8, 8)
+                    j += 65
+            elif marker == 0xFFC0:
+                prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+                if prec != 8 or nc != 1:
+                    return None        # color / high precision: stubbed
+                dims = (h, w)
+            elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+                return None            # extended/progressive/lossless
+            elif marker == 0xFFC4:
+                huff.update(_decode_huff_tables(payload))
+            elif marker == 0xFFDD:
+                return None            # restart intervals: out of profile
+            elif marker == 0xFFDA:
+                scan = buf[i + 2 + ln:]
+                break
+            i += 2 + ln
+        if scan is None or qt is None or dims is None \
+                or 0x00 not in huff or 0x10 not in huff:
+            return None
+        h, w = dims
+        if h == 0 or w == 0:
+            return None
+        end = scan.rfind(b"\xff\xd9")
+        if end >= 0:
+            scan = scan[:end]
+        br = _BitReader(scan)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        out = np.zeros((ph, pw), dtype=np.float64)
+        prev_dc = 0
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                zz = np.zeros(64, dtype=np.int64)
+                s = _read_symbol(br, huff[0x00])
+                diff = _extend(br.read_bits(s), s) if s else 0
+                prev_dc += diff
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    rs = _read_symbol(br, huff[0x10])
+                    if rs == 0x00:     # EOB
+                        break
+                    if rs == 0xF0:     # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    s = rs & 0x0F
+                    if k > 63:
+                        return None
+                    zz[k] = _extend(br.read_bits(s), s)
+                    k += 1
+                coef = np.zeros(64, dtype=np.int64)
+                coef[ZIGZAG] = zz
+                block = _DCT.T @ (coef.reshape(8, 8) * qt) @ _DCT
+                out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+        return np.clip(np.round(out + 128.0), 0, 255).astype(
+            np.uint8)[:h, :w]
+    except (IndexError, ValueError, struct.error):
+        return None
+
+
+def gray_fixture_pixels(media_id: int) -> np.ndarray:
+    """Deterministic grayscale test image for media_id: a diagonal ramp
+    with id-dependent slope/phase (smooth -> small quantization error,
+    non-trivial AC coefficients). Dims exercise non-multiple-of-8 crops."""
+    h = 8 * (2 + media_id % 3) + media_id % 5
+    w = 8 * (2 + media_id % 4) + media_id % 7
+    a = 1 + media_id % 5
+    b = 1 + media_id % 3
+    y, x = np.mgrid[0:h, 0:w]
+    # triangle wave: continuous (no 255->0 wrap edges), so quantized-DCT
+    # ringing stays small and the round-trip error bound is meaningful
+    return np.abs(((a * x + b * y + media_id) % 510) - 255).astype(np.uint8)
+
+
+def jpeg_gray_features(px: np.ndarray) -> tuple[int, ...]:
+    """Integer-exact features of a decoded grayscale image: dims, sum,
+    sum of squares, min, max, 4-bin histogram."""
+    v = px.astype(np.int64)
+    hist = np.bincount(v.reshape(-1) >> 6, minlength=4)
+    return (px.shape[1], px.shape[0], int(v.sum()), int((v * v).sum()),
+            int(v.min()), int(v.max()),
+            int(hist[0]), int(hist[1]), int(hist[2]), int(hist[3]))
+
+
+def jpeg_feature_extract(df, id_col: str = "media_id",
+                         payload_col: str = "payload"):
+    """mapInPandas: decode baseline grayscale JPEG payloads and emit the
+    integer-exact feature row per decodable payload (others dropped).
+    Per-row Python is inherent here — entropy decoding is bit-serial by
+    design (each Huffman symbol's position depends on all previous ones);
+    the production scale-out is rows-across-executors, not SIMD."""
+    import pandas as pd
+
+    schema = ("media_id long, width long, height long, px_sum long, "
+              "px_sumsq long, px_min long, px_max long, "
+              "h0 long, h1 long, h2 long, h3 long")
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_jpeg_gray(bytes(buf)) if buf is not None else None
+                if px is None:
+                    continue
+                rows.append((int(mid),) + jpeg_gray_features(px))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "px_sum", "px_sumsq",
+                "px_min", "px_max", "h0", "h1", "h2", "h3"])
+
+    return df.mapInPandas(fn, schema)

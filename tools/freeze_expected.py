@@ -42,6 +42,7 @@ LANGID_FILE = "expected_langid_sf0_01.parquet"
 KEEP_DROP_FILE = "expected_keep_drop_sf0_01.parquet"
 SPANS_FILE = "expected_spans_sf0_01.parquet"
 MEDIA_FEATURES_FILE = "expected_media_features_sf0_01.parquet"
+JPEG_FEATURES_FILE = "expected_jpeg_features_sf0_01.parquet"
 
 _LANGID_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -121,7 +122,36 @@ def compute_fixtures(sf_dir: str) -> dict[str, pa.Table]:
 
     return {LANGID_FILE: langid, KEEP_DROP_FILE: keep_drop,
             SPANS_FILE: spans,
-            MEDIA_FEATURES_FILE: _media_features_fixture(sf_dir)}
+            MEDIA_FEATURES_FILE: _media_features_fixture(sf_dir),
+            JPEG_FEATURES_FILE: _jpeg_features_fixture(sf_dir)}
+
+
+def _jpeg_features_fixture(sf_dir: str) -> pa.Table:
+    """Expected `jpeg_features` rows: doc_id -> grayscale fixture image
+    -> REAL baseline-JPEG encode -> REAL entropy-decode + IDCT ->
+    integer-exact features, run single-node. All columns are int64
+    (counts/sums of uint8 pixels), so the driver's exact value hash has
+    no float convention to match."""
+    from cld2_spark.operators.jpeg import (decode_jpeg_gray,
+                                           encode_jpeg_gray,
+                                           gray_fixture_pixels,
+                                           jpeg_gray_features)
+
+    con = duckdb.connect()
+    ids = con.execute(
+        "SELECT doc_id FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') ORDER BY doc_id").df()["doc_id"]
+    con.close()
+    cols_names = ["width", "height", "px_sum", "px_sumsq", "px_min",
+                  "px_max", "h0", "h1", "h2", "h3"]
+    rows = np.zeros((len(ids), 10), dtype=np.int64)
+    for j, did in enumerate(ids):
+        px = decode_jpeg_gray(encode_jpeg_gray(gray_fixture_pixels(int(did))))
+        rows[j] = jpeg_gray_features(px)
+    cols = {"media_id": pa.array(ids.astype(np.int64), type=pa.int64())}
+    for i, name in enumerate(cols_names):
+        cols[name] = pa.array(rows[:, i], type=pa.int64())
+    return pa.table(cols)
 
 
 def _media_features_fixture(sf_dir: str) -> pa.Table:
