@@ -4,12 +4,13 @@ gap the same way the PNG path did (multimodal.decode_png_pixels): the
 container has no codecs, so the repo carries its own spec-conformant
 implementation of the public byte format.
 
-Scope: baseline DCT (SOF0), single 8-bit component (grayscale), standard
-Annex-K luminance quantization and Huffman tables, no restart markers,
-no subsampling (one component makes sampling factors moot). Color
-(YCbCr 3-component, chroma subsampling) remains out of scope and the
-multimodal feature kernel keeps its disclosed placeholder for color
-JPEG payloads.
+Scope: baseline DCT (SOF0), 8-bit precision, no restart markers, two
+profiles: single-component grayscale (encode_jpeg_gray/decode_jpeg_gray)
+and 3-component YCbCr color at 4:4:4 — interleaved one-block-per-
+component MCUs with separate luminance/chrominance quantization and
+Huffman tables (encode_jpeg_color/decode_jpeg_color). Chroma-SUBSAMPLED
+streams (4:2:0/4:2:2) and progressive scans are rejected cleanly, not
+misdecoded; those remain the only disclosed JPEG gaps.
 
 Conformance evidence without a reference codec in the container:
 - encoder and decoder are independent directions of the spec sharing
@@ -399,5 +400,300 @@ def jpeg_feature_extract(df, id_col: str = "media_id",
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "px_sum", "px_sumsq",
                 "px_min", "px_max", "h0", "h1", "h2", "h3"])
+
+    return df.mapInPandas(fn, schema)
+
+
+# ------------------------------------------------------------- color ----
+
+# Annex K Table K.2 — chrominance quantization
+QTABLE_C = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int64)
+
+# Annex K Tables K.4/K.6 — chrominance DC/AC Huffman
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range RGB -> YCbCr (float64, unclipped)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr -> RGB uint8 (clipped)."""
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                   0, 255).astype(np.uint8)
+
+
+def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
+                  prev_dc: int, dc_codes, ac_codes) -> int:
+    coef = _DCT @ block @ _DCT.T
+    q = np.round(coef / qt).astype(np.int64)
+    zz = q.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    s = _csize(diff)
+    c, ln = dc_codes[s]
+    bw.write(c, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        s = _csize(v)
+        c, ln = ac_codes[(run << 4) | s]
+        bw.write(c, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+        if i == last_nz:
+            break
+    if last_nz < 63:
+        c, ln = ac_codes[0x00]
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg_color(rgb: np.ndarray) -> bytes:
+    """Baseline color JPEG at 4:4:4 (no chroma subsampling): RGB ->
+    YCbCr, interleaved Y/Cb/Cr MCUs of one 8x8 block each, luminance
+    tables for Y and chrominance tables for Cb/Cr (quant table ids 0/1,
+    Huffman table ids 0/1 per class) — the T.81 A.2.3 interleave order."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    ycc = rgb_to_ycbcr(np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)),
+                              mode="edge")) - 128.0
+    dc_l = _canonical_codes(DC_BITS, DC_VALS)
+    ac_l = _canonical_codes(AC_BITS, AC_VALS)
+    dc_c = _canonical_codes(DC_BITS_C, DC_VALS_C)
+    ac_c = _canonical_codes(AC_BITS_C, AC_VALS_C)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            tile = ycc[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            for comp, (qt, dc, ac) in enumerate(
+                    [(QTABLE, dc_l, ac_l), (QTABLE_C, dc_c, ac_c),
+                     (QTABLE_C, dc_c, ac_c)]):
+                prev[comp] = _encode_block(
+                    bw, tile[:, :, comp], qt, prev[comp], dc, ac)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qzl = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    qzc = QTABLE_C.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    dqt = seg(0xFFDB, b"\x00" + qzl) + seg(0xFFDB, b"\x01" + qzc)
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+              + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    dht = (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+           + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+           + seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+           + seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C)))
+    sos = seg(0xFFDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11"
+              + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _decode_block(br: _BitReader, dc_t, ac_t, qt: np.ndarray,
+                  prev_dc: int) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+    s = _read_symbol(br, dc_t)
+    prev_dc += _extend(br.read_bits(s), s) if s else 0
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = _read_symbol(br, ac_t)
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            k += 16
+            continue
+        k += rs >> 4
+        s = rs & 0x0F
+        if k > 63:
+            raise ValueError("AC index overrun")
+        zz[k] = _extend(br.read_bits(s), s)
+        k += 1
+    coef = np.zeros(64, dtype=np.int64)
+    coef[ZIGZAG] = zz
+    return _DCT.T @ (coef.reshape(8, 8) * qt) @ _DCT, prev_dc
+
+
+def decode_jpeg_color(buf: bytes) -> np.ndarray | None:
+    """Decode a baseline 4:4:4 color JPEG (3 components, all sampling
+    factors 1x1): returns uint8 (h, w, 3) RGB, or None for anything
+    unparseable / out of profile (grayscale goes to decode_jpeg_gray;
+    subsampled 4:2:0/4:2:2 streams are rejected, not misdecoded)."""
+    import struct as _struct
+
+    try:
+        if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+            return None
+        qts: dict[int, np.ndarray] = {}
+        huff: dict[int, dict[tuple[int, int], int]] = {}
+        dims = None
+        comp_q: list[int] = []
+        scan = None
+        comp_huff: list[tuple[int, int]] = []
+        i = 2
+        while i + 4 <= len(buf):
+            if buf[i] != 0xFF:
+                return None
+            marker = (buf[i] << 8) | buf[i + 1]
+            if marker == 0xFFD9:
+                break
+            (ln,) = _struct.unpack_from(">H", buf, i + 2)
+            payload = buf[i + 4:i + 2 + ln]
+            if marker == 0xFFDB:
+                j = 0
+                while j < len(payload):
+                    if payload[j] & 0xF0:
+                        return None
+                    t = np.zeros(64, dtype=np.int64)
+                    t[ZIGZAG] = np.frombuffer(
+                        payload[j + 1:j + 65], dtype=np.uint8)
+                    qts[payload[j] & 0x0F] = t.reshape(8, 8)
+                    j += 65
+            elif marker == 0xFFC0:
+                prec, h, w, nc = _struct.unpack_from(">BHHB", payload, 0)
+                if prec != 8 or nc != 3:
+                    return None
+                for c in range(3):
+                    samp = payload[6 + 3 * c + 1]
+                    if samp != 0x11:
+                        return None       # subsampling: out of profile
+                    comp_q.append(payload[6 + 3 * c + 2])
+                dims = (h, w)
+            elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+                return None
+            elif marker == 0xFFC4:
+                huff.update(_decode_huff_tables(payload))
+            elif marker == 0xFFDD:
+                return None
+            elif marker == 0xFFDA:
+                ns = payload[0]
+                if ns != 3:
+                    return None
+                for c in range(3):
+                    td_ta = payload[2 + 2 * c]
+                    comp_huff.append((td_ta >> 4, td_ta & 0x0F))
+                scan = buf[i + 2 + ln:]
+                break
+            i += 2 + ln
+        if scan is None or dims is None or len(comp_q) != 3:
+            return None
+        h, w = dims
+        if h == 0 or w == 0:
+            return None
+        end = scan.rfind(b"\xff\xd9")
+        if end >= 0:
+            scan = scan[:end]
+        br = _BitReader(scan)
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        out = np.zeros((ph, pw, 3), dtype=np.float64)
+        prev = [0, 0, 0]
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for c in range(3):
+                    td, ta = comp_huff[c]
+                    block, prev[c] = _decode_block(
+                        br, huff[td], huff[0x10 | ta], qts[comp_q[c]],
+                        prev[c])
+                    out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, c] = block
+        return ycbcr_to_rgb(out + 128.0)[:h, :w]
+    except (IndexError, KeyError, ValueError, _struct.error):
+        return None
+
+
+def color_fixture_pixels(media_id: int) -> np.ndarray:
+    """Deterministic RGB test image: three phase-shifted triangle ramps
+    (continuous per channel, so quantized-DCT error stays small)."""
+    h = 8 * (2 + media_id % 3) + media_id % 5
+    w = 8 * (2 + media_id % 4) + media_id % 7
+    y, x = np.mgrid[0:h, 0:w]
+    r = np.abs(((x + 2 * y + media_id) % 510) - 255)
+    g = np.abs(((2 * x + y + 3 * media_id) % 510) - 255)
+    b = np.abs(((x + y + 7 * media_id) % 510) - 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def jpeg_color_features(px: np.ndarray) -> tuple[int, ...]:
+    """Integer-exact features of a decoded RGB image: dims + per-channel
+    sum/min/max of the decoded uint8 planes."""
+    v = px.astype(np.int64)
+    out = [px.shape[1], px.shape[0]]
+    for c in range(3):
+        out += [int(v[..., c].sum()), int(v[..., c].min()),
+                int(v[..., c].max())]
+    return tuple(out)
+
+
+def jpeg_color_feature_extract(df, id_col: str = "media_id",
+                               payload_col: str = "payload"):
+    """mapInPandas: decode baseline 4:4:4 color JPEG payloads and emit
+    integer-exact per-channel features (undecodable rows dropped)."""
+    import pandas as pd
+
+    cols = ["media_id", "width", "height",
+            "r_sum", "r_min", "r_max", "g_sum", "g_min", "g_max",
+            "b_sum", "b_min", "b_max"]
+    schema = ", ".join(f"{c} long" for c in cols)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                px = (decode_jpeg_color(bytes(buf))
+                      if buf is not None else None)
+                if px is None:
+                    continue
+                rows.append((int(mid),) + jpeg_color_features(px))
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(fn, schema)

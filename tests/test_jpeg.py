@@ -143,3 +143,50 @@ def test_quant_table_survives_the_file():
     q = np.round(coef / QTABLE) * QTABLE
     ref = np.clip(np.round(_DCT.T @ q @ _DCT + 128.0), 0, 255).astype(np.uint8)
     assert (dec == ref).all()
+
+
+def test_color_roundtrip_error_bounded():
+    from cld2_spark.operators.jpeg import (color_fixture_pixels,
+                                           decode_jpeg_color,
+                                           encode_jpeg_color)
+    worst = 0
+    for i in range(40):
+        rgb = color_fixture_pixels(i)
+        dec = decode_jpeg_color(encode_jpeg_color(rgb))
+        assert dec is not None and dec.shape == rgb.shape, i
+        worst = max(worst, int(np.abs(dec.astype(int)
+                                      - rgb.astype(int)).max()))
+    # measured 7 on the fixture family (smooth channels); 20 leaves
+    # headroom for the coarse chroma quantization
+    assert worst <= 20, worst
+
+
+def test_color_gray_cross_profile_rejection():
+    from cld2_spark.operators.jpeg import (color_fixture_pixels,
+                                           decode_jpeg_color,
+                                           encode_jpeg_color)
+    color = encode_jpeg_color(color_fixture_pixels(5))
+    gray = encode_jpeg_gray(gray_fixture_pixels(5))
+    assert decode_jpeg_gray(color) is None
+    assert decode_jpeg_color(gray) is None
+    for k in range(0, len(color), 11):
+        decode_jpeg_color(color[:k])  # must not raise
+    assert decode_jpeg_color(b"garbage") is None
+
+
+def test_color_uses_distinct_chroma_tables():
+    """A saturated-chroma image must place energy in Cb/Cr blocks coded
+    with the CHROMINANCE tables — decode only succeeds if the decoder
+    selects per-component tables from the SOS header, not a global one."""
+    from cld2_spark.operators.jpeg import (decode_jpeg_color,
+                                           encode_jpeg_color, rgb_to_ycbcr)
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[:, :8, 0] = 250   # red half -> strong Cr
+    rgb[:, 8:, 2] = 250   # blue half -> strong Cb
+    dec = decode_jpeg_color(encode_jpeg_color(rgb))
+    assert dec is not None
+    # chroma planes must survive with the right sign structure
+    ycc_in = rgb_to_ycbcr(rgb)
+    ycc_out = rgb_to_ycbcr(dec)
+    assert np.sign(ycc_in[2, 2, 2] - 128) == np.sign(ycc_out[2, 2, 2] - 128)
+    assert np.sign(ycc_in[2, 12, 1] - 128) == np.sign(ycc_out[2, 12, 1] - 128)

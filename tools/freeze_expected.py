@@ -43,6 +43,7 @@ KEEP_DROP_FILE = "expected_keep_drop_sf0_01.parquet"
 SPANS_FILE = "expected_spans_sf0_01.parquet"
 MEDIA_FEATURES_FILE = "expected_media_features_sf0_01.parquet"
 JPEG_FEATURES_FILE = "expected_jpeg_features_sf0_01.parquet"
+JPEG_COLOR_FILE = "expected_jpeg_color_sf0_01.parquet"
 
 _LANGID_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -123,7 +124,36 @@ def compute_fixtures(sf_dir: str) -> dict[str, pa.Table]:
     return {LANGID_FILE: langid, KEEP_DROP_FILE: keep_drop,
             SPANS_FILE: spans,
             MEDIA_FEATURES_FILE: _media_features_fixture(sf_dir),
-            JPEG_FEATURES_FILE: _jpeg_features_fixture(sf_dir)}
+            JPEG_FEATURES_FILE: _jpeg_features_fixture(sf_dir),
+            JPEG_COLOR_FILE: _jpeg_color_fixture(sf_dir)}
+
+
+def _jpeg_color_fixture(sf_dir: str) -> pa.Table:
+    """Expected `jpeg_color_features` rows: doc_id -> RGB fixture ->
+    baseline 4:4:4 color JPEG encode -> independent decode (interleaved
+    MCUs, chroma tables, YCbCr->RGB) -> integer-exact per-channel
+    features, run single-node."""
+    from cld2_spark.operators.jpeg import (color_fixture_pixels,
+                                           decode_jpeg_color,
+                                           encode_jpeg_color,
+                                           jpeg_color_features)
+
+    con = duckdb.connect()
+    ids = con.execute(
+        "SELECT doc_id FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') ORDER BY doc_id").df()["doc_id"]
+    con.close()
+    names = ["width", "height", "r_sum", "r_min", "r_max",
+             "g_sum", "g_min", "g_max", "b_sum", "b_min", "b_max"]
+    rows = np.zeros((len(ids), len(names)), dtype=np.int64)
+    for j, did in enumerate(ids):
+        px = decode_jpeg_color(
+            encode_jpeg_color(color_fixture_pixels(int(did))))
+        rows[j] = jpeg_color_features(px)
+    cols = {"media_id": pa.array(ids.astype(np.int64), type=pa.int64())}
+    for i, name in enumerate(names):
+        cols[name] = pa.array(rows[:, i], type=pa.int64())
+    return pa.table(cols)
 
 
 def _jpeg_features_fixture(sf_dir: str) -> pa.Table:
