@@ -510,14 +510,16 @@ def _q_jpeg_features(spark, sf_dir):
 
 
 def _q_jpeg_color_features(spark, sf_dir):
-    """REAL baseline COLOR JPEG at 4:4:4 (operators/jpeg): RGB fixture ->
-    interleaved 3-component MCU encode (luminance + chrominance Annex-K
-    tables) -> independent decode (file-DHT Huffman, per-component DC
-    predictors, YCbCr->RGB) -> integer-exact per-channel features;
-    frozen-fixture hash-verified."""
+    """REAL baseline COLOR JPEG (operators/jpeg): RGB fixture ->
+    interleaved 3-component MCU encode at 4:4:4 for even ids and 4:2:0
+    chroma subsampling for odd ids (the camera/web layout) ->
+    independent decode (file-DHT Huffman, sampling-factor MCU walk,
+    per-component DC predictors, chroma upsample, YCbCr->RGB) ->
+    integer-exact per-channel features; frozen-fixture hash-verified."""
     import pandas as pd
 
     from cld2_spark.operators.jpeg import (color_fixture_pixels,
+                                           encode_jpeg_420,
                                            encode_jpeg_color,
                                            jpeg_color_feature_extract)
     _register(spark, sf_dir)
@@ -527,8 +529,10 @@ def _q_jpeg_color_features(spark, sf_dir):
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame({
                 "media_id": ids,
-                "payload": [encode_jpeg_color(color_fixture_pixels(int(i)))
-                            for i in ids]})
+                "payload": [
+                    (encode_jpeg_color if i % 2 == 0 else encode_jpeg_420)(
+                        color_fixture_pixels(int(i)))
+                    for i in ids]})
 
     media = (spark.table("documents").select("doc_id")
              .mapInPandas(enc, "media_id long, payload binary"))

@@ -4,12 +4,14 @@ gap the same way the PNG path did (multimodal.decode_png_pixels): the
 container has no codecs, so the repo carries its own spec-conformant
 implementation of the public byte format.
 
-Scope: baseline DCT (SOF0), 8-bit precision, no restart markers, two
-profiles: single-component grayscale (encode_jpeg_gray/decode_jpeg_gray)
-and 3-component YCbCr color at 4:4:4 — interleaved one-block-per-
-component MCUs with separate luminance/chrominance quantization and
-Huffman tables (encode_jpeg_color/decode_jpeg_color). Chroma-SUBSAMPLED
-streams (4:2:0/4:2:2) and progressive scans are rejected cleanly, not
+Scope: baseline DCT (SOF0), 8-bit precision, no restart markers, three
+profiles: single-component grayscale (encode_jpeg_gray/decode_jpeg_gray),
+3-component YCbCr color at 4:4:4 (encode_jpeg_color), and 4:2:0 chroma
+subsampling — the layout virtually every camera/web JPEG uses — with
+16x16 MCUs of four Y blocks + box-averaged Cb/Cr (encode_jpeg_420);
+decode_jpeg_color handles both color layouts by generalizing the MCU
+walk over the SOF sampling factors (T.81 A.2.3 interleave, replicate
+upsample). 4:2:2/4:1:1 and progressive scans are rejected cleanly, not
 misdecoded; those remain the only disclosed JPEG gaps.
 
 Conformance evidence without a reference codec in the container:
@@ -604,11 +606,16 @@ def decode_jpeg_color(buf: bytes) -> np.ndarray | None:
                 prec, h, w, nc = _struct.unpack_from(">BHHB", payload, 0)
                 if prec != 8 or nc != 3:
                     return None
+                samps = []
                 for c in range(3):
                     samp = payload[6 + 3 * c + 1]
-                    if samp != 0x11:
-                        return None       # subsampling: out of profile
+                    samps.append((samp >> 4, samp & 0x0F))
                     comp_q.append(payload[6 + 3 * c + 2])
+                # supported layouts: 4:4:4 (all 1x1) and 4:2:0
+                # (Y 2x2, chroma 1x1); anything else is out of profile
+                if samps not in ([(1, 1)] * 3,
+                                 [(2, 2), (1, 1), (1, 1)]):
+                    return None
                 dims = (h, w)
             elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
                 return None
@@ -635,17 +642,34 @@ def decode_jpeg_color(buf: bytes) -> np.ndarray | None:
         if end >= 0:
             scan = scan[:end]
         br = _BitReader(scan)
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        out = np.zeros((ph, pw, 3), dtype=np.float64)
+        hmax = max(s[0] for s in samps)
+        vmax = max(s[1] for s in samps)
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
+        planes = [np.zeros((ph * vc // vmax, pw * hc // hmax))
+                  for hc, vc in samps]
         prev = [0, 0, 0]
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                for c in range(3):
+        for my in range(ph // mcu_h):
+            for mx in range(pw // mcu_w):
+                # T.81 A.2.3 interleave: per component, vc x hc blocks
+                for c, (hc, vc) in enumerate(samps):
                     td, ta = comp_huff[c]
-                    block, prev[c] = _decode_block(
-                        br, huff[td], huff[0x10 | ta], qts[comp_q[c]],
-                        prev[c])
-                    out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, c] = block
+                    for byy in range(vc):
+                        for bxx in range(hc):
+                            block, prev[c] = _decode_block(
+                                br, huff[td], huff[0x10 | ta],
+                                qts[comp_q[c]], prev[c])
+                            y0 = (my * vc + byy) * 8
+                            x0 = (mx * hc + bxx) * 8
+                            planes[c][y0:y0 + 8, x0:x0 + 8] = block
+        out = np.zeros((ph, pw, 3), dtype=np.float64)
+        for c, (hc, vc) in enumerate(samps):
+            p = planes[c]
+            if hc < hmax:
+                p = np.repeat(p, hmax // hc, axis=1)   # replicate upsample
+            if vc < vmax:
+                p = np.repeat(p, vmax // vc, axis=0)
+            out[:, :, c] = p
         return ycbcr_to_rgb(out + 128.0)[:h, :w]
     except (IndexError, KeyError, ValueError, _struct.error):
         return None
@@ -697,3 +721,55 @@ def jpeg_color_feature_extract(df, id_col: str = "media_id",
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(fn, schema)
+
+
+def encode_jpeg_420(rgb: np.ndarray) -> bytes:
+    """Baseline color JPEG with 4:2:0 chroma subsampling — the layout
+    virtually every camera/web JPEG uses: 16x16 MCUs of four Y blocks
+    (2x2) plus one Cb and one Cr block from 2x2 box-averaged chroma."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    ycc = rgb_to_ycbcr(np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)),
+                              mode="edge")) - 128.0
+    yp = ycc[:, :, 0]
+    # 2x2 box-filter chroma downsample
+    sub = [(ycc[0::2, 0::2, c] + ycc[1::2, 0::2, c]
+            + ycc[0::2, 1::2, c] + ycc[1::2, 1::2, c]) / 4.0
+           for c in (1, 2)]
+    dc_l = _canonical_codes(DC_BITS, DC_VALS)
+    ac_l = _canonical_codes(AC_BITS, AC_VALS)
+    dc_c = _canonical_codes(DC_BITS_C, DC_VALS_C)
+    ac_c = _canonical_codes(AC_BITS_C, AC_VALS_C)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for byy in range(2):          # four Y blocks, raster order
+                for bxx in range(2):
+                    y0, x0 = my * 16 + byy * 8, mx * 16 + bxx * 8
+                    prev[0] = _encode_block(
+                        bw, yp[y0:y0 + 8, x0:x0 + 8], QTABLE,
+                        prev[0], dc_l, ac_l)
+            for c in (0, 1):              # one Cb, one Cr block
+                y0, x0 = my * 8, mx * 8
+                prev[c + 1] = _encode_block(
+                    bw, sub[c][y0:y0 + 8, x0:x0 + 8], QTABLE_C,
+                    prev[c + 1], dc_c, ac_c)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qzl = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    qzc = QTABLE_C.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    dqt = seg(0xFFDB, b"\x00" + qzl) + seg(0xFFDB, b"\x01" + qzc)
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+              + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    dht = (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+           + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+           + seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+           + seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C)))
+    sos = seg(0xFFDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11"
+              + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"

@@ -190,3 +190,41 @@ def test_color_uses_distinct_chroma_tables():
     ycc_out = rgb_to_ycbcr(dec)
     assert np.sign(ycc_in[2, 2, 2] - 128) == np.sign(ycc_out[2, 2, 2] - 128)
     assert np.sign(ycc_in[2, 12, 1] - 128) == np.sign(ycc_out[2, 12, 1] - 128)
+
+
+def test_420_roundtrip_error_bounded_and_444_unchanged():
+    from cld2_spark.operators.jpeg import (color_fixture_pixels,
+                                           decode_jpeg_color,
+                                           encode_jpeg_420,
+                                           encode_jpeg_color)
+    worst = 0
+    for i in range(40):
+        rgb = color_fixture_pixels(i)
+        dec = decode_jpeg_color(encode_jpeg_420(rgb))
+        assert dec is not None and dec.shape == rgb.shape, i
+        worst = max(worst, int(np.abs(dec.astype(int)
+                                      - rgb.astype(int)).max()))
+    # measured 12: quant + box-downsample + replicate-upsample; 32 is
+    # the headroom bound for the fixture slope family
+    assert worst <= 32, worst
+    # the generalized MCU walk must not change 4:4:4 decoding
+    rgb = color_fixture_pixels(7)
+    d = decode_jpeg_color(encode_jpeg_color(rgb))
+    assert np.abs(d.astype(int) - rgb.astype(int)).max() <= 20
+
+
+def test_422_and_truncated_420_rejected_or_safe():
+    import struct as _s
+
+    from cld2_spark.operators.jpeg import (color_fixture_pixels,
+                                           decode_jpeg_color,
+                                           encode_jpeg_420)
+    buf = bytearray(encode_jpeg_420(color_fixture_pixels(2)))
+    i = bytes(buf).find(b"\xff\xc0")
+    # rewrite Y sampling 0x22 -> 0x21 (4:2:2): out of profile -> None
+    assert buf[i + 4 + 6 + 1] == 0x22
+    buf2 = bytearray(buf)
+    buf2[i + 4 + 6 + 1] = 0x21
+    assert decode_jpeg_color(bytes(buf2)) is None
+    for k in range(0, len(buf), 13):
+        decode_jpeg_color(bytes(buf[:k]))  # no crash on truncations

@@ -135,6 +135,7 @@ def _jpeg_color_fixture(sf_dir: str) -> pa.Table:
     features, run single-node."""
     from cld2_spark.operators.jpeg import (color_fixture_pixels,
                                            decode_jpeg_color,
+                                           encode_jpeg_420,
                                            encode_jpeg_color,
                                            jpeg_color_features)
 
@@ -147,8 +148,8 @@ def _jpeg_color_fixture(sf_dir: str) -> pa.Table:
              "g_sum", "g_min", "g_max", "b_sum", "b_min", "b_max"]
     rows = np.zeros((len(ids), len(names)), dtype=np.int64)
     for j, did in enumerate(ids):
-        px = decode_jpeg_color(
-            encode_jpeg_color(color_fixture_pixels(int(did))))
+        enc = encode_jpeg_color if int(did) % 2 == 0 else encode_jpeg_420
+        px = decode_jpeg_color(enc(color_fixture_pixels(int(did))))
         rows[j] = jpeg_color_features(px)
     cols = {"media_id": pa.array(ids.astype(np.int64), type=pa.int64())}
     for i, name in enumerate(names):
