@@ -181,7 +181,8 @@ def main() -> None:
                      # round 5 session 3: exact span dedup, funnel,
                      # stream-stream join, PCM sample decode
                      "dup_spans", "funnel", "events_stream_join",
-                     "audio_features"]:
+                     "audio_features", "jpeg_features",
+                     "curation_pipeline"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()
