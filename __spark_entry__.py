@@ -869,6 +869,38 @@ def _q_event_anomalies(spark, sf_dir):
     return daily_anomalies(spark.table("events"))
 
 
+def _q_cube_revenue(spark, sf_dir):
+    """CUBE grouping sets (complements order_rollup's ROLLUP): order
+    counts and exact integer revenue cents over all 4 subsets of
+    (priority, status). Catalyst lowers CUBE to one Expand + single
+    aggregate — no re-scan per grouping set."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    o = spark.table("orders")
+    cents = F.expr("CAST(FLOOR(o_totalprice * 100) AS BIGINT)")
+    return (o.cube("o_orderpriority", "o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(cents).alias("revenue_cents")))
+
+
+def _q_viewers_not_buyers(spark, sf_dir):
+    """Set operators EXCEPT / INTERSECT (SURVEY §2.7 completes): users
+    who viewed but never purchased, and the view-AND-click overlap, as
+    one unioned labeled result. Both lower to aggregate/semi-join
+    shapes, not sorts."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        "SELECT 'view_not_buy' AS cohort, user_id FROM ("
+        "  SELECT user_id FROM events WHERE event_type = 'view' "
+        "  EXCEPT "
+        "  SELECT user_id FROM events WHERE event_type = 'purchase') "
+        "UNION ALL "
+        "SELECT 'view_and_click' AS cohort, user_id FROM ("
+        "  SELECT user_id FROM events WHERE event_type = 'view' "
+        "  INTERSECT "
+        "  SELECT user_id FROM events WHERE event_type = 'click')")
+
+
 def _q_order_distribution(spark, sf_dir):
     """Customer-order-count distribution (TPC-H Q13 shape): LEFT OUTER
     join customer<-filtered orders, per-customer count, then the
@@ -1279,6 +1311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies": _q_event_anomalies,
         "user_reach": _q_user_reach,
         "order_distribution": _q_order_distribution,
+        "cube_revenue": _q_cube_revenue,
+        "viewers_not_buyers": _q_viewers_not_buyers,
         "big_orders": _q_big_orders,
         "cheapest_supplier": _q_cheapest_supplier,
         "tfidf_terms": _q_tfidf_terms,
@@ -1760,6 +1794,22 @@ def oracle_sql() -> dict[str, str]:
         "user_reach": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS reach, "
             "COUNT(*) AS n_events FROM events GROUP BY event_type"),
+        "cube_revenue": (
+            "SELECT o_orderpriority, o_orderstatus, "
+            "COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) "
+            "  AS BIGINT) AS revenue_cents "
+            "FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)"),
+        "viewers_not_buyers": (
+            "SELECT 'view_not_buy' AS cohort, user_id FROM ("
+            "  SELECT user_id FROM events WHERE event_type = 'view' "
+            "  EXCEPT "
+            "  SELECT user_id FROM events WHERE event_type = 'purchase') "
+            "UNION ALL "
+            "SELECT 'view_and_click' AS cohort, user_id FROM ("
+            "  SELECT user_id FROM events WHERE event_type = 'view' "
+            "  INTERSECT "
+            "  SELECT user_id FROM events WHERE event_type = 'click')"),
         "order_distribution": (
             "WITH od_pc AS (SELECT c.c_custkey, "
             "  COUNT(o.o_orderkey) AS c_count "
