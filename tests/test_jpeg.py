@@ -228,3 +228,33 @@ def test_422_and_truncated_420_rejected_or_safe():
     assert decode_jpeg_color(bytes(buf2)) is None
     for k in range(0, len(buf), 13):
         decode_jpeg_color(bytes(buf[:k]))  # no crash on truncations
+
+
+def test_codec_survives_random_noise_images():
+    """Noise maximizes nonzero high-frequency ACs (dense run/size
+    symbols, ZRL chains, long entropy streams): the codec must stay
+    crash-free, shape-correct, and deterministic. (No drift bound on
+    noise: the chroma table's 99-step cells legitimately move noise
+    pixels a lot per trip — worst-case IDCT drift is sum(Q)/16 per
+    plane, ~350; bounded-error guarantees live in the smooth-content
+    tests above.)"""
+    from cld2_spark.operators.jpeg import (decode_jpeg_color,
+                                           encode_jpeg_420,
+                                           encode_jpeg_color)
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for enc in (encode_jpeg_color, encode_jpeg_420):
+            buf = enc(rgb)
+            assert buf == enc(rgb)                 # deterministic encode
+            dec = decode_jpeg_color(buf)
+            assert dec is not None and dec.shape == rgb.shape
+            dec2 = decode_jpeg_color(enc(dec))  # re-encode: no crash
+            assert dec2 is not None and dec2.shape == rgb.shape
+    # grayscale noise too
+    from cld2_spark.operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    g = rng.integers(0, 256, size=(33, 17), dtype=np.uint8)
+    dg = decode_jpeg_gray(encode_jpeg_gray(g))
+    assert dg is not None and dg.shape == g.shape
