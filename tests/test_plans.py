@@ -132,3 +132,52 @@ def test_event_sessions_single_shuffle(spark):
     stats = plan_stats(df)
     assert stats["exchanges"] == 1, formatted_plan(df)
     assert stats["python_stages"] == 0
+
+
+def test_funnel_is_aggregation_only_no_window_sort(spark):
+    """funnel_steps must stay agg+join: no Window (per-user sort) and no
+    Python stage anywhere -- the property that makes it skew-immune (a
+    10^6-event user costs the same map-side combine as a 10-event one)."""
+    import datetime as dt
+
+    from cld2_spark.operators.funnel import funnel_steps
+    from cld2_spark.plans.inspect import formatted_plan, plan_stats
+    rows = [(i % 7, t, dt.datetime(2024, 1, 1, 0, i % 50))
+            for i in range(200) for t in ("a", "b")]
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_type: string, ts: timestamp")
+    out = funnel_steps(df, ["a", "b"])
+    plan = formatted_plan(out)
+    stats = plan_stats(out)
+    assert "Window" not in plan, plan
+    assert stats["python_stages"] == 0
+    assert stats["exchanges"] <= 3, plan  # one per step agg + join side
+
+
+def test_corpus_shuffle_is_single_exchange(spark):
+    """The terasort shape: ONE hash exchange on the shard id, then an
+    in-partition sort -- no global ordering operator anywhere."""
+    from cld2_spark.operators.curation import corpus_shuffle
+    from cld2_spark.plans.inspect import formatted_plan, plan_stats
+    out = corpus_shuffle(spark.range(1000).withColumnRenamed("id", "doc_id"))
+    stats = plan_stats(out)
+    plan = formatted_plan(out)
+    assert stats["exchanges"] == 1, plan
+    # rangepartitioning would mean a driver-sampled global sort crept in
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_dup_spans_has_no_join(spark):
+    """Exact span dedup is aggregate-only: one (hash, id) row per token,
+    no candidate join stage at all (the suffix-array replacement's whole
+    point); countDistinct lowers to a two-level partial aggregate."""
+    from cld2_spark.operators.dedup import duplicated_spans
+    from cld2_spark.plans.inspect import formatted_plan, plan_stats
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(20))) for i in range(50)],
+        "doc_id: long, text: string")
+    out = duplicated_spans(df, w=16)
+    stats = plan_stats(out)
+    assert stats["broadcast_joins"] == 0 and stats["sortmerge_joins"] == 0
+    assert stats["python_stages"] == 0
+    assert stats["exchanges"] == 2, formatted_plan(out)  # distinct-agg pair
