@@ -869,6 +869,29 @@ def _q_event_anomalies(spark, sf_dir):
     return daily_anomalies(spark.table("events"))
 
 
+def _q_small_quantity_orders(spark, sf_dir):
+    """Correlated scalar-aggregate subquery (TPC-H Q17 shape): lines
+    whose quantity is below 20% of their part's average quantity.
+    Engine-exact: with S = per-part integer quantity sum over n lines,
+    qty < 0.2*(S/n) <=> 5*qty*n < S — all int64, no float boundary.
+    Spark shape: ONE map-side-combinable agg keyed by part + a hash
+    join back + a codegen filter (Catalyst would decorrelate the
+    subquery to exactly this plan)."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    li = spark.table("lineitem")
+    qi = F.col("l_quantity").cast("bigint")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(qi).alias("s"), F.count(F.lit(1)).alias("n")))
+    j = li.join(per_part, "l_partkey")
+    return (j.where(5 * qi * F.col("n") < F.col("s"))
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_small"),
+                 F.sum(F.expr(
+                     "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"))
+                 .alias("value_cents")))
+
+
 def _q_cube_revenue(spark, sf_dir):
     """CUBE grouping sets (complements order_rollup's ROLLUP): order
     counts and exact integer revenue cents over all 4 subsets of
@@ -1312,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_reach": _q_user_reach,
         "order_distribution": _q_order_distribution,
         "cube_revenue": _q_cube_revenue,
+        "small_quantity_orders": _q_small_quantity_orders,
         "viewers_not_buyers": _q_viewers_not_buyers,
         "big_orders": _q_big_orders,
         "cheapest_supplier": _q_cheapest_supplier,
@@ -1794,6 +1818,20 @@ def oracle_sql() -> dict[str, str]:
         "user_reach": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS reach, "
             "COUNT(*) AS n_events FROM events GROUP BY event_type"),
+        "small_quantity_orders": (
+            # the correlated form DuckDB decorrelates itself — written
+            # correlated on purpose so the oracle exercises the subquery
+            # path while Spark runs the decorrelated agg+join
+            "SELECT l_partkey, COUNT(*) AS n_small, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) "
+            "  AS BIGINT) AS value_cents "
+            "FROM lineitem l1 "
+            "WHERE 5 * CAST(l_quantity AS BIGINT) * "
+            "  (SELECT COUNT(*) FROM lineitem l2 "
+            "   WHERE l2.l_partkey = l1.l_partkey) < "
+            "  (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) "
+            "   FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey) "
+            "GROUP BY l_partkey"),
         "cube_revenue": (
             "SELECT o_orderpriority, o_orderstatus, "
             "COUNT(*) AS n_orders, "
