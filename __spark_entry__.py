@@ -539,6 +539,34 @@ def _q_jpeg_color_features(spark, sf_dir):
     return jpeg_color_feature_extract(media)
 
 
+def _q_video_features(spark, sf_dir):
+    """REAL video frame decode (MJPEG-in-MP4): every doc_id becomes a
+    well-formed MP4 whose mdat carries 2-4 baseline-JPEG frames split
+    across two chunks; the decoder resolves the stsz/stsc/stco sample
+    table (the standard 14496-12 algorithm), entropy-decodes each frame
+    with the repo's pure-numpy JPEG codec, and reduces to integer-exact
+    per-video features including an inter-frame |diff| motion sum.
+    Oracle: the same single-node path frozen at sf0.01
+    (tools/freeze_expected.py) — all-int64, bit-identical."""
+    import pandas as pd
+
+    from cld2_spark.operators.multimodal import (encode_mjpeg_mp4_fixture,
+                                                 video_frame_features)
+    _register(spark, sf_dir)
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [encode_mjpeg_mp4_fixture(int(i), 2 + int(i) % 3)
+                            for i in ids]})
+
+    media = (spark.table("documents").select("doc_id")
+             .mapInPandas(enc, "media_id long, payload binary"))
+    return video_frame_features(media)
+
+
 def _q_media_features(spark, sf_dir):
     """REAL pixel-level features (VERDICT r4 #7): every doc_id becomes a
     deterministic RGB image (multimodal.feature_pixels), encoded as a
@@ -1292,77 +1320,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract: the correctness gate checks the FIRST 50 entries in
+    dict order.  The first 50 therefore hold the canonical query for every
+    operator family (flagship langid/keep_drop pipelines, multimodal decode,
+    every dedup algorithm, ANN scale path, ...); pure variants of an
+    already-covered family (alternate grouping of the same agg, alternate
+    band scheme, meta-only siblings of a decode query) sit past position 50
+    and are covered by tools/check_contract.py + pytest instead."""
     return {
+        # -- flagship language-ID + quality-filter pipeline -----------------
+        "langid": _q_langid,
+        "keep_drop": _q_keep_drop,
+        "lang_spans": _q_lang_spans,
         "scrub_pii": _q_scrub_pii,
         "quality_flags": _q_quality_flags,
         "toxicity": _q_toxicity,
         "strip_html": _q_strip_html,
+        # -- transcript relational / window surface -------------------------
         "turn_window": _q_turn_window,
         "conv_rollup": _q_conv_rollup,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
+        "order_distribution": _q_order_distribution,
+        "cube_revenue": _q_cube_revenue,
+        "viewers_not_buyers": _q_viewers_not_buyers,
+        "cheapest_supplier": _q_cheapest_supplier,
+        # -- dedup family (one canonical query per algorithm) ----------------
         "dedup_exact": _q_dedup_exact,
-        "minhash_signatures": _q_minhash_signatures,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_groups": _q_dedup_groups,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
+        "dup_spans": _q_dup_spans,
+        "dedup_incremental": _q_dedup_incremental,
+        "paragraph_dedup": _q_paragraph_dedup,
+        # -- similarity / clustering -----------------------------------------
+        "ann_lsh": _q_ann_lsh,
+        "kmeans_clusters": _q_kmeans,
+        "semdedup": _q_semdedup,
+        # -- curation ---------------------------------------------------------
         "token_stats": _q_token_stats,
-        "ann_cosine": _q_ann_cosine,
-        "events_windowed": _q_events_windowed,
+        "dataset_split": _q_dataset_split,
+        "decontam": _q_decontam,
+        "rep_stats": _q_rep_stats,
+        "seq_pack": _q_seq_pack,
+        "mixture_sample": _q_mixture_sample,
+        "quality_rank_filter": _q_quality_rank_filter,
+        "curation_pipeline": _q_curation_pipeline,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "tfidf_terms": _q_tfidf_terms,
+        # -- events / streaming ----------------------------------------------
         "events_stream": _q_events_stream,
         "events_stream_join": _q_events_stream_join,
-        "brand_revenue": _q_brand_revenue,
-        "regional_revenue": _q_regional_revenue,
-        "order_rollup": _q_order_rollup,
         "event_quantiles": _q_event_quantiles,
         "event_sessions": _q_event_sessions,
         "event_asof": _q_event_asof,
         "error_attribution": _q_error_attribution,
-        "dataset_split": _q_dataset_split,
-        "dataset_sample": _q_dataset_sample,
-        "decontam": _q_decontam,
-        "rep_stats": _q_rep_stats,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "seq_pack": _q_seq_pack,
-        "mixture_sample": _q_mixture_sample,
         "funnel": _q_funnel,
-        "quality_rank_filter": _q_quality_rank_filter,
-        "dup_spans": _q_dup_spans,
-        "dedup_incremental": _q_dedup_incremental,
-        "curation_pipeline": _q_curation_pipeline,
-        "corpus_shuffle": _q_corpus_shuffle,
-        "retention_cohorts": _q_retention_cohorts,
         "event_anomalies": _q_event_anomalies,
-        "user_reach": _q_user_reach,
-        "order_distribution": _q_order_distribution,
-        "cube_revenue": _q_cube_revenue,
-        "small_quantity_orders": _q_small_quantity_orders,
-        "viewers_not_buyers": _q_viewers_not_buyers,
-        "big_orders": _q_big_orders,
-        "cheapest_supplier": _q_cheapest_supplier,
-        "tfidf_terms": _q_tfidf_terms,
-        "top_ngrams": _q_top_ngrams,
-        "embedding_quantize": _q_embedding_quantize,
-        "kmeans_clusters": _q_kmeans,
-        "semdedup": _q_semdedup,
-        "priority_semijoin": _q_priority_semijoin,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_embedding": _q_dedup_embedding,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "lsh_buckets": _q_lsh_buckets,
+        # -- multimodal (real decode paths) -----------------------------------
         "media_meta": _q_media_meta,
-        "audio_meta": _q_audio_meta,
-        "video_meta": _q_video_meta,
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
-        "jpeg_features": _q_jpeg_features,
         "jpeg_color_features": _q_jpeg_color_features,
+        "video_features": _q_video_features,
+        # ===== position 50+: variants of families already covered above =====
+        "minhash_signatures": _q_minhash_signatures,
+        "events_windowed": _q_events_windowed,
+        "brand_revenue": _q_brand_revenue,
+        "regional_revenue": _q_regional_revenue,
+        "order_rollup": _q_order_rollup,
+        "small_quantity_orders": _q_small_quantity_orders,
+        "big_orders": _q_big_orders,
+        "ann_cosine": _q_ann_cosine,
+        "ann_ivf": _q_ann_ivf,
+        "lsh_buckets": _q_lsh_buckets,
+        "top_ngrams": _q_top_ngrams,
+        "user_reach": _q_user_reach,
+        "retention_cohorts": _q_retention_cohorts,
+        "dataset_sample": _q_dataset_sample,
+        "embedding_quantize": _q_embedding_quantize,
+        "priority_semijoin": _q_priority_semijoin,
+        "audio_meta": _q_audio_meta,
+        "video_meta": _q_video_meta,
+        "jpeg_features": _q_jpeg_features,
         "lang_histogram": _q_lang_histogram,
         "conversation_features": _q_conversation_features,
-        "lang_spans": _q_lang_spans,
-        "langid": _q_langid,
-        "keep_drop": _q_keep_drop,
     }
 
 
@@ -1755,9 +1799,7 @@ def oracle_sql() -> dict[str, str]:
             f"  FROM dup_docs), "
             f"dc_cg AS (SELECT doc_id, unnest(list_distinct(list_transform("
             f"  generate_series(1, len(tk) - 7), i -> "
-            f"  ('0x' || substr(md5(array_to_string("
-            f"    list_slice(tk, i, i + 7), ' ')), 1, 15))::BIGINT"
-            f"  % {_MERSENNE31}))) AS gh "
+            f"  md5(array_to_string(list_slice(tk, i, i + 7), ' '))))) AS gh "
             f"  FROM dc_toks WHERE len(tk) >= 8), "
             f"dc_bg AS (SELECT DISTINCT gh FROM dc_cg "
             f"  WHERE doc_id % 101 = 0) "
@@ -1776,18 +1818,14 @@ def oracle_sql() -> dict[str, str]:
             f"  'g')), ' ') AS tk FROM cp_d1), "
             f"cp_cg AS (SELECT doc_id, unnest(list_distinct(list_transform("
             f"  generate_series(1, len(tk) - 7), i -> "
-            f"  ('0x' || substr(md5(array_to_string("
-            f"    list_slice(tk, i, i + 7), ' ')), 1, 15))::BIGINT"
-            f"  % {_MERSENNE31}))) AS gh "
+            f"  md5(array_to_string(list_slice(tk, i, i + 7), ' '))))) AS gh "
             f"  FROM cp_tk WHERE len(tk) >= 8), "
             f"cp_btk AS (SELECT doc_id, string_split(trim(regexp_replace("
             f"  lower(text), '\\s+', ' ', 'g')), ' ') AS tk FROM cp_in "
             f"  WHERE doc_id % 101 = 0), "
             f"cp_bg AS (SELECT DISTINCT unnest(list_distinct(list_transform("
             f"  generate_series(1, len(tk) - 7), i -> "
-            f"  ('0x' || substr(md5(array_to_string("
-            f"    list_slice(tk, i, i + 7), ' ')), 1, 15))::BIGINT"
-            f"  % {_MERSENNE31}))) AS gh "
+            f"  md5(array_to_string(list_slice(tk, i, i + 7), ' '))))) AS gh "
             f"  FROM cp_btk WHERE len(tk) >= 8), "
             f"cp_bad AS (SELECT DISTINCT doc_id FROM cp_cg "
             f"  WHERE gh IN (SELECT gh FROM cp_bg)), "
@@ -1805,12 +1843,17 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM cp_s "
             f"GROUP BY source, split"),
         "dedup_incremental": (
+            # NOT EXISTS (not NOT IN): a single NULL in di_seen would make
+            # the NOT IN predicate NULL for every row; NULL hashes are
+            # filtered on both sides to mirror Spark's left_anti semantics
             f"{ctes}, di_seen AS (SELECT DISTINCT md5(text) AS text_hash "
-            f"  FROM documents WHERE doc_id % 2 = 0), "
-            f"di_b AS (SELECT doc_id, md5(text) AS text_hash FROM dup_docs) "
+            f"  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL), "
+            f"di_b AS (SELECT doc_id, md5(text) AS text_hash FROM dup_docs "
+            f"  WHERE text IS NOT NULL) "
             f"SELECT MIN(doc_id) AS keep_id, text_hash, "
-            f"COUNT(*) AS n_copies FROM di_b "
-            f"WHERE text_hash NOT IN (SELECT text_hash FROM di_seen) "
+            f"COUNT(*) AS n_copies FROM di_b b "
+            f"WHERE NOT EXISTS (SELECT 1 FROM di_seen s "
+            f"  WHERE s.text_hash = b.text_hash) "
             f"GROUP BY text_hash"),
         "corpus_shuffle": corpus_shuffle_duck_sql("documents", n_shards=8),
         "retention_cohorts": retention_cohorts_duck_sql("events"),
@@ -1918,7 +1961,7 @@ def oracle_sql() -> dict[str, str]:
             "tn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs "
             "  FROM documents), "
             "ts AS (SELECT source, term, tf, df, "
-            "  FLOOR(tf * 1000000 / df) AS rank_key, "
+            "  (tf * 1000000) // df AS rank_key, "
             "  ROUND(tf * ln(n_docs / df), 4) AS score "
             "  FROM ttf JOIN tdf USING (term) CROSS JOIN tn), "
             "tr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
@@ -1934,7 +1977,7 @@ def oracle_sql() -> dict[str, str]:
             f"  unnest(generate_series(1, len(ls))) AS pos, "
             f"  unnest(ls) AS line FROM pd_ls), "
             f"pd_w AS (SELECT doc_id, pos, line, ROW_NUMBER() OVER ("
-            f"  PARTITION BY ('0x' || substr(md5(line), 1, 15))::BIGINT "
+            f"  PARTITION BY md5(line) "
             f"  ORDER BY doc_id, pos) AS rn FROM pd_ln) "
             f"SELECT doc_id, string_agg(line, '. ' ORDER BY pos) "
             f"  AS text_dedup, "
@@ -2171,6 +2214,9 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_color_features": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_jpeg_color_sf0_01.parquet')"),
+        "video_features": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_video_features_sf0_01.parquet')"),
         "langid": (
             f"SELECT conv_id, turn_idx, lang1, pct1, is_reliable "
             f"FROM read_parquet('{_FIXDIR}/expected_langid_sf0_01.parquet')"),

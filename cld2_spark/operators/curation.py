@@ -31,8 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from cld2_spark.operators.dedup import MERSENNE31
-
 _TOK = "split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')), ' ')"
 
 
@@ -65,16 +63,18 @@ def stratified_sample(df: DataFrame, stratum_col: str, rates: dict[str, float],
 def _gram_hashes(df: DataFrame, text_col: str, id_col: str,
                  n: int) -> DataFrame:
     """(id, gram_hash) pairs — DISTINCT word n-gram hashes per doc;
-    ids-only rows so the downstream join never carries text."""
+    ids-only rows so the downstream join never carries text. The key is
+    the FULL 128-bit md5 (hex string): at 100 TB (>>2^30 distinct grams)
+    a truncated hash would birthday-collide and silently flag clean docs;
+    md5 keeps the oracle portable, and production can swap in
+    xxhash64(gram) pairs if the 32-byte shuffle key matters."""
     tk = _TOK.format(c=text_col)
     grams = (f"transform(sequence(1, size({tk}) - {n - 1}), "
              f"i -> concat_ws(' ', slice({tk}, i, {n})))")
-    ghash = (f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
-             f" % {MERSENNE31}")
     return (df.where(F.expr(f"size({tk}) >= {n}"))
             .select(F.col(id_col),
                     F.explode(F.expr(f"array_distinct({grams})")).alias("g"))
-            .select(id_col, F.expr(ghash).alias("gh")))
+            .select(id_col, F.md5(F.col("g")).alias("gh")))
 
 
 def contaminated_ids(corpus: DataFrame, bench: DataFrame,
@@ -122,9 +122,10 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
              f"x -> trim(x)), x -> length(x) > 0)")
     ex = (df.select(id_col, F.posexplode(F.expr(lines))
                     .alias("pos", "line"))
-          .select(id_col, "pos", "line",
-                  F.expr("CAST(conv(substring(md5(line), 1, 15), 16, 10) "
-                         "AS BIGINT)").alias("lh")))
+          # full 128-bit md5 as the line key: a truncated prefix would
+          # birthday-collide past ~2^30 distinct lines and silently drop
+          # non-duplicate lines from rebuilt documents at corpus scale
+          .select(id_col, "pos", "line", F.md5(F.col("line")).alias("lh")))
     winners = (ex.groupBy("lh")
                .agg(F.min(F.struct(F.col(id_col).alias("d"),
                                    F.col("pos").alias("p"))).alias("w")))
@@ -309,8 +310,9 @@ def tfidf_top_terms(df: DataFrame, k: int = 5,
     scored = (tf.join(dfreq, on="term", how="inner")
               .crossJoin(F.broadcast(total))
               .select(group_col, "term", "tf", "df",
-                      F.floor(F.col("tf") * 1_000_000 / F.col("df"))
-                      .alias("rank_key"),
+                      # integer floor DIVISION (not double math): exact for
+                      # any tf up to 2^63/1e6, cannot flip on float ulps
+                      F.expr("(tf * 1000000L) DIV df").alias("rank_key"),
                       F.round(F.col("tf")
                               * F.log(F.col("n_docs") / F.col("df")), 4)
                       .alias("score")))

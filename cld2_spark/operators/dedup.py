@@ -593,8 +593,13 @@ def incremental_dedup(batch: DataFrame, seen: DataFrame,
     hashes, filter the batch map-side, anti-join only survivors) -- the
     exact anti join stays as the verify stage, so results are identical.
     """
-    bh = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
-    sh = seen.select(F.md5(F.col(text_col)).alias("text_hash")).distinct()
+    # NULL texts are excluded on BOTH sides: a NULL hash can never equal
+    # anything (left_anti would silently keep such rows while a SQL NOT IN
+    # oracle would return nothing), so the contract is NULL-free by rule
+    bh = (batch.where(F.col(text_col).isNotNull())
+          .select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")))
+    sh = (seen.where(F.col(text_col).isNotNull())
+          .select(F.md5(F.col(text_col)).alias("text_hash")).distinct())
     fresh = bh.join(sh, "text_hash", "left_anti")
     return (fresh.groupBy("text_hash")
             .agg(F.min(id_col).alias("keep_id"),

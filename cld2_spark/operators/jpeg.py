@@ -271,8 +271,10 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray | None:
     try:
         if len(buf) < 4 or buf[:2] != b"\xff\xd8":
             return None
-        qt = None
+        qts: dict[int, np.ndarray] = {}
         dims = None
+        comp_q = 0
+        td = ta = 0
         huff: dict[int, dict[tuple[int, int], int]] = {}
         i = 2
         scan = None
@@ -292,13 +294,13 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray | None:
                     t = np.zeros(64, dtype=np.int64)
                     t[ZIGZAG] = np.frombuffer(
                         payload[j + 1:j + 65], dtype=np.uint8)
-                    if payload[j] & 0x0F == 0:
-                        qt = t.reshape(8, 8)
+                    qts[payload[j] & 0x0F] = t.reshape(8, 8)
                     j += 65
             elif marker == 0xFFC0:
                 prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
                 if prec != 8 or nc != 1:
                     return None        # color / high precision: stubbed
+                comp_q = payload[8]    # the component's Tq selector
                 dims = (h, w)
             elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
                 return None            # extended/progressive/lossless
@@ -307,12 +309,16 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray | None:
             elif marker == 0xFFDD:
                 return None            # restart intervals: out of profile
             elif marker == 0xFFDA:
+                if payload[0] != 1:    # Ns: single-component scan only
+                    return None
+                td, ta = payload[2] >> 4, payload[2] & 0x0F
                 scan = buf[i + 2 + ln:]
                 break
             i += 2 + ln
-        if scan is None or qt is None or dims is None \
-                or 0x00 not in huff or 0x10 not in huff:
+        if scan is None or dims is None or comp_q not in qts \
+                or td not in huff or (0x10 | ta) not in huff:
             return None
+        qt = qts[comp_q]
         h, w = dims
         if h == 0 or w == 0:
             return None
@@ -326,13 +332,13 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray | None:
         for by in range(ph // 8):
             for bx in range(pw // 8):
                 zz = np.zeros(64, dtype=np.int64)
-                s = _read_symbol(br, huff[0x00])
+                s = _read_symbol(br, huff[td])
                 diff = _extend(br.read_bits(s), s) if s else 0
                 prev_dc += diff
                 zz[0] = prev_dc
                 k = 1
                 while k < 64:
-                    rs = _read_symbol(br, huff[0x10])
+                    rs = _read_symbol(br, huff[0x10 | ta])
                     if rs == 0x00:     # EOB
                         break
                     if rs == 0xF0:     # ZRL

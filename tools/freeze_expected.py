@@ -44,6 +44,7 @@ SPANS_FILE = "expected_spans_sf0_01.parquet"
 MEDIA_FEATURES_FILE = "expected_media_features_sf0_01.parquet"
 JPEG_FEATURES_FILE = "expected_jpeg_features_sf0_01.parquet"
 JPEG_COLOR_FILE = "expected_jpeg_color_sf0_01.parquet"
+VIDEO_FEATURES_FILE = "expected_video_features_sf0_01.parquet"
 
 _LANGID_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -125,7 +126,33 @@ def compute_fixtures(sf_dir: str) -> dict[str, pa.Table]:
             SPANS_FILE: spans,
             MEDIA_FEATURES_FILE: _media_features_fixture(sf_dir),
             JPEG_FEATURES_FILE: _jpeg_features_fixture(sf_dir),
-            JPEG_COLOR_FILE: _jpeg_color_fixture(sf_dir)}
+            JPEG_COLOR_FILE: _jpeg_color_fixture(sf_dir),
+            VIDEO_FEATURES_FILE: _video_features_fixture(sf_dir)}
+
+
+def _video_features_fixture(sf_dir: str) -> pa.Table:
+    """Expected `video_features` rows: doc_id -> MJPEG-in-MP4 fixture
+    (2-4 baseline-JPEG frames, two-chunk sample table) -> sample-table
+    resolution + per-frame entropy decode + integer-exact reduction
+    (incl. inter-frame motion sum), run single-node."""
+    from cld2_spark.operators.multimodal import (encode_mjpeg_mp4_fixture,
+                                                 mjpeg_video_features)
+
+    con = duckdb.connect()
+    ids = con.execute(
+        "SELECT doc_id FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') ORDER BY doc_id").df()["doc_id"]
+    con.close()
+    names = ["n_frames", "width", "height", "px_sum", "px_sumsq",
+             "px_min", "px_max", "motion"]
+    rows = np.zeros((len(ids), len(names)), dtype=np.int64)
+    for j, did in enumerate(ids):
+        buf = encode_mjpeg_mp4_fixture(int(did), 2 + int(did) % 3)
+        rows[j] = mjpeg_video_features(buf)
+    cols = {"media_id": pa.array(ids.astype(np.int64), type=pa.int64())}
+    for i, name in enumerate(names):
+        cols[name] = pa.array(rows[:, i], type=pa.int64())
+    return pa.table(cols)
 
 
 def _jpeg_color_fixture(sf_dir: str) -> pa.Table:
