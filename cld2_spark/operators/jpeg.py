@@ -35,6 +35,7 @@ for the training-pipeline multimodal mandate (SURVEY.md §2.13).
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -208,6 +209,11 @@ class _BitReader:
         # un-stuff FF00 -> FF once, up front
         self.data = data.replace(b"\xff\x00", b"\xff")
         self.pos = 0    # bit position
+        self.nbits = 8 * len(self.data)
+        # 4 zero pad bytes so the inlined 40-bit window read in
+        # _decode_block_zz never slices short near end-of-stream (the
+        # nbits check still rejects actual over-reads)
+        self.pdata = self.data + b"\x00\x00\x00\x00"
 
     def read_bit(self) -> int:
         byte = self.data[self.pos >> 3]
@@ -215,46 +221,163 @@ class _BitReader:
         self.pos += 1
         return bit
 
+    def peek16(self) -> int:
+        """The next 16 bits (zero-padded past end-of-data) WITHOUT
+        consuming them — the Huffman LUT key. A valid final symbol may be
+        shorter than 16 bits; _read_symbol checks the consumed length
+        against nbits so zero-padding can never fabricate data."""
+        bp = self.pos >> 3
+        chunk = self.data[bp:bp + 4]
+        if len(chunk) < 4:
+            chunk = chunk + b"\x00" * (4 - len(chunk))
+        v = int.from_bytes(chunk, "big")
+        return (v >> (16 - (self.pos & 7))) & 0xFFFF
+
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise ValueError("bit stream exhausted")
+        bp = self.pos >> 3
+        off = self.pos & 7
+        need = (off + n + 7) >> 3
+        v = int.from_bytes(self.data[bp:bp + need], "big")
+        self.pos += n
+        return (v >> (8 * need - off - n)) & ((1 << n) - 1)
 
 
-def _decode_huff_tables(payload: bytes) -> dict[int, dict[tuple[int, int], int]]:
-    """DHT payload -> {table_class<<4|id: {(length, code): symbol}}
-    (canonical reconstruction, F.2.2.3). One DHT segment may carry
-    multiple tables back to back."""
+class _HuffTable:
+    """Canonical Huffman table with a 16-bit-peek decode LUT: one lookup
+    replaces the per-bit tree walk (codes are <=16 bits, T.81 F.2.2.3).
+    The LUTs are `bytes` (not ndarrays): CPython indexes bytes to a plain
+    int with no numpy-scalar boxing, ~3x faster in the hot loop. `map`
+    keeps the {(length, code): symbol} form for tests/debugging."""
+
+    __slots__ = ("map", "lut_sym", "lut_len")
+
+    def __init__(self, table: dict[tuple[int, int], int]) -> None:
+        self.map = table
+        sym = np.zeros(1 << 16, dtype=np.uint8)
+        ln_arr = np.zeros(1 << 16, dtype=np.uint8)
+        for (ln, code), s in table.items():
+            start = code << (16 - ln)
+            span = 1 << (16 - ln)
+            sym[start:start + span] = s
+            ln_arr[start:start + span] = ln
+        self.lut_sym = sym.tobytes()
+        self.lut_len = ln_arr.tobytes()
+
+
+@lru_cache(maxsize=256)
+def _huff_table_cached(defn: bytes) -> _HuffTable:
+    """LUT construction is ~100x the cost of decoding one small image's
+    blocks, and real corpora reuse a handful of tables (our encoder's,
+    Annex K's, libjpeg's defaults) across millions of files — so tables
+    are memoized by their exact DHT definition bytes (bits + vals)."""
+    bits = list(defn[:16])
+    nvals = sum(bits)
+    vals = list(defn[16:16 + nvals])
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return _HuffTable(table)
+
+
+def _decode_huff_tables(payload: bytes) -> dict[int, _HuffTable]:
+    """DHT payload -> {table_class<<4|id: _HuffTable} (canonical
+    reconstruction, F.2.2.3). One DHT segment may carry multiple tables
+    back to back."""
     out = {}
     i = 0
     while i < len(payload):
         tc_id = payload[i]
-        bits = list(payload[i + 1:i + 17])
-        nvals = sum(bits)
-        vals = list(payload[i + 17:i + 17 + nvals])
-        table = {}
-        code = 0
-        k = 0
-        for ln in range(1, 17):
-            for _ in range(bits[ln - 1]):
-                table[(ln, code)] = vals[k]
-                code += 1
-                k += 1
-            code <<= 1
-        out[tc_id] = table
+        nvals = sum(payload[i + 1:i + 17])
+        out[tc_id] = _huff_table_cached(payload[i + 1:i + 17 + nvals])
         i += 17 + nvals
     return out
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _read_symbol(br: _BitReader, table: _HuffTable) -> int:
+    idx = br.peek16()
+    ln = table.lut_len[idx]
+    if ln == 0 or br.pos + ln > br.nbits:
+        raise ValueError("invalid Huffman code")
+    br.pos += ln
+    return table.lut_sym[idx]
+
+
+def _decode_block_zz(br: _BitReader, dc_t: _HuffTable, ac_t: _HuffTable,
+                     prev_dc: int, Z: np.ndarray, row: int) -> int:
+    """Entropy-decode ONE block's zigzag coefficients into Z[row]
+    (T.81 F.2.2: DC diff then run-length AC), returning the new DC
+    predictor. This is the bit-serial floor of JPEG decode, so the loop
+    is hand-inlined: each symbol reads a single 40-bit window that covers
+    the <=16-bit Huffman code AND its <=11-bit value bits (off<=7 +
+    16 + 11 = 34 < 40), one int.from_bytes per coefficient."""
+    data = br.pdata
+    pos = br.pos
+    nbits = br.nbits
+    dlen = dc_t.lut_len
+    dsym = dc_t.lut_sym
+    alen = ac_t.lut_len
+    asym = ac_t.lut_sym
+    # DC
+    bp = pos >> 3
+    off = pos & 7
+    v = int.from_bytes(data[bp:bp + 5], "big")
+    idx = (v >> (24 - off)) & 0xFFFF
+    ln = dlen[idx]
+    if ln == 0 or pos + ln > nbits:
+        raise ValueError("invalid Huffman code")
+    s = dsym[idx]
+    pos += ln
+    if s:
+        if pos + s > nbits:
+            raise ValueError("bit stream exhausted")
+        val = (v >> (40 - off - ln - s)) & ((1 << s) - 1)
+        pos += s
+        if val < (1 << (s - 1)):
+            val += 1 - (1 << s)
+        prev_dc += val
+    Z[row, 0] = prev_dc
+    k = 1
+    while k < 64:
+        bp = pos >> 3
+        off = pos & 7
+        v = int.from_bytes(data[bp:bp + 5], "big")
+        idx = (v >> (24 - off)) & 0xFFFF
+        ln = alen[idx]
+        if ln == 0 or pos + ln > nbits:
+            raise ValueError("invalid Huffman code")
+        rs = asym[idx]
+        pos += ln
+        if rs == 0:            # EOB
+            break
+        if rs == 0xF0:         # ZRL
+            k += 16
+            continue
+        k += rs >> 4
+        s = rs & 0x0F
+        if k > 63:
+            raise ValueError("AC index overrun")
+        if s:  # s==0 outside EOB/ZRL: malformed, but decode as 0 like
+               # the reference loop did (read_bits(0) -> _extend -> 0)
+            if pos + s > nbits:
+                raise ValueError("bit stream exhausted")
+            val = (v >> (40 - off - ln - s)) & ((1 << s) - 1)
+            pos += s
+            if val < (1 << (s - 1)):
+                val += 1 - (1 << s)
+            Z[row, k] = val
+        k += 1
+    br.pos = pos
+    return prev_dc
 
 
 def _extend(v: int, s: int) -> int:
@@ -327,37 +450,31 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray | None:
             scan = scan[:end]
         br = _BitReader(scan)
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        out = np.zeros((ph, pw), dtype=np.float64)
+        nby, nbx = ph // 8, pw // 8
+        # entropy pass fills one (n_blocks, 64) zigzag matrix; dezigzag,
+        # dequantize and IDCT then run BATCHED over all blocks at once
+        Z = np.zeros((nby * nbx, 64), dtype=np.int64)
+        dc_t, ac_t = huff[td], huff[0x10 | ta]
         prev_dc = 0
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                zz = np.zeros(64, dtype=np.int64)
-                s = _read_symbol(br, huff[td])
-                diff = _extend(br.read_bits(s), s) if s else 0
-                prev_dc += diff
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    rs = _read_symbol(br, huff[0x10 | ta])
-                    if rs == 0x00:     # EOB
-                        break
-                    if rs == 0xF0:     # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    s = rs & 0x0F
-                    if k > 63:
-                        return None
-                    zz[k] = _extend(br.read_bits(s), s)
-                    k += 1
-                coef = np.zeros(64, dtype=np.int64)
-                coef[ZIGZAG] = zz
-                block = _DCT.T @ (coef.reshape(8, 8) * qt) @ _DCT
-                out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+        for row in range(nby * nbx):
+            prev_dc = _decode_block_zz(br, dc_t, ac_t, prev_dc, Z, row)
+        blocks = _idct_blocks(Z, qt)
+        out = (blocks.reshape(nby, nbx, 8, 8)
+               .transpose(0, 2, 1, 3).reshape(ph, pw))
         return np.clip(np.round(out + 128.0), 0, 255).astype(
             np.uint8)[:h, :w]
     except (IndexError, ValueError, struct.error):
         return None
+
+
+def _idct_blocks(Z: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Dezigzag + dequantize + 2-D IDCT for a whole (n, 64) zigzag
+    matrix in three vectorized ops (one fancy index, one broadcast
+    multiply, two batched 8x8 matmuls) instead of per-block numpy calls."""
+    dense = np.zeros_like(Z)
+    dense[:, ZIGZAG] = Z
+    coefs = dense.reshape(-1, 8, 8) * qt
+    return _DCT.T @ coefs @ _DCT
 
 
 def gray_fixture_pixels(media_id: int) -> np.ndarray:
@@ -548,30 +665,6 @@ def encode_jpeg_color(rgb: np.ndarray) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
-def _decode_block(br: _BitReader, dc_t, ac_t, qt: np.ndarray,
-                  prev_dc: int) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.int64)
-    s = _read_symbol(br, dc_t)
-    prev_dc += _extend(br.read_bits(s), s) if s else 0
-    zz[0] = prev_dc
-    k = 1
-    while k < 64:
-        rs = _read_symbol(br, ac_t)
-        if rs == 0x00:
-            break
-        if rs == 0xF0:
-            k += 16
-            continue
-        k += rs >> 4
-        s = rs & 0x0F
-        if k > 63:
-            raise ValueError("AC index overrun")
-        zz[k] = _extend(br.read_bits(s), s)
-        k += 1
-    coef = np.zeros(64, dtype=np.int64)
-    coef[ZIGZAG] = zz
-    return _DCT.T @ (coef.reshape(8, 8) * qt) @ _DCT, prev_dc
-
 
 def decode_jpeg_color(buf: bytes) -> np.ndarray | None:
     """Decode a baseline 4:4:4 color JPEG (3 components, all sampling
@@ -652,22 +745,38 @@ def decode_jpeg_color(buf: bytes) -> np.ndarray | None:
         vmax = max(s[1] for s in samps)
         mcu_w, mcu_h = 8 * hmax, 8 * vmax
         ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
-        planes = [np.zeros((ph * vc // vmax, pw * hc // hmax))
-                  for hc, vc in samps]
+        H, W = ph // mcu_h, pw // mcu_w
+        n_mcu = H * W
+        # entropy pass fills one (n_blocks, 64) zigzag matrix per
+        # component; dezigzag/dequant/IDCT run BATCHED per component
+        # (_idct_blocks), and the MCU-interleaved block order maps onto
+        # the plane with a pure reshape/transpose — no per-block scatter
+        Zs = [np.zeros((n_mcu * hc * vc, 64), dtype=np.int64)
+              for hc, vc in samps]
         prev = [0, 0, 0]
-        for my in range(ph // mcu_h):
-            for mx in range(pw // mcu_w):
-                # T.81 A.2.3 interleave: per component, vc x hc blocks
-                for c, (hc, vc) in enumerate(samps):
-                    td, ta = comp_huff[c]
-                    for byy in range(vc):
-                        for bxx in range(hc):
-                            block, prev[c] = _decode_block(
-                                br, huff[td], huff[0x10 | ta],
-                                qts[comp_q[c]], prev[c])
-                            y0 = (my * vc + byy) * 8
-                            x0 = (mx * hc + bxx) * 8
-                            planes[c][y0:y0 + 8, x0:x0 + 8] = block
+        rows = [0, 0, 0]
+        tabs = [(huff[td], huff[0x10 | ta]) for td, ta in comp_huff]
+        bpm = [hc * vc for hc, vc in samps]
+        for _ in range(n_mcu):
+            # T.81 A.2.3 interleave: per component, vc x hc blocks
+            for c in range(3):
+                dc_t, ac_t = tabs[c]
+                Z = Zs[c]
+                r = rows[c]
+                p = prev[c]
+                for _ in range(bpm[c]):
+                    p = _decode_block_zz(br, dc_t, ac_t, p, Z, r)
+                    r += 1
+                prev[c] = p
+                rows[c] = r
+        planes = []
+        for c, (hc, vc) in enumerate(samps):
+            blocks = _idct_blocks(Zs[c], qts[comp_q[c]])
+            # block index = ((my*W + mx)*vc + byy)*hc + bxx; plane row
+            # my*vc + byy, col mx*hc + bxx -> one transpose
+            planes.append(blocks.reshape(H, W, vc, hc, 8, 8)
+                          .transpose(0, 2, 4, 1, 3, 5)
+                          .reshape(H * vc * 8, W * hc * 8))
         out = np.zeros((ph, pw, 3), dtype=np.float64)
         for c, (hc, vc) in enumerate(samps):
             p = planes[c]
