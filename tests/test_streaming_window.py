@@ -213,3 +213,71 @@ def test_stream_stream_join_matches_batch_interval_join(spark, tmp_path):
     # click_us/buy_us are engine-exact epoch micros
     m = out[out.buy_value == 7.0].iloc[0]
     assert m.buy_us - m.click_us == 30 * 60 * 1_000_000
+
+
+def test_state_store_rows_are_evicted_across_watermark_advances(
+        spark, tmp_path):
+    """State EVICTION proof (VERDICT r5 #6): across >=3 watermark
+    advances the windowed-agg state store's row count stays bounded —
+    finalized windows are REMOVED from state, not retained, and a
+    late row is dropped by the watermark instead of re-opening state.
+    Asserted from the engine's own streaming progress metrics
+    (stateOperators[].numRowsTotal / numRowsRemoved /
+    numRowsDroppedByWatermark), not from output rows."""
+    import os
+    import time as _time
+
+    from cld2_spark.streaming.stream import start_windowed_stats_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    # each file is one micro-batch (max_files_per_trigger=1); each batch
+    # jumps event time 3 hours, advancing the watermark and finalizing
+    # the previous batch's 1-hour window. The LATE row arrives AFTER its
+    # window's state has been evicted (empirically, a late row landing in
+    # the same batch that finalizes its window still merges into the
+    # not-yet-evicted state; once evicted, the watermark drops it)
+    files = [
+        [("c1", 0, "user", "aa", t(10, 0)),
+         ("c1", 1, "assistant", "bb", t(10, 20))],
+        [("c2", 0, "user", "cc", t(13, 0))],
+        [("c3", 0, "user", "dd", t(16, 0))],
+        [("c9", 0, "user", "LATE", t(10, 30))],   # behind the watermark
+        [("c4", 0, "user", "ee", t(19, 0))],
+        [("c5", 0, "user", "ff", t(22, 0))],
+    ]
+    now = _time.time()
+    for i, rows in enumerate(files):
+        p = str(src / f"f{i}.parquet")
+        _write(_turns(rows), p)
+        os.utime(p, (now - 300 + 60 * i, now - 300 + 60 * i))
+
+    q = start_windowed_stats_stream(
+        spark, str(src), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+        window="1 hour", watermark="10 minutes", max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    progresses = [p for p in q.recentProgress
+                  if p.get("stateOperators")]
+    assert len(progresses) >= 4, "expected one progress per micro-batch"
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+                  for p in progresses)
+    # 5 batches ingest 6 on-time (window, role) groups; unevicted state
+    # would end at >=5 rows and grow monotonically. Eviction keeps the
+    # live-state row count bounded by the watermark horizon (the current
+    # batch's still-open windows), not by stream length.
+    assert removed >= 3, (totals, removed)
+    assert max(totals) <= 3, totals
+    assert totals[-1] <= 2, totals
+    assert not all(b >= a for a, b in zip(totals, totals[1:])), (
+        "state row count grew monotonically — nothing was evicted")
+    # the LATE 10:30 row was filtered by the watermark BEFORE the state
+    # operator (so it is not in numRowsDroppedByWatermark either): the
+    # finalized 10:00 window holds exactly the 2 on-time rows and its
+    # evicted state was never re-opened
+    out = spark.read.parquet(str(tmp_path / "sink")).toPandas()
+    w10 = out[out.window_start == pd.Timestamp("2026-01-01 10:00:00")]
+    assert int(w10.n_turns.sum()) == 2, out
+    assert not w10.duplicated(["window_start", "role"]).any()
