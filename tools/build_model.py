@@ -173,7 +173,46 @@ def reference_lang_codes() -> set[str]:
     return out
 
 
-def main() -> None:
+def _distinct_word_gram_mask(arr, rid_s, pos, distinct_rt, latin: bool):
+    """Gram positions falling inside a word (or word-pair member) that
+    HITS the reference distinct-octa table. Used by the --joint-distinct
+    sweep (VERDICT r5 #5): at inference those words already score through
+    the W5 distinct-boost channel, so the sweep trains the quad table
+    WITHOUT them, shifting its limited per-language mass (~125 chars/lang)
+    onto content the boost cannot cover. Returns a bool mask over `pos`
+    (True = gram starts inside a distinct-active word)."""
+    from cld2_spark.kernels.detect import _word_walk
+    from cld2_spark.kernels.hashes import octa_hash_40, pair_hash
+
+    walk = _word_walk(arr) if len(arr) else None
+    if walk is None or distinct_rt is None:
+        return np.zeros(len(pos), dtype=bool)
+    _, _, _, wstart, wlen, boff, wbuf = walk
+    if len(wstart) == 0:
+        return np.zeros(len(pos), dtype=bool)
+    wl8 = np.minimum(wlen, 8)
+    bstart = boff[wstart]
+    blen = np.minimum(boff[wstart + wl8] - bstart, 24)
+    h40 = octa_hash_40(wbuf, bstart, blen)
+    fnd, _, wq = distinct_rt.probe_octa(h40, latin)
+    hit = fnd & (wq > 0).any(axis=1)
+    if len(h40) > 1:  # word-pair probes flag both members (J6 channel)
+        p40 = pair_hash(h40[:-1], h40[1:])
+        same_row = rid_s[wstart[1:]] == rid_s[wstart[:-1]]
+        pf, _, pq = distinct_rt.probe_octa(p40, latin)
+        phit = pf & (pq > 0).any(axis=1) & same_row & (h40[1:] != h40[:-1])
+        hit[1:] |= phit
+        hit[:-1] |= phit
+    if not hit.any():
+        return np.zeros(len(pos), dtype=bool)
+    # char-level coverage of hit words -> gram-start membership
+    bad = np.zeros(len(arr) + 1, dtype=np.int32)
+    np.add.at(bad, wstart[hit], 1)
+    np.add.at(bad, np.minimum(wstart[hit] + wlen[hit], len(arr)), -1)
+    return np.cumsum(bad[:-1]) [pos] > 0
+
+
+def main(joint_distinct: bool = False, write: bool = True) -> dict:
     corpus = load_corpus()
     eval_texts = load_eval_texts()
 
@@ -235,6 +274,18 @@ def main() -> None:
         hs, h3, pos = hs[keep], h3[keep], pos[keep]
         m = scr_s[pos] == sid
         gname = ut.SCRIPTS[sid][0]
+        if joint_distinct:
+            dbad = _distinct_word_gram_mask(arr, rid_s, pos,
+                                            refs["word_distinct"],
+                                            latin=(gname == "Latn"))
+            if joint_distinct == "double":
+                # count distinct-word grams twice (emphasize the words
+                # the boost channel marks discriminative)
+                for hh in hs[m & dbad].tolist():
+                    group_counts[gname][hh][lid] += 1
+                group_totals[gname][lid] += int((m & dbad).sum())
+            else:  # "drop": exclude them from quad training entirely
+                m &= ~dbad
         for h in hs[m].tolist():
             group_counts[gname][h][lid] += 1
         for h in h3[m].tolist():
@@ -337,9 +388,11 @@ def main() -> None:
             expected[lid] = int(v * np.sqrt(shrink))
     model.expected_1kb = expected
 
-    out = MODEL_DIR / "cld2s_model.npz"
-    model.save(str(out))
-    print(f"wrote {out} ({out.stat().st_size / 1024:.0f} KiB, {len(langs)} languages)")
+    if write:
+        out = MODEL_DIR / "cld2s_model.npz"
+        model.save(str(out))
+        print(f"wrote {out} ({out.stat().st_size / 1024:.0f} KiB, "
+              f"{len(langs)} languages)")
 
     # ---- accuracy report: full eval corpus + held-out second halves
     pairs = [json.loads(line)
@@ -356,7 +409,18 @@ def main() -> None:
         if res["summary_lang"][i] != p["expected_lang"]:
             print(f"  full-miss {p['case_id']}: want {p['expected_lang']} "
                   f"got {res['summary_lang'][i]}")
+    # bestEffort rescue pass over held-out (the second gate)
+    res_be = detect_batch([t for _, t in held], model, best_effort=True)
+    ok_be = sum(res_be["summary_lang"][i] == want
+                for i, (want, _) in enumerate(held))
+    print(f"held-out bestEffort accuracy: {ok_be}/{len(held)}")
+    return {"full": ok, "held": ok_h, "held_be": ok_be, "n": len(scored)}
 
 
 if __name__ == "__main__":
-    main()
+    jd: str | bool = False
+    if "--joint-distinct" in sys.argv:
+        jd = "drop"
+    if "--joint-distinct=double" in sys.argv:
+        jd = "double"
+    main(joint_distinct=jd, write="--dry-run" not in sys.argv)
