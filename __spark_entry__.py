@@ -859,6 +859,31 @@ def _q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(spark.table("dup_docs"), seen)
 
 
+def _q_dup_span_cuts(spark, sf_dir):
+    """Per-document duplicate-span CUT LIST (operators/dedup): merged
+    1-based token ranges covered by any 16-token window occurring in >=2
+    docs — the actionable step-2 of Lee et al. 2022 on top of dup_spans.
+    Interval merging is a per-doc window; oracle replays the identical
+    island algebra in DuckDB."""
+    from cld2_spark.operators.dedup import duplicated_span_cuts
+    _register(spark, sf_dir)
+    return duplicated_span_cuts(spark.table("dup_docs"), w=16)
+
+
+def _q_dedup_incremental_bloom(spark, sf_dir):
+    """Bloom-prefiltered incremental dedup (operators/dedup): the curated
+    side's distinct hashes build a broadcast bitmap (distributed bit_or
+    per 64-bit word, bounded collect); definitely-unseen batch rows skip
+    the anti join entirely, maybe-seen rows (dups + FP residue) go
+    through the exact verify. OUTPUT-IDENTICAL to dedup_incremental by
+    construction — the oracle is the same NOT EXISTS SQL, so the driver
+    hash proves the prefilter is transparent."""
+    from cld2_spark.operators.dedup import incremental_dedup_bloom
+    _register(spark, sf_dir)
+    seen = spark.table("documents").where("doc_id % 2 = 0")
+    return incremental_dedup_bloom(spark.table("dup_docs"), seen)
+
+
 def _q_corpus_shuffle(spark, sf_dir):
     """Deterministic global shuffle + sharding for training order
     (operators/curation): (shard, pos) from md5(salt:id) — the terasort
@@ -1407,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_features": _q_jpeg_features,
         "lang_histogram": _q_lang_histogram,
         "conversation_features": _q_conversation_features,
+        "dedup_incremental_bloom": _q_dedup_incremental_bloom,
+        "dup_span_cuts": _q_dup_span_cuts,
     }
 
 
@@ -1648,11 +1675,28 @@ def oracle_sql() -> dict[str, str]:
     from cld2_spark.operators.cohorts import (daily_anomalies_duck_sql,
                                               retention_cohorts_duck_sql)
     from cld2_spark.operators.curation import corpus_shuffle_duck_sql
-    from cld2_spark.operators.dedup import duplicated_spans_duck_sql
+    from cld2_spark.operators.dedup import (duplicated_span_cuts_duck_sql,
+                                            duplicated_spans_duck_sql)
     from cld2_spark.operators.funnel import funnel_steps_duck_sql
     from cld2_spark.operators.dedup import MERSENNE31 as _MERSENNE31
 
     ctes = _duck_ctes()
+
+    # incremental dedup oracle, shared verbatim by the bloom-prefiltered
+    # variant: output-identical by construction, so one SQL proves both
+    di_sql = (
+        # NOT EXISTS (not NOT IN): a single NULL in di_seen would make
+        # the NOT IN predicate NULL for every row; NULL hashes are
+        # filtered on both sides to mirror Spark's left_anti semantics
+        f"{ctes}, di_seen AS (SELECT DISTINCT md5(text) AS text_hash "
+        f"  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL), "
+        f"di_b AS (SELECT doc_id, md5(text) AS text_hash FROM dup_docs "
+        f"  WHERE text IS NOT NULL) "
+        f"SELECT MIN(doc_id) AS keep_id, text_hash, "
+        f"COUNT(*) AS n_copies FROM di_b b "
+        f"WHERE NOT EXISTS (SELECT 1 FROM di_seen s "
+        f"  WHERE s.text_hash = b.text_hash) "
+        f"GROUP BY text_hash")
 
     dot = ("list_sum(list_transform(list_zip(q.embedding, e.embedding), "
            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
@@ -1807,6 +1851,8 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE gh IN (SELECT gh FROM dc_bg) GROUP BY doc_id"),
         "funnel": funnel_steps_duck_sql(["view", "click", "purchase"]),
         "dup_spans": f"{ctes}, {duplicated_spans_duck_sql(16, 'dup_docs')}",
+        "dup_span_cuts": (
+            f"{ctes}, {duplicated_span_cuts_duck_sql(16, 'dup_docs')}"),
         "curation_pipeline": (
             f"WITH cp_in AS (SELECT doc_id, text, source FROM documents "
             f"  UNION ALL SELECT doc_id + 1000000 AS doc_id, text, source "
@@ -1842,19 +1888,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT source, split, COUNT(*) AS n_docs, "
             f"CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM cp_s "
             f"GROUP BY source, split"),
-        "dedup_incremental": (
-            # NOT EXISTS (not NOT IN): a single NULL in di_seen would make
-            # the NOT IN predicate NULL for every row; NULL hashes are
-            # filtered on both sides to mirror Spark's left_anti semantics
-            f"{ctes}, di_seen AS (SELECT DISTINCT md5(text) AS text_hash "
-            f"  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL), "
-            f"di_b AS (SELECT doc_id, md5(text) AS text_hash FROM dup_docs "
-            f"  WHERE text IS NOT NULL) "
-            f"SELECT MIN(doc_id) AS keep_id, text_hash, "
-            f"COUNT(*) AS n_copies FROM di_b b "
-            f"WHERE NOT EXISTS (SELECT 1 FROM di_seen s "
-            f"  WHERE s.text_hash = b.text_hash) "
-            f"GROUP BY text_hash"),
+        "dedup_incremental": di_sql,
+        "dedup_incremental_bloom": di_sql,
         "corpus_shuffle": corpus_shuffle_duck_sql("documents", n_shards=8),
         "retention_cohorts": retention_cohorts_duck_sql("events"),
         "event_anomalies": daily_anomalies_duck_sql("events"),

@@ -605,3 +605,179 @@ def incremental_dedup(batch: DataFrame, seen: DataFrame,
             .agg(F.min(id_col).alias("keep_id"),
                  F.count(F.lit(1)).alias("n_copies"))
             .select("keep_id", "text_hash", "n_copies"))
+
+
+BLOOM_BITS_DEFAULT = 1 << 22        # 4 Mbit = 512 KiB bitmap
+BLOOM_HASHES = 4
+
+
+def _bloom_positions(h_u64: "np.ndarray", n_bits: int, k: int):
+    """k bit positions per 64-bit hash via Kirsch-Mitzenmacher double
+    hashing: pos_i = (h1 + i*h2) mod n_bits with h1/h2 the hash halves
+    (h2 forced odd). Pure uint64 arithmetic — reproducible identically
+    on the JVM-hashed values wherever numpy runs."""
+    import numpy as np
+
+    h1 = h_u64 & np.uint64(0xFFFFFFFF)
+    h2 = (h_u64 >> np.uint64(32)) | np.uint64(1)
+    return [((h1 + np.uint64(i) * h2) % np.uint64(n_bits)).astype(np.int64)
+            for i in range(k)]
+
+
+def incremental_dedup_bloom(batch: DataFrame, seen: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            n_bits: int = BLOOM_BITS_DEFAULT,
+                            n_hashes: int = BLOOM_HASHES) -> DataFrame:
+    """incremental_dedup with the Bloom prefilter its docstring promises:
+    OUTPUT-IDENTICAL to the exact path (the exact anti join remains the
+    verify stage — Bloom false positives only travel to it, never into
+    the result), but the batch side that reaches the shuffle shrinks to
+    actual-dup candidates + the FP residue.
+
+    Build shape: the curated side's distinct hashes map to k bit
+    positions (xxhash64 on the JVM, Kirsch-Mitzenmacher double hashing),
+    one map-side-combinable bit_or aggregate per 64-bit word produces a
+    SPARSE (word, bits) relation, and only set words are collected
+    (bounded by n_bits/64 longs — 512 KiB at the default) and broadcast
+    as a numpy bitmap. The batch side tests membership in one Arrow UDF
+    over the SAME JVM xxhash64 value (hashed once, engine-side).
+
+    Sizing at scale: n_bits should be ~10 bits per distinct curated hash
+    for ~1% FP. The single-bitmap regime tops out around 10^9 curated
+    docs (1.2 GiB broadcast); past that, partition the curated set and
+    run one bloom pass per partition, or skip the prefilter — the exact
+    anti join is always correct without it.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sh = (seen.where(F.col(text_col).isNotNull())
+          .select(F.md5(F.col(text_col)).alias("text_hash")).distinct()
+          .select("text_hash", F.xxhash64("text_hash").alias("h")))
+    pos_exprs = []
+    for i in range(n_hashes):
+        # JVM-side signed arithmetic replayed on unsigned halves:
+        # h1 = low 32 bits, h2 = (high 32 bits) | 1 — both non-negative
+        # in int64, so the modulo matches numpy's uint64 result exactly
+        pos_exprs.append(
+            f"pmod((h & 4294967295L) + {i}L * ((h >> 32) & 4294967295L "
+            f"| 1L), {n_bits}L)")
+    words = (sh.select(F.explode(F.array(
+                 *[F.expr(p) for p in pos_exprs])).alias("pos"))
+             .select((F.col("pos") / 64).cast("long").alias("word"),
+                     F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")
+                     .alias("bit"))
+             .groupBy("word")
+             .agg(F.expr("bit_or(bit)").alias("bits")))
+    rows = words.collect()                       # bounded: <= n_bits/64
+    bitmap = np.zeros(n_bits // 64, dtype=np.int64)
+    for r in rows:
+        bitmap[r["word"]] = r["bits"]
+    bitmap_u = bitmap.view(np.uint64)
+    sc = batch.sparkSession.sparkContext
+    bc = sc.broadcast(bitmap_u)
+    nb, k = n_bits, n_hashes
+
+    @pandas_udf("boolean")
+    def maybe_seen(h: pd.Series) -> pd.Series:
+        bm = bc.value
+        arr = h.to_numpy(np.int64).view(np.uint64)
+        hit = np.ones(len(arr), dtype=bool)
+        for p in _bloom_positions(arr, nb, k):
+            w = bm[p >> 6]
+            hit &= (w >> (p.astype(np.uint64) & np.uint64(63))
+                    & np.uint64(1)).astype(bool)
+        return pd.Series(hit)
+
+    bh = (batch.where(F.col(text_col).isNotNull())
+          .select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+          .withColumn("h", F.xxhash64("text_hash")))
+    # definitely-unseen rows skip the anti join entirely; maybe-seen rows
+    # (true dups + FP residue) go through the exact verify
+    bh = bh.withColumn("maybe", maybe_seen(F.col("h")))
+    fresh_sure = bh.where(~F.col("maybe")).select(id_col, "text_hash")
+    candidates = bh.where(F.col("maybe")).select(id_col, "text_hash")
+    verified = candidates.join(sh.select("text_hash"),
+                               "text_hash", "left_anti")
+    fresh = fresh_sure.unionByName(verified)
+    return (fresh.groupBy("text_hash")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select("keep_id", "text_hash", "n_copies"))
+
+
+def duplicated_span_cuts(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", w: int = 16) -> DataFrame:
+    """The ACTIONABLE form of duplicated_spans (Lee et al. 2022 step 2):
+    per document, the merged token ranges covered by any w-token window
+    that also occurs in another document — i.e. exactly what a dedup
+    pass would CUT from each document. Returns
+    (doc_id, cut_start, cut_end, n_tok) with 1-based inclusive token
+    positions; overlapping/adjacent windows coalesce (two dup windows
+    whose starts differ by <= w merge into one cut).
+
+    Scale shape: windows travel as (hash, doc, start) id-rows; the
+    dup-hash set comes from the same map-side-combinable count-distinct
+    aggregate as duplicated_spans, and the membership join reuses the
+    hash partitioning the aggregate just produced (no extra exchange on
+    AQE). Interval merging is a per-document window function — state
+    bounded by document length, never corpus-wide."""
+    tk = (f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), "
+          f"' ')")
+    wins = (f"transform(sequence(1, size({tk}) - {w - 1}), "
+            f"i -> named_struct('i', i, 'h', "
+            f"md5(array_join(slice({tk}, i, {w}), ' '))))")
+    rows = (df.where(F.expr(f"size({tk}) >= {w}"))
+            .select(F.col(id_col), F.explode(F.expr(wins)).alias("wn"))
+            .select(id_col, F.col("wn.i").alias("start"),
+                    F.col("wn.h").alias("span_hash")))
+    dup = (rows.groupBy("span_hash")
+           .agg(F.countDistinct(id_col).alias("nd"))
+           .where(F.col("nd") >= 2)
+           .select("span_hash"))
+    hit = rows.join(dup, on="span_hash").select(id_col, "start").distinct()
+    from pyspark.sql import Window
+    ww = Window.partitionBy(id_col).orderBy("start")
+    isl = (hit.withColumn(
+               "new_cut",
+               F.when(F.col("start") - F.lag("start").over(ww) > w, 1)
+               .otherwise(0))
+           .withColumn("island", F.sum("new_cut").over(ww)))
+    return (isl.groupBy(id_col, "island")
+            .agg(F.min("start").alias("cut_start"),
+                 (F.max("start") + (w - 1)).alias("cut_end"))
+            .select(id_col,
+                    F.col("cut_start").cast("bigint"),
+                    F.col("cut_end").cast("bigint"),
+                    (F.col("cut_end") - F.col("cut_start") + 1)
+                    .cast("bigint").alias("n_tok")))
+
+
+def duplicated_span_cuts_duck_sql(w: int = 16, table: str = "dup_docs",
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> str:
+    """DuckDB replay of duplicated_span_cuts (CTE bodies + SELECT, no
+    leading WITH; same contract as duplicated_spans_duck_sql)."""
+    tk = (f"string_split(trim(regexp_replace(lower({text_col}), "
+          f"'\\s+', ' ', 'g')), ' ')")
+    return (
+        f"sc_t AS (SELECT {id_col}, {tk} AS toks FROM {table}), "
+        f"sc_w AS (SELECT {id_col}, unnest(range(1, len(toks) - {w - 2}))"
+        f"  AS start, unnest(list_transform(range(1, len(toks) - {w - 2}),"
+        f"  i -> md5(array_to_string(toks[i:i+{w - 1}], ' ')))) AS span_hash"
+        f"  FROM sc_t WHERE len(toks) >= {w}), "
+        f"sc_d AS (SELECT span_hash FROM sc_w GROUP BY span_hash "
+        f"  HAVING COUNT(DISTINCT {id_col}) >= 2), "
+        f"sc_h AS (SELECT DISTINCT {id_col}, start FROM sc_w "
+        f"  WHERE span_hash IN (SELECT span_hash FROM sc_d)), "
+        f"sc_i AS (SELECT {id_col}, start, SUM(CASE WHEN prev IS NOT NULL "
+        f"  AND start - prev <= {w} THEN 0 ELSE 1 END) OVER ("
+        f"  PARTITION BY {id_col} ORDER BY start) AS island FROM ("
+        f"  SELECT {id_col}, start, LAG(start) OVER ("
+        f"  PARTITION BY {id_col} ORDER BY start) AS prev FROM sc_h)) "
+        f"SELECT {id_col}, CAST(MIN(start) AS BIGINT) AS cut_start, "
+        f"CAST(MAX(start) + {w - 1} AS BIGINT) AS cut_end, "
+        f"CAST(MAX(start) + {w - 1} - MIN(start) + 1 AS BIGINT) AS n_tok "
+        f"FROM sc_i GROUP BY {id_col}, island")

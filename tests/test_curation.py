@@ -229,3 +229,59 @@ def test_tfidf_top_terms_ranking(spark):
     # score = tf * ln(n_docs/df); common has ln(4/4)=0
     assert g2["score"].tolist()[1] == 0.0
     assert "dd" not in set(got["term"]) and "ee" not in set(got["term"])
+
+
+def test_incremental_dedup_bloom_identical_to_exact(spark):
+    """The Bloom prefilter must be output-transparent: identical rows to
+    incremental_dedup at a realistic bitmap, AND at a pathologically tiny
+    bitmap (64 bits -> mostly false positives, everything routed through
+    the exact verify). Also checks the definitely-unseen shortcut keeps
+    rows no anti join ever saw."""
+    import pandas as pd
+
+    from cld2_spark.operators.dedup import (incremental_dedup,
+                                            incremental_dedup_bloom)
+
+    seen = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(100),
+        "text": [f"curated doc {i}" for i in range(50)] * 2}))
+    batch = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(1000, 1060),
+        "text": [f"curated doc {i % 20}" for i in range(30)]   # dups
+        + [f"fresh doc {i}" for i in range(30)]}))             # new
+
+    exact = {(r["keep_id"], r["text_hash"], r["n_copies"])
+             for r in incremental_dedup(batch, seen).collect()}
+    assert len(exact) > 0
+    for n_bits in (1 << 20, 64):
+        got = {(r["keep_id"], r["text_hash"], r["n_copies"])
+               for r in incremental_dedup_bloom(
+                   batch, seen, n_bits=n_bits).collect()}
+        assert got == exact, f"n_bits={n_bits}"
+
+
+def test_duplicated_span_cuts_merges_planted_overlaps(spark):
+    """Two docs share a 24-token run (=> 9 overlapping dup 16-windows
+    that must merge into ONE cut of exactly the shared tokens) and a
+    disjoint 16-token run far inside doc A (its own cut). Unique text
+    yields no cuts."""
+    import pandas as pd
+
+    from cld2_spark.operators.dedup import duplicated_span_cuts
+
+    shared24 = " ".join(f"tok{i}" for i in range(24))
+    shared16 = " ".join(f"dup{i}" for i in range(16))
+    fillerA = " ".join(f"fa{i}" for i in range(20))
+    fillerB = " ".join(f"fb{i}" for i in range(20))
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"{shared24} {fillerA} {shared16}",
+                 f"{fillerB} {shared24}",
+                 f"{shared16} " + " ".join(f"u{i}" for i in range(30))],
+    }))
+    got = {(r["doc_id"], r["cut_start"], r["cut_end"], r["n_tok"])
+           for r in duplicated_span_cuts(docs, w=16).collect()}
+    # doc1: shared24 at tokens 1-24 (9 merged windows), shared16 at 45-60
+    # doc2: shared24 at 21-44; doc3: shared16 at 1-16
+    assert got == {(1, 1, 24, 24), (1, 45, 60, 16),
+                   (2, 21, 44, 24), (3, 1, 16, 16)}, got
