@@ -859,6 +859,37 @@ def _q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(spark.table("dup_docs"), seen)
 
 
+def _q_events_stream_enriched(spark, sf_dir):
+    """STREAM-STATIC join driver query: the events stream enriched with
+    the static customer dimension (broadcast into each micro-batch —
+    stateless, the stream side never shuffles). availableNow replay must
+    byte-match the plain batch join the oracle runs."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cld2_spark.streaming.stream import run_enrichment_stream
+
+    _register(spark, sf_dir)
+    work = str(Path(tempfile.gettempdir())
+               / f"cld2s_enrich_stream_{spark.sparkContext.applicationId}")
+    shutil.rmtree(work, ignore_errors=True)
+    dim = spark.table("customer").select("c_custkey", "c_mktsegment")
+    return run_enrichment_stream(spark, f"{sf_dir}/events.parquet", dim,
+                                 work)
+
+
+def _q_pq_codes(spark, sf_dir):
+    """Product quantization (operators/similarity.pq_encode): every
+    embedding compressed to 4 codeword ids (nearest hash-sampled
+    codeword per contiguous subspace) + the exact squared reconstruction
+    residual. The 10^10-vector ANN storage recipe (IVF+PQ); oracle
+    replays the identical subspace/argmin algebra in DuckDB."""
+    from cld2_spark.operators.similarity import pq_encode
+    _register(spark, sf_dir)
+    return pq_encode(spark.table("embeddings"), n_sub=4, cb_mod=37)
+
+
 def _q_dup_span_cuts(spark, sf_dir):
     """Per-document duplicate-span CUT LIST (operators/dedup): merged
     1-based token ranges covered by any 16-token window occurring in >=2
@@ -1434,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_features": _q_conversation_features,
         "dedup_incremental_bloom": _q_dedup_incremental_bloom,
         "dup_span_cuts": _q_dup_span_cuts,
+        "pq_codes": _q_pq_codes,
+        "events_stream_enriched": _q_events_stream_enriched,
     }
 
 
@@ -1500,6 +1533,34 @@ def _duck_dot(a: str, b: str) -> str:
 def _duck_norm(a: str) -> str:
     return (f"sqrt(list_sum(list_transform({a}, "
             f"v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))")
+
+
+def _pq_duck_sql(n_sub: int = 4, cb_mod: int = 37) -> str:
+    """DuckDB replay of operators.similarity.pq_encode: same hash-sampled
+    codebook, same contiguous subspace slicing (1-based inclusive list
+    slice mirrors Spark's slice()), same left-to-right double sum, same
+    (d2, cw) argmin tie-break."""
+    from cld2_spark.operators.similarity import hash_id_expr
+    h = hash_id_expr("vec_id", "duckdb")
+    sl = ("list_transform(embedding[s * (len(embedding) // {ns}) + 1 : "
+          "s * (len(embedding) // {ns}) + (len(embedding) // {ns})], "
+          "x -> CAST(x AS DOUBLE))").format(ns=n_sub)
+    d2 = ("list_sum(list_transform(list_zip(a.v, b.cv), p -> "
+          "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+          "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))")
+    return (
+        f"WITH pq_n AS (SELECT unnest(range(0, {n_sub})) AS s), "
+        f"pq_sub AS (SELECT vec_id, s, {sl} AS v "
+        f"  FROM embeddings CROSS JOIN pq_n), "
+        f"pq_cb AS (SELECT vec_id AS cw, s, {sl} AS cv "
+        f"  FROM embeddings CROSS JOIN pq_n WHERE {h} % {cb_mod} = 0), "
+        f"pq_d AS (SELECT a.vec_id, a.s, b.cw, {d2} AS d2 "
+        f"  FROM pq_sub a JOIN pq_cb b USING (s)), "
+        f"pq_a AS (SELECT vec_id, s, cw, d2 FROM pq_d "
+        f"  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s "
+        f"  ORDER BY d2, cw) = 1) "
+        f"SELECT vec_id, list(CAST(cw AS BIGINT) ORDER BY s) AS codes, "
+        f"ROUND(SUM(d2), 6) AS dist FROM pq_a GROUP BY vec_id")
 
 
 def _kmeans_duck_sql(iters: int = 2, cent_mod: int = 61) -> str:
@@ -1806,6 +1867,11 @@ def oracle_sql() -> dict[str, str]:
             "  embedding, x -> abs(CAST(round(CAST(x AS DOUBLE) / scale) "
             "  AS INT)))) END AS INT) AS code_max "
             "FROM q"),
+        "pq_codes": _pq_duck_sql(n_sub=4, cb_mod=37),
+        "events_stream_enriched": (
+            "SELECT e.event_id, e.user_id, e.event_type, "
+            "c.c_mktsegment AS mktsegment, ROUND(e.value, 2) AS value "
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey"),
         "kmeans_clusters": _kmeans_duck_sql(iters=2, cent_mod=61),
         "semdedup": _semdedup_duck_sql(0.98, iters=2, cent_mod=61, cluster_cap=2000),
         "top_ngrams": (

@@ -492,3 +492,55 @@ def semdedup_pairs(df: DataFrame, threshold: float = 0.98,
             .withColumn("sim", sim)
             .where(F.col("sim") >= threshold)
             .select("a", "b", F.round("sim", 4).alias("sim")))
+
+
+def pq_encode(df: DataFrame, n_sub: int = 4, cb_mod: int = 37,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Product quantization (scale path #3 — the 10^10-vector storage
+    recipe, Jegou et al. 2011): each vector splits into `n_sub`
+    contiguous subvectors and every subvector is replaced by the id of
+    its nearest codeword, compressing a dim-D float vector to n_sub
+    small ids. The codebook per subspace is the deterministic id-hash
+    sample of the corpus's own subvectors (hash % cb_mod == 0) — the
+    same trained-codebook-free bootstrap ivf_cosine_topk uses, stable
+    under reruns and appends, no RNG, no count() job.
+
+    Shape at 100 TB: the codebook relation is tiny (n_sub * n/cb_mod
+    rows) and broadcast; the corpus explodes to one row per (vector,
+    subspace) — a pure projection — and the argmin is one map-side-
+    combinable min(struct) aggregate keyed by (vec_id, subspace),
+    followed by one reassembly aggregate keyed by vec_id. Ties break by
+    codeword id. Exact double algebra throughout so a SQL oracle
+    replays it bit-for-bit.
+
+    Returns (vec_id, codes array<bigint> — codeword ids in subspace
+    order, dist — total squared reconstruction residual, rounded)."""
+    h = hash_id_expr(id_col, "spark")
+    dim_expr = f"size({vec_col})"
+    sub = (f"transform(sequence(0, {n_sub - 1}), s -> named_struct("
+           f"'s', s, 'v', slice({vec_col}, s * ({dim_expr} DIV {n_sub}) + 1, "
+           f"{dim_expr} DIV {n_sub})))")
+    ex = (df.select(F.col(id_col), F.explode(F.expr(sub)).alias("p"))
+          .select(id_col, F.col("p.s").alias("s"),
+                  F.expr("transform(p.v, x -> CAST(x AS DOUBLE))")
+                  .alias("v")))
+    cb = (df.where(F.expr(f"{h} % {cb_mod} = 0"))
+          .select(F.col(id_col).alias("cw"), F.expr(sub).alias("ps"))
+          .select("cw", F.explode("ps").alias("p"))
+          .select("cw", F.col("p.s").alias("s"),
+                  F.expr("transform(p.v, x -> CAST(x AS DOUBLE))")
+                  .alias("cv")))
+    d2 = ("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), "
+          "0D, (acc, x) -> acc + x)")
+    assigned = (ex.join(F.broadcast(cb), on="s")
+                .withColumn("d2", F.expr(d2))
+                .groupBy(id_col, "s")
+                .agg(F.min(F.struct(F.col("d2"), F.col("cw"))).alias("m"))
+                .select(id_col, "s", F.col("m.cw").alias("cw"),
+                        F.col("m.d2").alias("d2")))
+    return (assigned.groupBy(id_col)
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(s, cw))), t -> CAST(t.cw AS BIGINT))")
+                 .alias("codes"),
+                 F.round(F.sum("d2"), 6).alias("dist")))

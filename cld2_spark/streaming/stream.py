@@ -263,3 +263,42 @@ def run_click_purchase_join_stream(spark: SparkSession, events_path: str,
                     F.unix_micros(F.col("buy_ts").cast("timestamp"))
                     .alias("buy_us"),
                     F.round("buy_value", 2).alias("buy_value")))
+
+
+def run_enrichment_stream(spark: SparkSession, events_path: str,
+                          dim: DataFrame, work_dir: str,
+                          timeout_sec: int = 300) -> DataFrame:
+    """STREAM-STATIC enrichment join: every streamed event is joined to a
+    static dimension table on user_id — the standard fact-stream /
+    broadcast-dim shape. Stateless (no watermark, no state store): Spark
+    broadcasts the dim side into every micro-batch, so the stream side
+    never shuffles and throughput is scan-bound; at 10^12 events/day the
+    dim refresh is a snapshot swap, not a stream.
+
+    availableNow replay; returns the enriched rows read back from the
+    sink — byte-comparable to the plain batch join the oracle runs.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    reader = spark.readStream.schema(EVENTS_DDL)
+    path = events_path
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    src = reader.parquet(path)
+    enriched = (src.join(F.broadcast(dim), src.user_id == dim.c_custkey,
+                         "inner")
+                .select("event_id", "user_id", "event_type",
+                        F.col("c_mktsegment").alias("mktsegment"),
+                        F.round("value", 2).alias("value")))
+    q = (enriched.writeStream.outputMode("append").format("parquet")
+         .option("path", f"{work_dir}/data")
+         .option("checkpointLocation", f"{work_dir}/ckpt")
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"enrichment stream replay did not finish in {timeout_sec}s")
+    return spark.read.parquet(f"{work_dir}/data")

@@ -975,3 +975,34 @@ def test_squeeze_run_splice_differential():
     for text in cases:
         assert (sq.cheap_squeeze(text)
                 == per_chunk_reference(text)), text[:60]
+
+
+def test_pq_encode_codebook_members_reconstruct_exactly(spark):
+    """A vector whose id is hash-sampled into the codebook finds its own
+    subvectors at distance 0 in every subspace -> dist == 0 and (absent
+    exact-duplicate codewords) codes == [own_id]*n_sub; non-members get
+    n_sub valid codeword ids and a finite residual."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.similarity import hash_id_expr, pq_encode
+
+    rng = __import__("numpy").random.RandomState(3)
+    pdf = pd.DataFrame({
+        "vec_id": range(200),
+        "embedding": [[float(x) for x in rng.randn(16)] for _ in range(200)]})
+    df = spark.createDataFrame(pdf)
+    h = hash_id_expr("vec_id", "spark")
+    members = {r["vec_id"] for r in
+               df.where(F.expr(f"{h} % 11 = 0")).select("vec_id").collect()}
+    assert members, "need at least one codebook member"
+    out = {r["vec_id"]: r for r in
+           pq_encode(df, n_sub=4, cb_mod=11).collect()}
+    assert set(out) == set(range(200))
+    for vid, r in out.items():
+        assert len(r["codes"]) == 4
+        assert set(r["codes"]) <= members
+        if vid in members:
+            assert r["dist"] == 0.0 and r["codes"] == [vid] * 4
+        else:
+            assert r["dist"] > 0.0
