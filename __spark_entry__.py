@@ -859,6 +859,21 @@ def _q_dedup_incremental(spark, sf_dir):
     return incremental_dedup(spark.table("dup_docs"), seen)
 
 
+def _q_pq_ann(spark, sf_dir):
+    """PQ search by asymmetric distance (operators/similarity
+    .pq_adc_topk): queries build an exact distance LUT to every codeword
+    per subspace; database vectors rank by the SUM of LUT entries at
+    their stored codes — floats never ride the big side. Same query set
+    as ann_lsh (vec_id < 10); oracle replays the algebra in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.similarity import pq_adc_topk
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return pq_adc_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
+                       n_sub=4, cb_mod=37)
+
+
 def _q_events_stream_enriched(spark, sf_dir):
     """STREAM-STATIC join driver query: the events stream enriched with
     the static customer dimension (broadcast into each micro-batch —
@@ -1466,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_bloom": _q_dedup_incremental_bloom,
         "dup_span_cuts": _q_dup_span_cuts,
         "pq_codes": _q_pq_codes,
+        "pq_ann": _q_pq_ann,
         "events_stream_enriched": _q_events_stream_enriched,
     }
 
@@ -1560,7 +1576,49 @@ def _pq_duck_sql(n_sub: int = 4, cb_mod: int = 37) -> str:
         f"  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s "
         f"  ORDER BY d2, cw) = 1) "
         f"SELECT vec_id, list(CAST(cw AS BIGINT) ORDER BY s) AS codes, "
-        f"ROUND(SUM(d2), 6) AS dist FROM pq_a GROUP BY vec_id")
+        f"ROUND(list_sum(list(d2 ORDER BY s)), 6) AS dist "
+        f"FROM pq_a GROUP BY vec_id")
+
+
+def _pq_ann_duck_sql(k: int = 5, n_sub: int = 4, cb_mod: int = 37,
+                     q_max: int = 10) -> str:
+    """DuckDB replay of pq_adc_topk over the same <q_max query ids:
+    shares _pq_duck_sql's CTE structure; the ADC sum folds LUT entries
+    in subspace order (list_sum over an ORDER BY s list) to match the
+    Spark side's deterministic fold."""
+    from cld2_spark.operators.similarity import hash_id_expr
+    h = hash_id_expr("vec_id", "duckdb")
+    sl = ("list_transform(embedding[s * (len(embedding) // {ns}) + 1 : "
+          "s * (len(embedding) // {ns}) + (len(embedding) // {ns})], "
+          "x -> CAST(x AS DOUBLE))").format(ns=n_sub)
+    d2 = ("list_sum(list_transform(list_zip(a.v, b.cv), p -> "
+          "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+          "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))")
+    qd2 = d2.replace("a.v", "q.v")
+    return (
+        f"WITH pq_n AS (SELECT unnest(range(0, {n_sub})) AS s), "
+        f"pq_sub AS (SELECT vec_id, s, {sl} AS v "
+        f"  FROM embeddings CROSS JOIN pq_n), "
+        f"pq_cb AS (SELECT vec_id AS cw, s, {sl} AS cv "
+        f"  FROM embeddings CROSS JOIN pq_n WHERE {h} % {cb_mod} = 0), "
+        f"pq_d AS (SELECT a.vec_id, a.s, b.cw, {d2} AS d2 "
+        f"  FROM pq_sub a JOIN pq_cb b USING (s)), "
+        f"pq_a AS (SELECT vec_id, s, cw FROM pq_d "
+        f"  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s "
+        f"  ORDER BY d2, cw) = 1), "
+        f"pq_lut AS (SELECT q.vec_id AS qid, q.s, b.cw, {qd2} AS qd2 "
+        f"  FROM pq_sub q JOIN pq_cb b USING (s) "
+        f"  WHERE q.vec_id < {q_max}), "
+        f"pq_sc AS (SELECT l.qid, a.vec_id AS nid, "
+        f"  ROUND(list_sum(list(l.qd2 ORDER BY a.s)), 6) AS adist, "
+        f"  COUNT(*) AS nsub "
+        f"  FROM pq_a a JOIN pq_lut l ON a.s = l.s AND a.cw = l.cw "
+        f"  WHERE a.vec_id <> l.qid GROUP BY l.qid, a.vec_id) "
+        f"SELECT qid, nid, adist, CAST(ROW_NUMBER() OVER ("
+        f"  PARTITION BY qid ORDER BY adist, nid) AS INT) AS rank "
+        f"FROM pq_sc WHERE nsub = {n_sub} "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY qid "
+        f"  ORDER BY adist, nid) <= {k}")
 
 
 def _kmeans_duck_sql(iters: int = 2, cent_mod: int = 61) -> str:
@@ -1868,6 +1926,7 @@ def oracle_sql() -> dict[str, str]:
             "  AS INT)))) END AS INT) AS code_max "
             "FROM q"),
         "pq_codes": _pq_duck_sql(n_sub=4, cb_mod=37),
+        "pq_ann": _pq_ann_duck_sql(k=5, n_sub=4, cb_mod=37, q_max=10),
         "events_stream_enriched": (
             "SELECT e.event_id, e.user_id, e.event_type, "
             "c.c_mktsegment AS mktsegment, ROUND(e.value, 2) AS value "

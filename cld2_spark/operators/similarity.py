@@ -516,6 +516,27 @@ def pq_encode(df: DataFrame, n_sub: int = 4, cb_mod: int = 37,
 
     Returns (vec_id, codes array<bigint> — codeword ids in subspace
     order, dist — total squared reconstruction residual, rounded)."""
+    assigned, _ = pq_assignments(df, n_sub, cb_mod, id_col, vec_col)
+    # dist sums n_sub doubles: fold them in SUBSPACE ORDER (not F.sum,
+    # whose partial-aggregation order is partitioning-dependent) so the
+    # value is bit-stable across runs and engines
+    return (assigned.groupBy(id_col)
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(s, cw))), t -> CAST(t.cw AS BIGINT))")
+                 .alias("codes"),
+                 F.round(F.expr(
+                     "aggregate(transform(array_sort(collect_list("
+                     "struct(s, d2))), t -> t.d2), 0D, (a, x) -> a + x)"),
+                     6).alias("dist")))
+
+
+def pq_assignments(df: DataFrame, n_sub: int = 4, cb_mod: int = 37,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> tuple[DataFrame, DataFrame]:
+    """(assignments, codebook) behind pq_encode: assignments =
+    (vec_id, s, cw, d2) — nearest codeword per (vector, subspace);
+    codebook = (cw, s, cv) with double-cast subvectors. Shared by
+    pq_encode (reassembly) and pq_adc_topk (ADC search)."""
     h = hash_id_expr(id_col, "spark")
     dim_expr = f"size({vec_col})"
     sub = (f"transform(sequence(0, {n_sub - 1}), s -> named_struct("
@@ -539,8 +560,56 @@ def pq_encode(df: DataFrame, n_sub: int = 4, cb_mod: int = 37,
                 .agg(F.min(F.struct(F.col("d2"), F.col("cw"))).alias("m"))
                 .select(id_col, "s", F.col("m.cw").alias("cw"),
                         F.col("m.d2").alias("d2")))
-    return (assigned.groupBy(id_col)
-            .agg(F.expr("transform(array_sort(collect_list("
-                        "struct(s, cw))), t -> CAST(t.cw AS BIGINT))")
-                 .alias("codes"),
-                 F.round(F.sum("d2"), 6).alias("dist")))
+    return assigned, cb
+
+
+def pq_adc_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                n_sub: int = 4, cb_mod: int = 37,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """PQ search by Asymmetric Distance Computation (Jegou et al. 2011):
+    each query computes an exact distance LUT to every codeword per
+    subspace; a database vector's approximate distance is the SUM of the
+    LUT entries addressed by its stored codes — the database side is
+    touched only through its (vec_id, s, cw) code rows, never its floats.
+
+    Shape at 10^10 vectors: the LUT relation is |queries| * n_sub * k
+    rows (tiny, broadcast); code rows join it map-side on (s, cw), and
+    the per-(query, vector) distance sum is one map-side-combinable
+    aggregate. No shuffle ever carries an embedding array. Returns
+    (qid, nid, adist, rank) — rank by (adist asc, nid) per query."""
+    assigned, cb = pq_assignments(vectors, n_sub, cb_mod, id_col, vec_col)
+    dim_expr = f"size({vec_col})"
+    sub = (f"transform(sequence(0, {n_sub - 1}), s -> named_struct("
+           f"'s', s, 'v', slice({vec_col}, s * ({dim_expr} DIV {n_sub}) + 1, "
+           f"{dim_expr} DIV {n_sub})))")
+    qx = (queries.select(F.col(id_col).alias("qid"),
+                         F.explode(F.expr(sub)).alias("p"))
+          .select("qid", F.col("p.s").alias("s"),
+                  F.expr("transform(p.v, x -> CAST(x AS DOUBLE))")
+                  .alias("v")))
+    qd2 = ("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), "
+           "0D, (acc, x) -> acc + x)")
+    lut = (qx.join(F.broadcast(cb), on="s")
+           .select("qid", "s", "cw", F.expr(qd2).alias("qd2")))
+    # fold the n_sub LUT entries in SUBSPACE ORDER (not F.sum: partial
+    # aggregation order is partitioning-dependent, and a last-ulp
+    # difference could flip the rounded rank key between runs/engines)
+    scored = (assigned.select(F.col(id_col).alias("nid"), "s", "cw")
+              .join(F.broadcast(lut), on=["s", "cw"])
+              .where(F.col("nid") != F.col("qid"))
+              .groupBy("qid", "nid")
+              .agg(F.round(F.expr(
+                       "aggregate(transform(array_sort(collect_list("
+                       "struct(s, qd2))), t -> t.qd2), 0D, (a, x) -> a + x)"),
+                       6).alias("adist"),
+                   F.count(F.lit(1)).alias("nsub")))
+    # a (query, vector) pair is rankable only when every subspace
+    # contributed (always true by construction; the guard keeps a
+    # malformed short vector from ranking on partial distance)
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
+    return (scored.where(F.col("nsub") == n_sub)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "nid", "adist", F.col("rank").cast("int")
+                    .alias("rank")))

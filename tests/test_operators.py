@@ -1006,3 +1006,29 @@ def test_pq_encode_codebook_members_reconstruct_exactly(spark):
             assert r["dist"] == 0.0 and r["codes"] == [vid] * 4
         else:
             assert r["dist"] > 0.0
+
+
+def test_pq_adc_topk_recovers_planted_clusters(spark):
+    """ADC over PQ codes is approximate, but on well-separated planted
+    clusters the nearest neighbors by ADC must come from the query's own
+    cluster (codewords land inside clusters, so inter-cluster ADC
+    distances dwarf intra-cluster ones)."""
+    import numpy as np
+    import pandas as pd
+
+    from cld2_spark.operators.similarity import pq_adc_topk
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(5, 16) * 25
+    pdf = pd.DataFrame({
+        "vec_id": range(150),
+        "embedding": [[float(x) for x in centers[i % 5] + rng.randn(16)]
+                      for i in range(150)]})
+    df = spark.createDataFrame(pdf)
+    out = pq_adc_topk(df, df.where("vec_id < 5"), k=3,
+                      n_sub=4, cb_mod=7).collect()
+    assert {r["qid"] for r in out} == set(range(5))
+    for r in out:
+        assert r["nid"] % 5 == r["qid"] % 5, (
+            f"q{r['qid']} ranked cross-cluster neighbor {r['nid']}")
+        assert 1 <= r["rank"] <= 3 and r["adist"] >= 0.0
