@@ -894,6 +894,67 @@ def _q_events_stream_enriched(spark, sf_dir):
                                  work)
 
 
+def _q_late_sole_suppliers(spark, sf_dir):
+    """TPC-H Q21 SHAPE (multi-correlation semi + anti chain): suppliers
+    who shipped an item >60 days after the order date, on multi-supplier
+    orders where NO other supplier shipped that late — i.e. the sole
+    cause of the delay. l_shipdate stands in for the receipt/commit
+    columns the synthetic schema omits; the SHAPE (one semi join and one
+    anti join, both correlated on the order key with a different-supplier
+    inequality) is the optimizer path Q21 exercises. Scale: late/others
+    travel as DISTINCT (orderkey, suppkey) id-pairs; all joins shuffle on
+    the uniform order key; count is map-side combinable."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    li, o, s = (spark.table("lineitem"), spark.table("orders"),
+                spark.table("supplier"))
+    late = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+            .select("l_orderkey", "l_suppkey").distinct())
+    others = li.select("l_orderkey", "l_suppkey").distinct()
+    cand = late
+    # EXISTS another supplier on the same order
+    cand = cand.alias("c").join(
+        others.alias("x"),
+        (F.col("c.l_orderkey") == F.col("x.l_orderkey"))
+        & (F.col("c.l_suppkey") != F.col("x.l_suppkey")),
+        "left_semi")
+    # NOT EXISTS another supplier who was ALSO late on that order
+    cand = cand.alias("c").join(
+        late.alias("y"),
+        (F.col("c.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("c.l_suppkey") != F.col("y.l_suppkey")),
+        "left_anti")
+    return (cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+            .groupBy("s_suppkey", "s_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numwait")))
+
+
+def _q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 SHAPE (uncorrelated scalar-avg subquery + NOT EXISTS):
+    customers with above-average positive balance and no HIGH-VALUE
+    order (>250000; plain no-orders is empty on the synthetic data),
+    rolled up by a deterministic country-code stand-in (custkey mod 7 —
+    the synthetic schema has no phone column). The scalar average is a
+    1-row broadcast; the NOT EXISTS test is a left_anti on the filtered
+    order side's DISTINCT custkeys."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    c, o = spark.table("customer"), spark.table("orders")
+    avg_bal = (c.where(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("ab")))
+    big = (o.where(F.col("o_totalprice") > 250000)
+           .select("o_custkey").distinct())
+    idle = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
+    return (idle.groupBy((F.col("c_custkey") % 7).cast("int")
+                         .alias("cgroup"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
+                 F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint"))
+                 .cast("bigint").alias("bal_cents")))
+
+
 def _q_pq_codes(spark, sf_dir):
     """Product quantization (operators/similarity.pq_encode): every
     embedding compressed to 4 codeword ids (nearest hash-sampled
@@ -1483,6 +1544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _q_pq_codes,
         "pq_ann": _q_pq_ann,
         "events_stream_enriched": _q_events_stream_enriched,
+        "late_sole_suppliers": _q_late_sole_suppliers,
+        "idle_rich_customers": _q_idle_rich_customers,
     }
 
 
@@ -1931,6 +1994,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.event_id, e.user_id, e.event_type, "
             "c.c_mktsegment AS mktsegment, ROUND(e.value, 2) AS value "
             "FROM events e JOIN customer c ON e.user_id = c.c_custkey"),
+        "late_sole_suppliers": (
+            # written with EXISTS/NOT EXISTS on purpose: DuckDB runs the
+            # subquery form while Spark runs explicit semi/anti joins
+            "WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey "
+            "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY), "
+            "others AS (SELECT DISTINCT l_orderkey, l_suppkey "
+            "  FROM lineitem) "
+            "SELECT s_suppkey, s_name, "
+            "CAST(COUNT(*) AS BIGINT) AS numwait "
+            "FROM late c JOIN supplier ON c.l_suppkey = s_suppkey "
+            "WHERE EXISTS (SELECT 1 FROM others x "
+            "  WHERE x.l_orderkey = c.l_orderkey "
+            "  AND x.l_suppkey <> c.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM late y "
+            "  WHERE y.l_orderkey = c.l_orderkey "
+            "  AND y.l_suppkey <> c.l_suppkey) "
+            "GROUP BY s_suppkey, s_name"),
+        "idle_rich_customers": (
+            "SELECT CAST(c_custkey % 7 AS INT) AS cgroup, "
+            "CAST(COUNT(*) AS BIGINT) AS numcust, "
+            "CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "  AS bal_cents "
+            "FROM customer c "
+            "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+            "  WHERE c_acctbal > 0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "  WHERE o.o_custkey = c.c_custkey "
+            "  AND o.o_totalprice > 250000) "
+            "GROUP BY 1"),
         "kmeans_clusters": _kmeans_duck_sql(iters=2, cent_mod=61),
         "semdedup": _semdedup_duck_sql(0.98, iters=2, cent_mod=61, cluster_cap=2000),
         "top_ngrams": (
