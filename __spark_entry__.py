@@ -894,6 +894,21 @@ def _q_events_stream_enriched(spark, sf_dir):
                                  work)
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Composite Gopher document filter (operators/curation
+    .gopher_quality): word-count band, mean-word-length band, symbol
+    ratio, alpha-word fraction, stop-word floor — integer-exact
+    comparisons, keep verdict + first failed rule per document, pure
+    codegen (zero shuffle)."""
+    from cld2_spark.operators.curation import gopher_quality
+    _register(spark, sf_dir)
+    # stress thresholds (not the Gopher defaults) so every rule branch
+    # fires on the synthetic docs and the oracle checks all reasons
+    return gopher_quality(spark.table("documents"), min_words=20,
+                          max_words=90, min_mean_wlen=4.3,
+                          max_mean_wlen=4.7)
+
+
 def _q_late_sole_suppliers(spark, sf_dir):
     """TPC-H Q21 SHAPE (multi-correlation semi + anti chain): suppliers
     who shipped an item >60 days after the order date, on multi-supplier
@@ -1546,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_enriched": _q_events_stream_enriched,
         "late_sole_suppliers": _q_late_sole_suppliers,
         "idle_rich_customers": _q_idle_rich_customers,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -1856,7 +1872,8 @@ def oracle_sql() -> dict[str, str]:
     from cld2_spark.kernels.scrub import scrub_sql, toxicity_sql
     from cld2_spark.operators.cohorts import (daily_anomalies_duck_sql,
                                               retention_cohorts_duck_sql)
-    from cld2_spark.operators.curation import corpus_shuffle_duck_sql
+    from cld2_spark.operators.curation import (corpus_shuffle_duck_sql,
+                                               gopher_quality_duck_sql)
     from cld2_spark.operators.dedup import (duplicated_span_cuts_duck_sql,
                                             duplicated_spans_duck_sql)
     from cld2_spark.operators.funnel import funnel_steps_duck_sql
@@ -2109,6 +2126,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": di_sql,
         "dedup_incremental_bloom": di_sql,
         "corpus_shuffle": corpus_shuffle_duck_sql("documents", n_shards=8),
+        "gopher_quality": gopher_quality_duck_sql(
+            "documents", min_words=20, max_words=90,
+            min_mean_wlen=4.3, max_mean_wlen=4.7),
         "retention_cohorts": retention_cohorts_duck_sql("events"),
         "event_anomalies": daily_anomalies_duck_sql("events"),
         "user_reach": (

@@ -378,3 +378,104 @@ def corpus_shuffle_duck_sql(table: str = "documents",
         f"FROM {table}) "
         f"SELECT {id_col}, shard, CAST(ROW_NUMBER() OVER ("
         f"PARTITION BY shard ORDER BY skey) AS BIGINT) AS pos FROM cs")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_words: int = 5, max_words: int = 100_000,
+                   min_mean_wlen: float = 2.0, max_mean_wlen: float = 12.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_frac: float = 0.6,
+                   min_stopwords: int = 1) -> DataFrame:
+    """Composite Gopher-rule document filter (Rae et al. 2021 table A1,
+    thresholds parameterized): word-count band, mean-word-length band,
+    symbol ('#'/'...') -to-word ratio cap, alpha-word fraction floor and
+    a minimal stop-word presence. Emits per-document integer-exact
+    measures plus the keep verdict and the FIRST failed rule (audit
+    trail) — all whole-stage-codegen SQL, zero shuffle, so it composes
+    with any scan at 100 TB. The repetition rules live in
+    repetition_stats (they need the line/2-gram aggregates); a full
+    Gopher pass is this filter AND-ed with that one's thresholds.
+
+    Mean word length is compared integer-exactly (sum_len vs bound *
+    n_words) so the verdict cannot flip on a float division ulp."""
+    tk = _TOK.format(c=text_col)
+    stop = "array('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"size({tk})").cast("bigint").alias("n_words"),
+        F.expr(f"aggregate({tk}, 0L, (a, w) -> a + length(w))")
+        .alias("sum_wlen"),
+        (F.length(text_col) - F.length(F.regexp_replace(text_col, "#", "")))
+        .cast("bigint").alias("n_hash"),
+        (F.expr(f"size(split({text_col}, '\\\\.\\\\.\\\\.')) - 1"))
+        .cast("bigint").alias("n_ellipsis"),
+        F.expr(f"size(filter({tk}, w -> w rlike '[a-z]'))")
+        .cast("bigint").alias("n_alpha_words"),
+        F.expr(f"size(filter({tk}, w -> array_contains({stop}, w)))")
+        .cast("bigint").alias("n_stopwords"))
+    mw_lo = int(min_mean_wlen * 1000)
+    mw_hi = int(max_mean_wlen * 1000)
+    sym_cap = int(max_symbol_ratio * 1000)
+    alpha_lo = int(min_alpha_frac * 1000)
+    reason = (F.when(F.col("n_words") < min_words, "too_few_words")
+              .when(F.col("n_words") > max_words, "too_many_words")
+              .when(F.col("sum_wlen") * 1000 < mw_lo * F.col("n_words"),
+                    "words_too_short")
+              .when(F.col("sum_wlen") * 1000 > mw_hi * F.col("n_words"),
+                    "words_too_long")
+              .when((F.col("n_hash") + F.col("n_ellipsis")) * 1000
+                    > sym_cap * F.col("n_words"), "symbol_heavy")
+              .when(F.col("n_alpha_words") * 1000
+                    < alpha_lo * F.col("n_words"), "non_alpha")
+              .when(F.col("n_stopwords") < min_stopwords, "no_stopwords"))
+    return base.select(
+        id_col, "n_words", "sum_wlen", "n_hash", "n_ellipsis",
+        "n_alpha_words", "n_stopwords",
+        reason.isNull().alias("keep"),
+        F.coalesce(reason, F.lit("")).alias("drop_reason"))
+
+
+def gopher_quality_duck_sql(table: str = "documents",
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            min_words: int = 5, max_words: int = 100_000,
+                            min_mean_wlen: float = 2.0,
+                            max_mean_wlen: float = 12.0,
+                            max_symbol_ratio: float = 0.1,
+                            min_alpha_frac: float = 0.6,
+                            min_stopwords: int = 1) -> str:
+    """DuckDB replay of gopher_quality (identical integer comparisons)."""
+    tk = (f"string_split(trim(regexp_replace(lower({text_col}), "
+          f"'\\s+', ' ', 'g')), ' ')")
+    stop = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+    mw_lo, mw_hi = int(min_mean_wlen * 1000), int(max_mean_wlen * 1000)
+    sym_cap, alpha_lo = int(max_symbol_ratio * 1000), int(min_alpha_frac * 1000)
+    return (
+        f"WITH gq AS (SELECT {id_col}, "
+        f"CAST(len({tk}) AS BIGINT) AS n_words, "
+        f"CAST(list_sum(list_transform({tk}, w -> length(w))) AS BIGINT)"
+        f"  AS sum_wlen, "
+        f"CAST(length({text_col}) - length(replace({text_col}, '#', ''))"
+        f"  AS BIGINT) AS n_hash, "
+        f"CAST(len(string_split({text_col}, '...')) - 1 AS BIGINT)"
+        f"  AS n_ellipsis, "
+        f"CAST(len(list_filter({tk}, w -> regexp_matches(w, '[a-z]')))"
+        f"  AS BIGINT) AS n_alpha_words, "
+        f"CAST(len(list_filter({tk}, w -> list_contains({stop}, w)))"
+        f"  AS BIGINT) AS n_stopwords "
+        f"FROM {table}), "
+        f"gr AS (SELECT *, CASE "
+        f"WHEN n_words < {min_words} THEN 'too_few_words' "
+        f"WHEN n_words > {max_words} THEN 'too_many_words' "
+        f"WHEN sum_wlen * 1000 < {mw_lo} * n_words THEN 'words_too_short' "
+        f"WHEN sum_wlen * 1000 > {mw_hi} * n_words THEN 'words_too_long' "
+        f"WHEN (n_hash + n_ellipsis) * 1000 > {sym_cap} * n_words "
+        f"  THEN 'symbol_heavy' "
+        f"WHEN n_alpha_words * 1000 < {alpha_lo} * n_words "
+        f"  THEN 'non_alpha' "
+        f"WHEN n_stopwords < {min_stopwords} THEN 'no_stopwords' "
+        f"END AS r FROM gq) "
+        f"SELECT {id_col}, n_words, sum_wlen, n_hash, n_ellipsis, "
+        f"n_alpha_words, n_stopwords, r IS NULL AS keep, "
+        f"COALESCE(r, '') AS drop_reason FROM gr")
