@@ -437,6 +437,16 @@ def kmeans_assign(df: DataFrame, iters: int = 2, cent_mod: int = 61,
     assign = assign_two_level if two_level else assign_flat
     a = assign(cents)
     for _ in range(iters - 1):
+        # persist the previous iteration's assignment: the next round
+        # consumes it THREE times (dim sums, cell counts, and as lineage
+        # of the new assign) — unpersisted, Spark re-runs the whole
+        # crossJoin+argmin chain per consumer, making iteration i cost
+        # ~3^i instead of ~1 (measured 0.6s -> 5.9s for iters=2 at sf0.1).
+        # Tracked in the dedup cache registry so long-lived sessions
+        # release superseded iterations (same policy as pointer-jumping
+        # connected components).
+        from cld2_spark.operators.dedup import _persist_tracked
+        a = _persist_tracked(a)
         sums = (a.select("cell", F.posexplode("codes").alias("pos", "x"))
                 .groupBy("cell", "pos")
                 .agg(F.sum("x").alias("sx")))
