@@ -235,8 +235,11 @@ def _q_minhash_pairs(spark, sf_dir):
     """LSH banding with band-bucket skew cap, then exact Jaccard verify
     (operators/dedup.minhash_lsh_pairs -- the 100TB-safe shape)."""
     from cld2_spark.operators.dedup import minhash_lsh_pairs
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return minhash_lsh_pairs(spark.table("dup_docs"), "text", "doc_id",
+    # per-shingle md5 is compute-heavy: spread a narrow scan across cores
+    docs = ensure_parallelism(spark.table("dup_docs"))
+    return minhash_lsh_pairs(docs, "text", "doc_id",
                              min_jaccard_pct=MIN_JACC_PCT, bucket_cap=BUCKET_CAP)
 
 
@@ -362,8 +365,10 @@ def _q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (vectorized 62-bit fingerprint UDF; the
     DuckDB oracle recomputes the identical fingerprints in bitwise SQL)."""
     from cld2_spark.operators.dedup import simhash_pairs
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return simhash_pairs(spark.table("dup_docs"), max_hamming=3)
+    return simhash_pairs(ensure_parallelism(spark.table("dup_docs")),
+                         max_hamming=3)
 
 
 def _q_dedup_jaccard(spark, sf_dir):
@@ -371,8 +376,9 @@ def _q_dedup_jaccard(spark, sf_dir):
     candidates (stop-gram pruned) + exact hash-set Jaccard verify; the
     DuckDB oracle recomputes the identical gram hashes and index."""
     from cld2_spark.operators.dedup import ngram_jaccard_pairs
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return ngram_jaccard_pairs(spark.table("dup_docs"))
+    return ngram_jaccard_pairs(ensure_parallelism(spark.table("dup_docs")))
 
 
 def _ngram_jaccard_duck_sql() -> str:
@@ -781,8 +787,9 @@ def _q_decontam(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from cld2_spark.operators.curation import contaminated_ids
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    docs = spark.table("dup_docs")
+    docs = ensure_parallelism(spark.table("dup_docs"))
     bench = docs.where(F.expr("doc_id % 101 = 0"))
     return contaminated_ids(docs, bench, n=8)
 
@@ -815,8 +822,10 @@ def _q_dup_spans(spark, sf_dir):
     dedup (suffix-array-free; one (hash, id) row per corpus token, all
     aggregates map-side combinable, no candidate join)."""
     from cld2_spark.operators.dedup import duplicated_spans
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return duplicated_spans(spark.table("dup_docs"), w=16)
+    return duplicated_spans(ensure_parallelism(spark.table("dup_docs")),
+                            w=16)
 
 
 def _q_curation_pipeline(spark, sf_dir):
@@ -988,8 +997,10 @@ def _q_dup_span_cuts(spark, sf_dir):
     Interval merging is a per-doc window; oracle replays the identical
     island algebra in DuckDB."""
     from cld2_spark.operators.dedup import duplicated_span_cuts
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return duplicated_span_cuts(spark.table("dup_docs"), w=16)
+    return duplicated_span_cuts(ensure_parallelism(spark.table("dup_docs")),
+                                w=16)
 
 
 def _q_dedup_incremental_bloom(spark, sf_dir):
@@ -1171,8 +1182,10 @@ def _q_tfidf_terms(spark, sf_dir):
     integer-exact ranking (floor(tf*1e6/df), term) so engine float
     disagreement cannot flip an ordering; top-3 per source."""
     from cld2_spark.operators.curation import tfidf_top_terms
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return tfidf_top_terms(spark.table("documents"), k=3)
+    return tfidf_top_terms(ensure_parallelism(spark.table("documents")),
+                           k=3)
 
 
 def _q_paragraph_dedup(spark, sf_dir):
@@ -1182,8 +1195,9 @@ def _q_paragraph_dedup(spark, sf_dir):
     so whole-document duplicates (the +1000000 clones) provably lose
     every line and drop out, plus organic cross-doc line collisions."""
     from cld2_spark.operators.curation import dedup_paragraphs
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return dedup_paragraphs(spark.table("dup_docs"))
+    return dedup_paragraphs(ensure_parallelism(spark.table("dup_docs")))
 
 
 def _q_seq_pack(spark, sf_dir):
@@ -1204,8 +1218,9 @@ def _q_rep_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from cld2_spark.operators.curation import repetition_stats
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    out = repetition_stats(spark.table("documents"))
+    out = repetition_stats(ensure_parallelism(spark.table("documents")))
     return out.select(
         "doc_id",
         F.round("dup_line_frac", 4).alias("dup_line_frac"),

@@ -50,3 +50,26 @@ def get_spark(app: str = "cld2_spark", cores: int | None = None,
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def ensure_parallelism(df, min_factor: int = 2):
+    """Repartition a COMPUTE-HEAVY input only when its partition count is
+    far below the cluster's parallelism.
+
+    Small tables (one parquet file, a couple of row groups) arrive with
+    1-2 partitions; a per-row-expensive projection (per-shingle md5,
+    per-token explode, JPEG decode) then runs on 1-2 cores no matter how
+    many are idle — a parquet row group is the minimum split unit, so no
+    maxPartitionBytes setting can fix it. At real corpus scale the scan
+    has thousands of splits and this is a NO-OP (npart >= parallelism /
+    min_factor), so the extra exchange is only ever paid when it buys
+    cores. getNumPartitions() reads plan metadata — no job."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        npart = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if npart * min_factor < par:
+        return df.repartition(par)
+    return df
