@@ -481,7 +481,9 @@ def _q_audio_features(spark, sf_dir):
                 "media_id": ids,
                 "payload": [encode_wav_pcm_fixture(i) for i in ids]})
 
-    media = (spark.table("documents").select("doc_id")
+    from cld2_spark.session import ensure_parallelism
+    # encode+decode are per-row compute: spread the narrow id scan
+    media = (ensure_parallelism(spark.table("documents").select("doc_id"))
              .mapInPandas(enc, "media_id long, payload binary"))
     return wav_sample_features(media)
 
@@ -510,7 +512,9 @@ def _q_jpeg_features(spark, sf_dir):
                 "payload": [encode_jpeg_gray(gray_fixture_pixels(int(i)))
                             for i in ids]})
 
-    media = (spark.table("documents").select("doc_id")
+    from cld2_spark.session import ensure_parallelism
+    # encode+decode are per-row compute: spread the narrow id scan
+    media = (ensure_parallelism(spark.table("documents").select("doc_id"))
              .mapInPandas(enc, "media_id long, payload binary"))
     return jpeg_feature_extract(media)
 
@@ -540,7 +544,9 @@ def _q_jpeg_color_features(spark, sf_dir):
                         color_fixture_pixels(int(i)))
                     for i in ids]})
 
-    media = (spark.table("documents").select("doc_id")
+    from cld2_spark.session import ensure_parallelism
+    # encode+decode are per-row compute: spread the narrow id scan
+    media = (ensure_parallelism(spark.table("documents").select("doc_id"))
              .mapInPandas(enc, "media_id long, payload binary"))
     return jpeg_color_feature_extract(media)
 
@@ -568,7 +574,9 @@ def _q_video_features(spark, sf_dir):
                 "payload": [encode_mjpeg_mp4_fixture(int(i), 2 + int(i) % 3)
                             for i in ids]})
 
-    media = (spark.table("documents").select("doc_id")
+    from cld2_spark.session import ensure_parallelism
+    # encode+decode are per-row compute: spread the narrow id scan
+    media = (ensure_parallelism(spark.table("documents").select("doc_id"))
              .mapInPandas(enc, "media_id long, payload binary"))
     return video_frame_features(media)
 
@@ -601,7 +609,8 @@ def _q_media_features(spark, sf_dir):
                              px.shape[1], px.shape[0], None))
             yield pd.DataFrame(rows, columns=cols)
 
-    media = (spark.table("documents").select("doc_id")
+    from cld2_spark.session import ensure_parallelism
+    media = (ensure_parallelism(spark.table("documents").select("doc_id"))
              .mapInPandas(gen, MEDIA_SCHEMA))
     feats = extract_features(media)
     fcols = [F.element_at("feature", i + 1).cast("float").alias(f"f{i}")
@@ -650,7 +659,9 @@ def _q_media_meta(spark, sf_dir):
     from cld2_spark.operators.multimodal import (decode_image_meta,
                                                  encode_image_fixture)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from cld2_spark.session import ensure_parallelism
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
 
     def enc(batches):
         for pdf in batches:
@@ -683,7 +694,9 @@ def _q_audio_meta(spark, sf_dir):
     from cld2_spark.operators.multimodal import (decode_audio_meta,
                                                  encode_wav_fixture)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from cld2_spark.session import ensure_parallelism
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
 
     def enc(batches):
         for pdf in batches:
@@ -1398,7 +1411,9 @@ def _q_video_meta(spark, sf_dir):
     from cld2_spark.operators.multimodal import (decode_video_meta,
                                                  encode_mp4_fixture)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    from cld2_spark.session import ensure_parallelism
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
 
     def enc(batches):
         for pdf in batches:
