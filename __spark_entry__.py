@@ -444,7 +444,9 @@ def _q_semdedup(spark, sf_dir):
     so the pair set is non-trivial and the planted dups must be found."""
     from cld2_spark.operators.similarity import semdedup_pairs
     _register(spark, sf_dir)
-    return semdedup_pairs(spark.table("dup_embs"), threshold=0.98,
+    from cld2_spark.session import ensure_parallelism
+    return semdedup_pairs(ensure_parallelism(spark.table("dup_embs")),
+                          threshold=0.98,
                           iters=2, cent_mod=61, cluster_cap=2000)
 
 
@@ -737,7 +739,9 @@ def _q_kmeans(spark, sf_dir):
     SQL. Output = per-vector final (cluster, squared distance)."""
     from cld2_spark.operators.similarity import kmeans_assign
     _register(spark, sf_dir)
-    return kmeans_assign(spark.table("embeddings"), iters=2, cent_mod=61)
+    from cld2_spark.session import ensure_parallelism
+    return kmeans_assign(ensure_parallelism(spark.table("embeddings")),
+                         iters=2, cent_mod=61)
 
 
 def _q_top_ngrams(spark, sf_dir):
@@ -854,10 +858,11 @@ def _q_curation_pipeline(spark, sf_dir):
     from cld2_spark.operators.textstats import (quality_rank_filter,
                                                 with_split)
     _register(spark, sf_dir)
-    inp = spark.sql(
+    from cld2_spark.session import ensure_parallelism
+    inp = ensure_parallelism(spark.sql(
         "SELECT doc_id, text, source FROM documents UNION ALL "
         "SELECT doc_id + 1000000 AS doc_id, text, source "
-        "FROM documents WHERE doc_id % 3 = 0")
+        "FROM documents WHERE doc_id % 3 = 0"))
     d1 = exact_dedup(inp, "text", "doc_id")
     bench = inp.where("doc_id % 101 = 0")
     d2 = decontaminate(d1, bench, n=8)
