@@ -182,7 +182,13 @@ def main() -> None:
                      # stream-stream join, PCM sample decode
                      "dup_spans", "funnel", "events_stream_join",
                      "audio_features", "jpeg_features",
-                     "curation_pipeline"]:
+                     "curation_pipeline",
+                     # round 6: MJPEG-in-MP4 frame decode, PQ ADC search,
+                     # bloom-prefiltered incremental dedup, span cut
+                     # lists, composite Gopher filter
+                     "video_features", "pq_ann",
+                     "dedup_incremental_bloom", "dup_span_cuts",
+                     "gopher_quality"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()
