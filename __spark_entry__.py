@@ -661,9 +661,10 @@ def _q_media_meta(spark, sf_dir):
     from cld2_spark.operators.multimodal import (decode_image_meta,
                                                  encode_image_fixture)
 
-    from cld2_spark.session import ensure_parallelism
-    docs = ensure_parallelism(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
+    # NO ensure_parallelism here: header-only decode is microseconds per
+    # row, so 32 Python worker spin-ups cost more than they recover
+    # (media_meta measured 0.27s at 2 partitions vs 3.6s at 32)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def enc(batches):
         for pdf in batches:
@@ -696,9 +697,10 @@ def _q_audio_meta(spark, sf_dir):
     from cld2_spark.operators.multimodal import (decode_audio_meta,
                                                  encode_wav_fixture)
 
-    from cld2_spark.session import ensure_parallelism
-    docs = ensure_parallelism(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
+    # NO ensure_parallelism here: header-only decode is microseconds per
+    # row, so 32 Python worker spin-ups cost more than they recover
+    # (media_meta measured 0.27s at 2 partitions vs 3.6s at 32)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def enc(batches):
         for pdf in batches:
@@ -1416,9 +1418,10 @@ def _q_video_meta(spark, sf_dir):
     from cld2_spark.operators.multimodal import (decode_video_meta,
                                                  encode_mp4_fixture)
 
-    from cld2_spark.session import ensure_parallelism
-    docs = ensure_parallelism(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"))
+    # NO ensure_parallelism here: header-only decode is microseconds per
+    # row, so 32 Python worker spin-ups cost more than they recover
+    # (media_meta measured 0.27s at 2 partitions vs 3.6s at 32)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
     def enc(batches):
         for pdf in batches:
