@@ -173,6 +173,30 @@ def _q_turn_window(spark, sf_dir):
         "FROM transcripts")
 
 
+def _q_sft_pairs(spark, sf_dir):
+    """SFT training-pair extraction: every assistant turn whose
+    IMMEDIATELY preceding turn (by turn_idx within the conversation) is
+    a user turn becomes a (prompt, response) example — the canonical
+    transcripts -> instruction-tuning-rows transform. One window over
+    the (conv_id, turn_idx) partitioning the table is already bucketed
+    by, so at 10^12 turns this is a single co-located sort per
+    conversation. Prompt/response travel as md5 + lengths here (the
+    driver compare hashes values; production would carry the text)."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        "WITH w AS (SELECT conv_id, turn_idx, role, text, "
+        "  LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+        "    AS prev_role, "
+        "  LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+        "    AS prev_text "
+        "  FROM transcripts) "
+        "SELECT conv_id, turn_idx, "
+        "md5(prev_text) AS prompt_hash, md5(text) AS response_hash, "
+        "CAST(length(prev_text) AS BIGINT) AS prompt_len, "
+        "CAST(length(text) AS BIGINT) AS response_len "
+        "FROM w WHERE role = 'assistant' AND prev_role = 'user'")
+
+
 def _q_conv_rollup(spark, sf_dir):
     _register(spark, sf_dir)
     return spark.sql(
@@ -923,6 +947,28 @@ def _q_events_stream_enriched(spark, sf_dir):
                                  work)
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking: each doc splits into 64-token
+    windows at stride 48 (25% overlap) — the long-document -> training-
+    context transform. Pure explode (one row per chunk, no shuffle at
+    all before a sink); chunk content travels as md5 so the oracle
+    verifies the exact window text. Short docs yield one full-doc chunk."""
+    _register(spark, sf_dir)
+    w, s = 64, 48
+    return spark.sql(
+        f"WITH t AS (SELECT doc_id, split(trim(regexp_replace(lower(text),"
+        f" '\\\\s+', ' ')), ' ') AS tk FROM documents), "
+        f"c AS (SELECT doc_id, size(tk) AS n_tok, "
+        f"  posexplode(transform(sequence(0, "
+        f"    greatest(CAST(ceil((size(tk) - {w}) / {s}.0) AS INT), 0)), "
+        f"    i -> slice(tk, i * {s} + 1, {w}))) AS (chunk_idx, toks) "
+        f"  FROM t) "
+        f"SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, "
+        f"CAST(chunk_idx * {s} + 1 AS BIGINT) AS tok_start, "
+        f"CAST(size(toks) AS BIGINT) AS n_tok, "
+        f"md5(concat_ws(' ', toks)) AS chunk_hash FROM c")
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Composite Gopher document filter (operators/curation
     .gopher_quality): word-count band, mean-word-length band, symbol
@@ -1600,6 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_sole_suppliers": _q_late_sole_suppliers,
         "idle_rich_customers": _q_idle_rich_customers,
         "gopher_quality": _q_gopher_quality,
+        "sft_pairs": _q_sft_pairs,
+        "doc_chunks": _q_doc_chunks,
     }
 
 
@@ -2067,6 +2115,31 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE y.l_orderkey = c.l_orderkey "
             "  AND y.l_suppkey <> c.l_suppkey) "
             "GROUP BY s_suppkey, s_name"),
+        "doc_chunks": (
+            "WITH dc_t AS (SELECT doc_id, string_split(trim("
+            "  regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk "
+            "  FROM documents), "
+            "dc_c AS (SELECT doc_id, len(tk) AS n_tok, "
+            "  unnest(range(0, greatest(CAST(ceil((len(tk) - 64) / 48.0) "
+            "    AS INT), 0) + 1)) AS chunk_idx, tk FROM dc_t) "
+            "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, "
+            "CAST(chunk_idx * 48 + 1 AS BIGINT) AS tok_start, "
+            "CAST(len(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) "
+            "  AS BIGINT) AS n_tok, "
+            "md5(array_to_string(tk[chunk_idx * 48 + 1 : "
+            "  chunk_idx * 48 + 64], ' ')) AS chunk_hash FROM dc_c"),
+        "sft_pairs": (
+            f"{ctes}, sp_w AS (SELECT conv_id, turn_idx, role, text, "
+            f"  LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+            f"    AS prev_role, "
+            f"  LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) "
+            f"    AS prev_text "
+            f"  FROM transcripts) "
+            f"SELECT conv_id, turn_idx, "
+            f"md5(prev_text) AS prompt_hash, md5(text) AS response_hash, "
+            f"CAST(length(prev_text) AS BIGINT) AS prompt_len, "
+            f"CAST(length(text) AS BIGINT) AS response_len "
+            f"FROM sp_w WHERE role = 'assistant' AND prev_role = 'user'"),
         "idle_rich_customers": (
             "SELECT CAST(c_custkey % 7 AS INT) AS cgroup, "
             "CAST(COUNT(*) AS BIGINT) AS numcust, "

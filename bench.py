@@ -85,12 +85,21 @@ def run_pipeline_timed(spark, df) -> float:
 def time_query(fn, spark, sf_dir) -> float:
     """Best-of-2 per query (VERDICT r3 #1a): on a shared VM, steal noise
     only ever SLOWS a run, so min-of-2 estimates capability and damps the
-    uniform +1.5-3 s shift seen in the r3 driver record."""
+    uniform +1.5-3 s shift seen in the r3 driver record. Operator caches
+    (kmeans Lloyd iterations, connected-components rounds) are released
+    after each query so one query's persisted blocks cannot drag every
+    query timed after it (observed: the post-semdedup tail of the list
+    inflating 2-4x in a noisy window)."""
     best = float("inf")
     for _ in range(2):
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.monotonic() - t0)
+    try:
+        from cld2_spark.operators.dedup import release_dedup_caches
+        release_dedup_caches(session=spark)
+    except Exception:
+        pass
     return best
 
 
