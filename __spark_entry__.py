@@ -547,8 +547,8 @@ def _q_jpeg_features(spark, sf_dir):
 
 def _q_jpeg_color_features(spark, sf_dir):
     """REAL baseline COLOR JPEG (operators/jpeg): RGB fixture ->
-    interleaved 3-component MCU encode at 4:4:4 for even ids and 4:2:0
-    chroma subsampling for odd ids (the camera/web layout) ->
+    interleaved 3-component MCU encode rotating ALL THREE layouts by id
+    (4:4:4, 4:2:0 camera/web, 4:2:2 broadcast/video) ->
     independent decode (file-DHT Huffman, sampling-factor MCU walk,
     per-component DC predictors, chroma upsample, YCbCr->RGB) ->
     integer-exact per-channel features; frozen-fixture hash-verified."""
@@ -556,19 +556,19 @@ def _q_jpeg_color_features(spark, sf_dir):
 
     from cld2_spark.operators.jpeg import (color_fixture_pixels,
                                            encode_jpeg_420,
+                                           encode_jpeg_422,
                                            encode_jpeg_color,
                                            jpeg_color_feature_extract)
     _register(spark, sf_dir)
+    encs = (encode_jpeg_color, encode_jpeg_420, encode_jpeg_422)
 
     def enc(batches):
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame({
                 "media_id": ids,
-                "payload": [
-                    (encode_jpeg_color if i % 2 == 0 else encode_jpeg_420)(
-                        color_fixture_pixels(int(i)))
-                    for i in ids]})
+                "payload": [encs[int(i) % 3](color_fixture_pixels(int(i)))
+                            for i in ids]})
 
     from cld2_spark.session import ensure_parallelism
     # encode+decode are per-row compute: spread the narrow id scan

@@ -213,7 +213,7 @@ def test_420_roundtrip_error_bounded_and_444_unchanged():
     assert np.abs(d.astype(int) - rgb.astype(int)).max() <= 20
 
 
-def test_422_and_truncated_420_rejected_or_safe():
+def test_411_and_truncated_420_rejected_or_safe():
     import struct as _s
 
     from cld2_spark.operators.jpeg import (color_fixture_pixels,
@@ -221,13 +221,32 @@ def test_422_and_truncated_420_rejected_or_safe():
                                            encode_jpeg_420)
     buf = bytearray(encode_jpeg_420(color_fixture_pixels(2)))
     i = bytes(buf).find(b"\xff\xc0")
-    # rewrite Y sampling 0x22 -> 0x21 (4:2:2): out of profile -> None
+    # rewrite Y sampling 0x22 -> 0x41 (4:1:1): out of profile -> None
     assert buf[i + 4 + 6 + 1] == 0x22
     buf2 = bytearray(buf)
-    buf2[i + 4 + 6 + 1] = 0x21
+    buf2[i + 4 + 6 + 1] = 0x41
     assert decode_jpeg_color(bytes(buf2)) is None
+    # a 4:2:2 SOF over a 4:2:0 entropy stream (geometry mismatch) must
+    # fail safe (None) or decode-to-garbage without crashing, never raise
+    buf3 = bytearray(buf)
+    buf3[i + 4 + 6 + 1] = 0x21
+    decode_jpeg_color(bytes(buf3))
     for k in range(0, len(buf), 13):
         decode_jpeg_color(bytes(buf[:k]))  # no crash on truncations
+
+
+def test_422_roundtrip_error_bounded():
+    import numpy as np
+
+    from cld2_spark.operators.jpeg import (color_fixture_pixels,
+                                           decode_jpeg_color,
+                                           encode_jpeg_422)
+    for mid in (0, 3, 7, 12):
+        px = color_fixture_pixels(mid)
+        out = decode_jpeg_color(encode_jpeg_422(px))
+        assert out is not None and out.shape == px.shape
+        err = np.abs(out.astype(np.int64) - px.astype(np.int64))
+        assert float(err.mean()) < 4.0 and int(err.max()) < 48, mid
 
 
 def test_codec_survives_random_noise_images():

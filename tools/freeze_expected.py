@@ -163,6 +163,7 @@ def _jpeg_color_fixture(sf_dir: str) -> pa.Table:
     from cld2_spark.operators.jpeg import (color_fixture_pixels,
                                            decode_jpeg_color,
                                            encode_jpeg_420,
+                                           encode_jpeg_422,
                                            encode_jpeg_color,
                                            jpeg_color_features)
 
@@ -174,9 +175,10 @@ def _jpeg_color_fixture(sf_dir: str) -> pa.Table:
     names = ["width", "height", "r_sum", "r_min", "r_max",
              "g_sum", "g_min", "g_max", "b_sum", "b_min", "b_max"]
     rows = np.zeros((len(ids), len(names)), dtype=np.int64)
+    encs = (encode_jpeg_color, encode_jpeg_420, encode_jpeg_422)
     for j, did in enumerate(ids):
-        enc = encode_jpeg_color if int(did) % 2 == 0 else encode_jpeg_420
-        px = decode_jpeg_color(enc(color_fixture_pixels(int(did))))
+        px = decode_jpeg_color(encs[int(did) % 3](
+            color_fixture_pixels(int(did))))
         rows[j] = jpeg_color_features(px)
     cols = {"media_id": pa.array(ids.astype(np.int64), type=pa.int64())}
     for i, name in enumerate(names):
