@@ -43,6 +43,23 @@ from .model import Cld2sModel
 QUAD_CHUNK = 20   # quads per scored chunk (internal/scoreonescriptspan.h:91)
 UNI_CHUNK = 50    # CJK unigrams per chunk (internal/scoreonescriptspan.h:92)
 NO_LANG = 255
+
+# Which quad-gram walk inference uses — MUST match how the shipped model
+# was trained (tools/build_model.py):
+#   True    = historical approximation (gram at every letter position,
+#             mid-word vowel STARTS skipped)
+#   "exact" = the reference's literal stride-2 walk with post-advance
+#             vowel skip and short word-tail grams (F6 byte-exact;
+#             _exact_walk_grams, internal/cldutil.cc:377-391)
+# Swept in round 6 (BENCH/BASELINE.md, 5 variants): the exact walk
+# RAISES held-out default accuracy 77->81/104 but flips the bg/sr
+# close-pair case on the full corpus (104->103) and costs one
+# bestEffort point in every training pairing — at ~125 training
+# chars/language the sparser walk cannot separate that pair. The denser
+# approximation stays the default to keep the 104/104 full-corpus gate;
+# flip to "exact" (and retrain with tools/build_model.py --walk=exact)
+# on any corpus large enough to feed the reference walk.
+QUAD_WALK_VOWEL: bool | str = True
 # J2 second-table votes are capped below the max quad vote: trigram-backoff
 # evidence is weaker than a full quad hit (tuned on the held-out split)
 BACKOFF_MAX_QPROB = 6
@@ -136,9 +153,45 @@ def _empty_quads():
     return z, z, z, np.zeros(32, dtype=np.uint8), z, z, z
 
 
-def _quads_from_walk(walk, arr, rid_s, vowel_skip: bool):
+def _exact_walk_grams(arr, wstart, wlen):
+    """The reference's EXACT per-word gram walk (GetQuadHits,
+    internal/cldutil.cc:337-391): grams start at word offset 0 and then
+    every 2 chars (src=src_mid), PLUS one extra char whenever the next
+    start lands on an ASCII vowel (kAdvanceOneCharSpaceVowel,
+    internal/cldutil_shared.h:476-486); a gram whose 4-char window
+    reaches the word end jumps to the next word (src=src_end), so word
+    tails emit ONE possibly-short (1-4 char) gram. Vectorized as rounds
+    over all words simultaneously (round r = every word's r-th gram);
+    rounds = max grams in the longest word. Returns (pos, glen) sorted
+    in stream order."""
+    n = len(wstart)
+    p = np.zeros(n, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    pos_parts, len_parts = [], []
+    while active.any():
+        aw = np.flatnonzero(active)
+        pw = p[aw]
+        L = wlen[aw]
+        glen = np.minimum(4, L - pw)
+        pos_parts.append(wstart[aw] + pw)
+        len_parts.append(glen)
+        done = pw + 4 >= L
+        active[aw[done]] = False
+        cont = aw[~done]
+        p[cont] += 2
+        p[cont] += _VOWEL_LUT[arr[wstart[cont] + p[cont]]]
+    pos = np.concatenate(pos_parts)
+    glen = np.concatenate(len_parts).astype(np.int32)
+    order = np.argsort(pos, kind="stable")
+    return pos[order], glen[order]
+
+
+def _quads_from_walk(walk, arr, rid_s, vowel_skip):
     """Quadgram outputs from a precomputed word walk (see quad_grams)."""
     is_sp, wid, idx, wstart, wlen, boff, buf = walk
+    if vowel_skip == "exact":
+        pos, glen = _exact_walk_grams(arr, wstart, wlen)
+        return _quad_outputs(pos, glen, boff, buf, rid_s)
     o = idx - wstart[wid]                                # offset in word
     L = wlen[wid]
     # streams are built from the lower table + SPACE, both < MAX_CP by
@@ -149,6 +202,11 @@ def _quads_from_walk(walk, arr, rid_s, vowel_skip: bool):
     gram = (~is_sp) & ((o == 0) | ((o <= L - 4) & ~skip))
     pos = idx[gram]
     glen = np.where(o[gram] == 0, np.minimum(L[gram], 4), np.int32(4))
+    return _quad_outputs(pos, glen, boff, buf, rid_s)
+
+
+def _quad_outputs(pos, glen, boff, buf, rid_s):
+    """(pos, glen) char-domain grams -> the quad_grams output tuple."""
     byte_start = boff[pos]
     byte_len = np.minimum(boff[pos + glen] - byte_start, 12)
     # J2 backoff key: byte length of the gram's <=3-char prefix (the second
@@ -1002,7 +1060,8 @@ def detect_batch(texts: list[str], model: Cld2sModel | None = None,
                 nb, np.array(many, dtype=np.uint8))
             if have_words:
                 ((g_rid, bs, bl, buf, gb, pos, tri_len),
-                 (w_rid, wh40, pair40, wpos)) = quad_and_word_grams(arr, rid_s)
+                 (w_rid, wh40, pair40, wpos)) = quad_and_word_grams(
+                    arr, rid_s, vowel_skip=QUAD_WALK_VOWEL)
             else:
                 g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s)
             if len(g_rid):

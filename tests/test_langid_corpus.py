@@ -129,3 +129,46 @@ def test_mixed_batch_order_stability():
     b = detect_batch(list(reversed(texts)))
     assert list(a["lang1"]) == list(reversed(list(b["lang1"])))
     assert list(a["pct1"]) == list(reversed(list(b["pct1"])))
+
+
+def test_exact_reference_walk_matches_scalar_transcription():
+    """F6: the byte-exact GetQuadHits walk (stride-2 with src_mid/src_end
+    advance, post-advance kAdvanceOneCharSpaceVowel skip, short word-tail
+    grams; internal/cldutil.cc:337-391) — the vectorized rounds
+    implementation must equal a literal scalar transcription of the C++
+    loop on randomized words. The shipped model keeps the denser
+    approximate walk (see detect.QUAD_WALK_VOWEL for the measured
+    trade); this pins the exact machinery itself."""
+    import numpy as np
+
+    from cld2_spark.kernels import detect as D
+    from cld2_spark.kernels import text as T
+
+    def scalar_walk(arr, wstart, wlen):
+        out = []
+        for ws, L in zip(wstart, wlen):
+            p = 0
+            while True:
+                out.append((int(ws + p), int(min(4, L - p))))
+                if p + 4 >= L:
+                    break
+                p += 2
+                if D._VOWEL_LUT[arr[ws + p]]:
+                    p += 1
+        return sorted(out)
+
+    rng = np.random.RandomState(7)
+    for _ in range(100):
+        words = ["".join(rng.choice(list("aeioubcdfgzxy"),
+                                    rng.randint(1, 14)))
+                 for _ in range(rng.randint(1, 8))]
+        nb = T.normalize_batch([" ".join(words)])
+        scripts = np.unique(nb.script[nb.letter]).astype(np.uint8)
+        arr, rid_s = T.group_stream(nb, scripts)
+        walk = D._word_walk(arr)
+        if walk is None:
+            continue
+        _, _, _, wstart, wlen, boff, buf = walk
+        pos, glen = D._exact_walk_grams(arr, wstart, wlen)
+        assert sorted(zip(pos.tolist(), glen.tolist())) == \
+            scalar_walk(arr, wstart, wlen)

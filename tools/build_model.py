@@ -212,7 +212,25 @@ def _distinct_word_gram_mask(arr, rid_s, pos, distinct_rt, latin: bool):
     return np.cumsum(bad[:-1]) [pos] > 0
 
 
-def main(joint_distinct: bool = False, write: bool = True) -> dict:
+def main(joint_distinct: bool = False, write: bool = True,
+         walk_mode: bool | str = False) -> dict:
+    """walk_mode: the vowel_skip argument used when extracting TRAINING
+    quads (False = every-position superset, the shipped default;
+    "exact" = the reference's literal stride-2 walk). When "exact",
+    inference is switched to the same walk for the evaluation passes so
+    train/infer stay consistent (and restored afterwards)."""
+    import cld2_spark.kernels.detect as _detect
+    prev_walk = _detect.QUAD_WALK_VOWEL
+    if walk_mode in ("exact", "exact-infer", "blend"):
+        _detect.QUAD_WALK_VOWEL = "exact"
+    train_walk = walk_mode if walk_mode in ("exact", "blend") else False
+    try:
+        return _main_inner(joint_distinct, write, train_walk)
+    finally:
+        _detect.QUAD_WALK_VOWEL = prev_walk
+
+
+def _main_inner(joint_distinct, write, walk_mode) -> dict:
     corpus = load_corpus()
     eval_texts = load_eval_texts()
 
@@ -264,8 +282,21 @@ def main(joint_distinct: bool = False, write: bool = True) -> dict:
         # TRAIN without the mid-word vowel skip: trained grams are a strict
         # superset of what inference probes (quad_grams vowel_skip doc),
         # raising the unseen-text hit rate at zero inference cost
-        g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(arr, rid_s,
-                                                          vowel_skip=False)
+        if walk_mode == "blend":
+            # every-position grams once + exact-walk grams AGAIN: the
+            # inference walk's grams get double weight without losing
+            # the density the tiny corpus needs
+            parts = [quad_grams(arr, rid_s, vowel_skip=False),
+                     quad_grams(arr, rid_s, vowel_skip="exact")]
+            g_rid = np.concatenate([p[0] for p in parts])
+            bs = np.concatenate([p[1] for p in parts])
+            bl = np.concatenate([p[2] for p in parts])
+            buf = parts[0][3]
+            pos = np.concatenate([p[5] for p in parts])
+            tri_len = np.concatenate([p[6] for p in parts])
+        else:
+            g_rid, bs, bl, buf, gb, pos, tri_len = quad_grams(
+                arr, rid_s, vowel_skip=walk_mode)
         if len(g_rid) == 0:
             continue
         hs = quad_hash_v2(buf, bs, bl)
@@ -423,4 +454,12 @@ if __name__ == "__main__":
         jd = "drop"
     if "--joint-distinct=double" in sys.argv:
         jd = "double"
-    main(joint_distinct=jd, write="--dry-run" not in sys.argv)
+    wm: str | bool = False
+    if "--walk=exact" in sys.argv:
+        wm = "exact"
+    if "--walk=exact-infer" in sys.argv:
+        wm = "exact-infer"   # superset training, exact-walk inference
+    if "--walk=blend" in sys.argv:
+        wm = "blend"         # superset + double-weighted exact grams
+    main(joint_distinct=jd, write="--dry-run" not in sys.argv,
+         walk_mode=wm)
