@@ -545,6 +545,44 @@ def _q_jpeg_features(spark, sf_dir):
     return jpeg_feature_extract(media)
 
 
+def _q_jpeg_progressive_features(spark, sf_dir):
+    """PROGRESSIVE JPEG (SOF2, spectral selection): the same grayscale
+    fixtures encoded as three-scan progressive files (DC scan, AC 1-5,
+    AC 6-63, EOBRUN) and decoded by the multi-scan coefficient-
+    accumulation path. Progressive reorganizes the SAME quantized
+    coefficients, so the decoded pixels — and therefore the integer
+    features — must equal the baseline path EXACTLY: the oracle is the
+    baseline jpeg_features frozen fixture, making the driver hash a
+    cross-profile equivalence proof."""
+    import pandas as pd
+
+    from cld2_spark.operators.jpeg import (decode_jpeg_progressive_gray,
+                                           encode_jpeg_progressive_gray,
+                                           gray_fixture_pixels,
+                                           jpeg_gray_features)
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"].tolist():
+                buf = encode_jpeg_progressive_gray(
+                    gray_fixture_pixels(int(i)))
+                px = decode_jpeg_progressive_gray(buf)
+                if px is not None:
+                    rows.append((int(i),) + jpeg_gray_features(px))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "px_sum", "px_sumsq",
+                "px_min", "px_max", "h0", "h1", "h2", "h3"])
+
+    return (ensure_parallelism(spark.table("documents").select("doc_id"))
+            .mapInPandas(run, "media_id long, width long, height long, "
+                              "px_sum long, px_sumsq long, px_min long, "
+                              "px_max long, h0 long, h1 long, h2 long, "
+                              "h3 long"))
+
+
 def _q_jpeg_color_features(spark, sf_dir):
     """REAL baseline COLOR JPEG (operators/jpeg): RGB fixture ->
     interleaved 3-component MCU encode rotating ALL THREE layouts by id
@@ -1648,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "sft_pairs": _q_sft_pairs,
         "doc_chunks": _q_doc_chunks,
+        "jpeg_progressive_features": _q_jpeg_progressive_features,
     }
 
 
@@ -2593,6 +2632,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_media_features_sf0_01.parquet')"),
         "jpeg_features": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_jpeg_features_sf0_01.parquet')"),
+        # progressive reorganizes the SAME quantized coefficients, so its
+        # decode must match the BASELINE fixture bit-for-bit — the shared
+        # oracle is the cross-profile equivalence proof
+        "jpeg_progressive_features": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_jpeg_features_sf0_01.parquet')"),
         "jpeg_color_features": (

@@ -12,8 +12,14 @@ camera/web layout, 16x16 MCUs of four Y blocks + box-averaged Cb/Cr
 of two Y blocks + horizontally box-averaged Cb/Cr (encode_jpeg_422).
 decode_jpeg_color handles all three color layouts with ONE
 sampling-factor-general MCU walk (T.81 A.2.3 interleave, replicate
-upsample). 4:1:1 and progressive scans are rejected cleanly, not
-misdecoded; progressive is the one remaining disclosed JPEG gap.
+upsample). PROGRESSIVE (SOF2) grayscale is supported for the spectral-
+selection profile (multi-scan coefficient accumulation, per-scan
+Huffman tables, EOBRUN; encode_jpeg_progressive_gray /
+decode_jpeg_progressive_gray) — progressive reorganizes the same
+quantized coefficients, so its decode equals the baseline round trip
+EXACTLY (pinned in pytest and by the shared driver oracle). Remaining
+disclosed gaps: 4:1:1, successive approximation (Ah/Al != 0) and
+multi-component progressive — all rejected cleanly, never misdecoded.
 
 Conformance evidence without a reference codec in the container:
 - encoder and decoder are independent directions of the spec sharing
@@ -943,3 +949,212 @@ def encode_jpeg_422(rgb: np.ndarray) -> bytes:
     sos = seg(0xFFDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11"
               + b"\x00\x3f\x00")
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+# ---- progressive JPEG (SOF2), spectral-selection profile ------------------
+# Progressive scans split the zigzag spectrum across multiple SOS scans
+# (T.81 G.1): a DC scan (Ss=Se=0) then AC band scans (Ss..Se), with the
+# EOBRUN run-length mechanism coding runs of band-empty blocks. This
+# implements the SPECTRAL SELECTION profile (Ah=Al=0, single component):
+# successive approximation (Ah/Al != 0) and multi-component progressive
+# are rejected cleanly, not misdecoded — that narrower profile is still
+# the full multi-scan machinery (coefficient accumulation across scans,
+# per-scan Huffman tables, EOBRUN).
+
+PROG_BANDS = ((1, 5), (6, 63))   # AC scans after the DC scan
+
+
+def encode_jpeg_progressive_gray(pixels: np.ndarray) -> bytes:
+    """Spectral-selection progressive grayscale JPEG: SOF2 + three scans
+    (DC coefficients; AC 1-5; AC 6-63). Each AC scan codes band-empty
+    blocks as single EOBs (EOBRUN=1 — always legal) so the decoder's
+    EOBRUN path is exercised without a run accumulator here."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (padded.astype(np.float64) - 128.0).reshape(
+        ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coefs = np.round((_DCT @ blocks @ _DCT.T) / QTABLE).astype(np.int64)
+    zz = coefs.reshape(-1, 64)[:, ZIGZAG]   # natural -> zigzag order
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    # scan 1: DC, differential like baseline
+    bw = _BitWriter()
+    prev = 0
+    for b in range(len(zz)):
+        diff = int(zz[b, 0]) - prev
+        prev = int(zz[b, 0])
+        s = _csize(diff)
+        c, ln = dc_codes[s]
+        bw.write(c, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    scans = [(0, 0, bw.flush())]
+    # AC band scans
+    for ss, se in PROG_BANDS:
+        bw = _BitWriter()
+        for b in range(len(zz)):
+            band = zz[b, ss:se + 1]
+            nz = np.flatnonzero(band)
+            if len(nz) == 0:
+                c, ln = ac_codes[0x00]      # EOB (EOBRUN=1)
+                bw.write(c, ln)
+                continue
+            run = 0
+            for k in range(len(band)):
+                v = int(band[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                s = _csize(v)
+                c, ln = ac_codes[(run << 4) | s]
+                bw.write(c, ln)
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] != len(band) - 1:
+                c, ln = ac_codes[0x00]      # EOB for the band tail
+                bw.write(c, ln)
+        scans.append((ss, se, bw.flush()))
+
+    qzl = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out = b"\xff\xd8" + seg(0xFFDB, b"\x00" + qzl)
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+            + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)))
+    for ss, se, scan in scans:
+        out += seg(0xFFDA, b"\x01\x01" + (b"\x00" if ss == 0 else b"\x10")
+                   + struct.pack(">BBB", ss, se, 0))
+        out += scan
+    return out + b"\xff\xd9"
+
+
+def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
+    """Decode a spectral-selection progressive grayscale JPEG: walk every
+    SOS scan, accumulate zigzag coefficients across scans (DC scan =
+    baseline DC differencing; AC band scans = run/size within Ss..Se
+    with EOBRUN runs of band-empty blocks), then one batched
+    dequant/IDCT. Returns None for anything outside the profile
+    (successive approximation, multi-component, baseline files)."""
+    try:
+        if len(buf) < 4 or buf[:2] != b"\xff\xd8":
+            return None
+        qts: dict[int, np.ndarray] = {}
+        comp_q = 0
+        dims = None
+        huff: dict[int, _HuffTable] = {}
+        scans = []          # (td_or_ta_key, ss, se, scan_bytes)
+        i = 2
+        progressive = False
+        while i + 4 <= len(buf):
+            if buf[i] != 0xFF:
+                return None
+            marker = (buf[i] << 8) | buf[i + 1]
+            if marker == 0xFFD9:
+                break
+            (ln,) = struct.unpack_from(">H", buf, i + 2)
+            payload = buf[i + 4:i + 2 + ln]
+            if marker == 0xFFDB:
+                j = 0
+                while j < len(payload):
+                    if payload[j] & 0xF0:
+                        return None
+                    t = np.zeros(64, dtype=np.int64)
+                    t[ZIGZAG] = np.frombuffer(
+                        payload[j + 1:j + 65], dtype=np.uint8)
+                    qts[payload[j] & 0x0F] = t.reshape(8, 8)
+                    j += 65
+            elif marker == 0xFFC2:
+                prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+                if prec != 8 or nc != 1:
+                    return None   # multi-component progressive: stubbed
+                comp_q = payload[8]
+                dims = (h, w)
+                progressive = True
+            elif marker in (0xFFC0, 0xFFC1, 0xFFC3):
+                return None       # baseline/lossless go to the other paths
+            elif marker == 0xFFC4:
+                huff.update(_decode_huff_tables(payload))
+            elif marker == 0xFFDD:
+                return None
+            elif marker == 0xFFDA:
+                if payload[0] != 1:
+                    return None
+                tdta = payload[2]
+                ss, se, ahal = payload[3], payload[4], payload[5]
+                if ahal != 0:
+                    return None   # successive approximation: out of profile
+                # scan data runs to the next marker (FF xx with xx != 00)
+                j = i + 2 + ln
+                k = j
+                while k + 1 < len(buf):
+                    if buf[k] == 0xFF and buf[k + 1] not in (0x00,):
+                        break
+                    k += 1
+                scans.append((tdta, ss, se, buf[j:k]))
+                i = k
+                continue
+            i += 2 + ln
+        if not progressive or dims is None or comp_q not in qts \
+                or not scans:
+            return None
+        h, w = dims
+        if h == 0 or w == 0:
+            return None
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        nb = (ph // 8) * (pw // 8)
+        Z = np.zeros((nb, 64), dtype=np.int64)
+        for tdta, ss, se, data in scans:
+            br = _BitReader(data)
+            if ss == 0:                       # DC scan
+                dc_t = huff.get(tdta >> 4)
+                if dc_t is None or se != 0:
+                    return None
+                prev = 0
+                for b in range(nb):
+                    s = _read_symbol(br, dc_t)
+                    if s:
+                        prev += _extend(br.read_bits(s), s)
+                    Z[b, 0] = prev
+            else:                             # AC band scan
+                ac_t = huff.get(0x10 | (tdta & 0x0F))
+                if ac_t is None or not (1 <= ss <= se <= 63):
+                    return None
+                eobrun = 0
+                for b in range(nb):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _read_symbol(br, ac_t)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:       # ZRL
+                                k += 16
+                                continue
+                            # EOB with EOBRUN = 2^r + bits - 1 MORE blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("band overrun")
+                        Z[b, k] = _extend(br.read_bits(s), s)
+                        k += 1
+        blocks = _idct_blocks(Z, qts[comp_q])
+        out = (blocks.reshape(ph // 8, pw // 8, 8, 8)
+               .transpose(0, 2, 1, 3).reshape(ph, pw))
+        return np.clip(np.round(out + 128.0), 0, 255).astype(
+            np.uint8)[:h, :w]
+    except (IndexError, ValueError, struct.error):
+        return None

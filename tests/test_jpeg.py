@@ -277,3 +277,36 @@ def test_codec_survives_random_noise_images():
     g = rng.integers(0, 256, size=(33, 17), dtype=np.uint8)
     dg = decode_jpeg_gray(encode_jpeg_gray(g))
     assert dg is not None and dg.shape == g.shape
+
+
+def test_progressive_equals_baseline_roundtrip():
+    """SOF2 spectral-selection progressive (3 scans: DC, AC 1-5, AC 6-63,
+    EOBRUN) reorganizes the SAME quantized coefficients, so decode must
+    EQUAL the baseline round trip pixel-for-pixel; cross-profile files
+    are rejected by the wrong decoder, and truncations never crash."""
+    import numpy as np
+
+    from cld2_spark.operators.jpeg import (decode_jpeg_gray,
+                                           decode_jpeg_progressive_gray,
+                                           encode_jpeg_gray,
+                                           encode_jpeg_progressive_gray,
+                                           gray_fixture_pixels)
+    rng = np.random.RandomState(5)
+    images = [gray_fixture_pixels(m) for m in (0, 4, 9, 13)]
+    images += [rng.randint(0, 256, (rng.randint(8, 40), rng.randint(8, 40)),
+                           dtype=np.uint8) for _ in range(3)]
+    for px in images:
+        prog = encode_jpeg_progressive_gray(px)
+        out = decode_jpeg_progressive_gray(prog)
+        base = decode_jpeg_gray(encode_jpeg_gray(px))
+        assert out is not None and np.array_equal(out, base)
+        assert decode_jpeg_gray(prog) is None
+        assert decode_jpeg_progressive_gray(encode_jpeg_gray(px)) is None
+    buf = encode_jpeg_progressive_gray(images[0])
+    for k in range(0, len(buf), 11):
+        decode_jpeg_progressive_gray(buf[:k])
+    # successive approximation (Ah/Al != 0) is rejected, not misdecoded
+    i = buf.find(b"\xff\xda")
+    mut = bytearray(buf)
+    mut[i + 4 + 5] = 0x10        # Ah=1 on the first scan
+    assert decode_jpeg_progressive_gray(bytes(mut)) is None
