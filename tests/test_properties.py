@@ -87,3 +87,48 @@ def test_squeeze_kernel_never_crashes(text, pad):
     out = cheap_squeeze(t)
     assert isinstance(out, str)
     out.encode("utf-8")  # always valid text
+
+
+# ---- binary-parser robustness (round 6): arbitrary bytes must never
+# crash or hang the container/codec walkers -- they return None/empty.
+
+bytes_st = st.binary(min_size=0, max_size=400)
+
+
+@settings(max_examples=150, deadline=None)
+@given(bytes_st)
+def test_mp4_walkers_never_crash_on_arbitrary_bytes(buf):
+    from cld2_spark.operators.multimodal import (mjpeg_video_features,
+                                                 mp4_sample_table,
+                                                 parse_mp4_meta)
+    parse_mp4_meta(buf)
+    st_ = mp4_sample_table(buf)
+    assert st_ is None or isinstance(st_, list)
+    mjpeg_video_features(buf)
+
+
+@settings(max_examples=150, deadline=None)
+@given(bytes_st)
+def test_jpeg_decoders_never_crash_on_arbitrary_bytes(buf):
+    from cld2_spark.operators.jpeg import (decode_jpeg_color,
+                                           decode_jpeg_gray,
+                                           decode_jpeg_progressive_gray)
+    for fn in (decode_jpeg_gray, decode_jpeg_color,
+               decode_jpeg_progressive_gray):
+        out = fn(buf)
+        assert out is None or out.dtype == np.uint8
+
+
+@settings(max_examples=100, deadline=None)
+@given(bytes_st)
+def test_mutated_real_mp4_never_crashes(buf):
+    """Splice arbitrary bytes INTO a real MJPEG MP4 (valid outer boxes,
+    corrupt interior) — the sample-table resolver and frame decoder must
+    fail safe."""
+    from cld2_spark.operators.multimodal import (encode_mjpeg_mp4_fixture,
+                                                 mjpeg_video_features)
+    base = bytearray(encode_mjpeg_mp4_fixture(1, 2))
+    if buf:
+        off = (len(buf) * 7919) % max(len(base) - len(buf), 1)
+        base[off:off + len(buf)] = buf
+    mjpeg_video_features(bytes(base))
