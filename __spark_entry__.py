@@ -1094,6 +1094,39 @@ def _q_pq_codes(spark, sf_dir):
     return pq_encode(spark.table("embeddings"), n_sub=4, cb_mod=37)
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """The dedup CONSUMER step: per near-dup group (minhash candidates ->
+    exact verify -> connected components), keep the HIGHEST-QUALITY
+    member — integer-exact rank_key = distinct_tokens * 10^6 DIV tokens,
+    ties to the smallest id via one min(struct) aggregate (no window
+    sort). Returns (group_id, keep_id, rank_key, n_members): exactly
+    what a production dedup pass writes back."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.operators.dedup import (connected_components,
+                                            minhash_lsh_pairs)
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+    docs = ensure_parallelism(spark.table("dup_docs"))
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id",
+                              min_jaccard_pct=MIN_JACC_PCT,
+                              bucket_cap=BUCKET_CAP)
+    groups = connected_components(pairs)
+    tk = "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+    scored = docs.select(
+        "doc_id",
+        F.expr(f"(size(array_distinct({tk})) * 1000000L) DIV size({tk})")
+        .alias("rank_key"))
+    return (groups.join(scored, on="doc_id")
+            .groupBy("group_id")
+            .agg(F.min(F.struct((-F.col("rank_key")).alias("nr"),
+                                F.col("doc_id").alias("d"))).alias("m"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            .select("group_id", F.col("m.d").alias("keep_id"),
+                    (-F.col("m.nr")).cast("bigint").alias("rank_key"),
+                    "n_members"))
+
+
 def _q_dup_span_cuts(spark, sf_dir):
     """Per-document duplicate-span CUT LIST (operators/dedup): merged
     1-based token ranges covered by any 16-token window occurring in >=2
@@ -1687,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": _q_sft_pairs,
         "doc_chunks": _q_doc_chunks,
         "jpeg_progressive_features": _q_jpeg_progressive_features,
+        "dedup_keep_best": _q_dedup_keep_best,
     }
 
 
@@ -2092,6 +2126,32 @@ def oracle_sql() -> dict[str, str]:
             f"  SELECT src, src FROM cc_edges UNION "
             f"  SELECT e.src, w.lab FROM cc_edges e JOIN walk w ON w.id = e.dst) "
             f"SELECT id AS doc_id, MIN(lab) AS group_id FROM walk GROUP BY id"
+        ).replace("WITH ", "WITH RECURSIVE ", 1),
+        "dedup_keep_best": (
+            # the dedup_groups CC walk + per-doc integer quality rank ->
+            # per-group argmax winner (max rank, ties to smallest id)
+            f"{ctes}, {_minhash_duck_ctes()}, "
+            f"vp AS (SELECT a, b FROM ({_minhash_verified_pairs_sql()}) "
+            f"  WHERE jacc_pct >= {MIN_JACC_PCT}), "
+            f"cc_edges AS (SELECT a AS src, b AS dst FROM vp "
+            f"  UNION SELECT b, a FROM vp), "
+            f"walk(id, lab) AS ("
+            f"  SELECT src, src FROM cc_edges UNION "
+            f"  SELECT e.src, w.lab FROM cc_edges e JOIN walk w ON w.id = e.dst), "
+            f"kb_g AS (SELECT id AS doc_id, MIN(lab) AS group_id "
+            f"  FROM walk GROUP BY id), "
+            f"kb_s AS (SELECT doc_id, (len(list_distinct(string_split(trim("
+            f"  regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) "
+            f"  * 1000000) // len(string_split(trim(regexp_replace("
+            f"  lower(text), '\\s+', ' ', 'g')), ' ')) AS rank_key "
+            f"  FROM dup_docs) "
+            f"SELECT group_id, doc_id AS keep_id, "
+            f"CAST(rank_key AS BIGINT) AS rank_key, n_members FROM ("
+            f"  SELECT g.group_id, g.doc_id, s.rank_key, "
+            f"  COUNT(*) OVER (PARTITION BY g.group_id) AS n_members, "
+            f"  ROW_NUMBER() OVER (PARTITION BY g.group_id "
+            f"    ORDER BY s.rank_key DESC, g.doc_id) AS rn "
+            f"  FROM kb_g g JOIN kb_s s USING (doc_id)) WHERE rn = 1"
         ).replace("WITH ", "WITH RECURSIVE ", 1),
         "dedup_simhash": (
             f"{ctes}, {_simhash_duck_ctes()} "
