@@ -1083,6 +1083,46 @@ def _q_idle_rich_customers(spark, sf_dir):
                  .cast("bigint").alias("bal_cents")))
 
 
+def _q_conv_state_stream(spark, sf_dir):
+    """CUSTOM STATEFUL streaming operator driver query
+    (applyInPandasWithState, §2.9): the transcripts replay through the
+    full per-turn pipeline into per-conversation keyed state (running
+    keep counters + event-time timeout); the FINAL rollup per
+    conversation (counters are monotone, so max(struct) picks it) must
+    equal the batch aggregation of the frozen keep_drop truth — the
+    oracle groups the expected_keep_drop fixture, so the driver hash
+    verifies the keyed-state fold end to end."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from cld2_spark.streaming.stateful import start_conversation_state_stream
+
+    _register(spark, sf_dir)
+    work = str(Path(tempfile.gettempdir())
+               / f"cld2s_conv_state_{spark.sparkContext.applicationId}")
+    shutil.rmtree(work, ignore_errors=True)
+    # materialize the transcripts view as the file-source stream input
+    (spark.table("transcripts")
+     .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+     .write.mode("overwrite").parquet(f"{work}/src"))
+    q = start_conversation_state_stream(
+        spark, f"{work}/src", f"{work}/sink", f"{work}/ckpt")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("conversation-state replay did not finish")
+    out = spark.read.parquet(f"{work}/sink")
+    return (out.groupBy("conv_id")
+            .agg(F.max(F.struct("n_turns", "n_keep", "keep_rate_pct",
+                                "conv_alive")).alias("m"))
+            .select("conv_id", F.col("m.n_turns").alias("n_turns"),
+                    F.col("m.n_keep").alias("n_keep"),
+                    F.col("m.keep_rate_pct").alias("keep_rate_pct"),
+                    F.col("m.conv_alive").alias("conv_alive")))
+
+
 def _q_pq_codes(spark, sf_dir):
     """Product quantization (operators/similarity.pq_encode): every
     embedding compressed to 4 codeword ids (nearest hash-sampled
@@ -1721,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "jpeg_progressive_features": _q_jpeg_progressive_features,
         "dedup_keep_best": _q_dedup_keep_best,
+        "conv_state_stream": _q_conv_state_stream,
     }
 
 
@@ -2721,4 +2762,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT conv_id, turn_idx, span_idx, off, len, off_b, len_b, "
             f"lang "
             f"FROM read_parquet('{_FIXDIR}/expected_spans_sf0_01.parquet')"),
+        "conv_state_stream": (
+            # the batch truth of the keyed-state fold: group the frozen
+            # keep_drop verdicts per conversation and replay the
+            # alive rule (rate floor after >= 10 turns)
+            f"WITH cs AS (SELECT conv_id, "
+            f"  CAST(COUNT(*) AS BIGINT) AS n_turns, "
+            f"  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) "
+            f"    AS n_keep "
+            f"  FROM read_parquet("
+            f"    '{_FIXDIR}/expected_keep_drop_sf0_01.parquet') "
+            f"  GROUP BY conv_id) "
+            f"SELECT conv_id, n_turns, n_keep, "
+            f"CAST((100 * n_keep) // n_turns AS INT) AS keep_rate_pct, "
+            f"(n_turns < 10 OR (100 * n_keep) // n_turns >= 20) "
+            f"  AS conv_alive FROM cs"),
     }
