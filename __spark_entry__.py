@@ -1007,6 +1007,17 @@ def _q_doc_chunks(spark, sf_dir):
         f"md5(concat_ws(' ', toks)) AS chunk_hash FROM c")
 
 
+def _q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (operators/textstats):
+    integer-exact ratio_ppm = compressed_bytes * 10^6 DIV utf8_bytes per
+    document — the entropy-proxy junk detector. Oracle: the same
+    single-node zlib path frozen at sf0.01 (re-derived each CI run)."""
+    from cld2_spark.operators.textstats import compression_ratio
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+    return compression_ratio(ensure_parallelism(spark.table("documents")))
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Composite Gopher document filter (operators/curation
     .gopher_quality): word-count band, mean-word-length band, symbol
@@ -1762,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_features": _q_jpeg_progressive_features,
         "dedup_keep_best": _q_dedup_keep_best,
         "conv_state_stream": _q_conv_state_stream,
+        "compression_ratio": _q_compression_ratio,
     }
 
 
@@ -2747,6 +2759,9 @@ def oracle_sql() -> dict[str, str]:
         "video_features": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_video_features_sf0_01.parquet')"),
+        "compression_ratio": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_compression_sf0_01.parquet')"),
         "langid": (
             f"SELECT conv_id, turn_idx, lang1, pct1, is_reliable "
             f"FROM read_parquet('{_FIXDIR}/expected_langid_sf0_01.parquet')"),

@@ -8,6 +8,7 @@ rolling SimHash lives in operators/dedup.py).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints
 from pyspark.sql import DataFrame, functions as F
 
 # BPE-ish word/number/punct tokens (portable across Java regex / RE2 / re)
@@ -86,3 +87,35 @@ def quality_rank_filter(df: DataFrame, pct: float = 0.25,
             .where(F.col("pr") >= pct)
             .select(id_col, group_col, F.round("score", 6).alias("score"),
                     F.round("pr", 6).alias("pr")))
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the classic entropy proxy
+    quality signal (repetitive/templated junk compresses far below
+    natural text; used alongside the Gopher rules in CCNet-style
+    curation). Integer-exact output: ratio_ppm = compressed_bytes * 10^6
+    DIV raw_bytes, so thresholds never flip on float division.
+
+    zlib is per-row but C-speed (~100 MB/s/core) inside one Arrow-batched
+    UDF; rows scale across executors. Level is pinned so the value is a
+    stable function of the text bytes (the frozen oracle relies on it,
+    same determinism contract as the PNG fixture encoder)."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def comp_len(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            len(zlib.compress(t.encode("utf-8"), level)) if t else 0
+            for t in texts.fillna("")])
+
+    # n_raw = UTF-8 BYTES (octet_length), matching zlib's input length
+    enc_len = F.expr(f"octet_length({text_col})").cast("bigint")
+    return (df.select(F.col(id_col), enc_len.alias("n_raw"),
+                      comp_len(F.col(text_col)).alias("n_comp"))
+            .withColumn("ratio_ppm",
+                        F.expr("CASE WHEN n_raw = 0 THEN 0 "
+                               "ELSE (n_comp * 1000000L) DIV n_raw END")))

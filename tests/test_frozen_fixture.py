@@ -10,10 +10,11 @@ from pathlib import Path
 import pyarrow.parquet as pq
 import pytest
 
-from tools.freeze_expected import (JPEG_COLOR_FILE, JPEG_FEATURES_FILE,
-                                   KEEP_DROP_FILE, LANGID_FILE,
-                                   MEDIA_FEATURES_FILE, SPANS_FILE,
-                                   VIDEO_FEATURES_FILE, compute_fixtures)
+from tools.freeze_expected import (COMPRESSION_FILE, JPEG_COLOR_FILE,
+                                   JPEG_FEATURES_FILE, KEEP_DROP_FILE,
+                                   LANGID_FILE, MEDIA_FEATURES_FILE,
+                                   SPANS_FILE, VIDEO_FEATURES_FILE,
+                                   compute_fixtures)
 
 SF_DIR = "/root/testdata/sf0.01"
 FIXDIR = Path(__file__).parent / "data"
@@ -28,7 +29,8 @@ def recomputed():
 
 @pytest.mark.parametrize("fname", [LANGID_FILE, KEEP_DROP_FILE, SPANS_FILE,
                                    MEDIA_FEATURES_FILE, JPEG_FEATURES_FILE,
-                                   JPEG_COLOR_FILE, VIDEO_FEATURES_FILE])
+                                   JPEG_COLOR_FILE, VIDEO_FEATURES_FILE,
+                                   COMPRESSION_FILE])
 def test_fixture_matches_recompute(recomputed, fname):
     frozen = pq.read_table(FIXDIR / fname)
     fresh = recomputed[fname]

@@ -45,6 +45,7 @@ MEDIA_FEATURES_FILE = "expected_media_features_sf0_01.parquet"
 JPEG_FEATURES_FILE = "expected_jpeg_features_sf0_01.parquet"
 JPEG_COLOR_FILE = "expected_jpeg_color_sf0_01.parquet"
 VIDEO_FEATURES_FILE = "expected_video_features_sf0_01.parquet"
+COMPRESSION_FILE = "expected_compression_sf0_01.parquet"
 
 _LANGID_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -127,7 +128,8 @@ def compute_fixtures(sf_dir: str) -> dict[str, pa.Table]:
             MEDIA_FEATURES_FILE: _media_features_fixture(sf_dir),
             JPEG_FEATURES_FILE: _jpeg_features_fixture(sf_dir),
             JPEG_COLOR_FILE: _jpeg_color_fixture(sf_dir),
-            VIDEO_FEATURES_FILE: _video_features_fixture(sf_dir)}
+            VIDEO_FEATURES_FILE: _video_features_fixture(sf_dir),
+            COMPRESSION_FILE: _compression_ratio_fixture(sf_dir)}
 
 
 def _video_features_fixture(sf_dir: str) -> pa.Table:
@@ -240,6 +242,31 @@ def _media_features_fixture(sf_dir: str) -> pa.Table:
     for i in range(16):
         cols[f"f{i}"] = pa.array(feats[:, i], type=pa.float32())
     return pa.table(cols)
+
+
+
+def _compression_ratio_fixture(sf_dir: str) -> pa.Table:
+    """Expected `compression_ratio` rows: the same zlib level-6 per-doc
+    compressed length, run single-node (zlib output is a deterministic
+    function of input bytes + level for the pinned library — the same
+    contract the PNG fixture encoder already relies on)."""
+    import zlib
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') ORDER BY doc_id").fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    n_raw = np.array([len((r[1] or "").encode("utf-8")) for r in rows],
+                     dtype=np.int64)
+    n_comp = np.array(
+        [len(zlib.compress((r[1] or "").encode("utf-8"), 6))
+         if r[1] else 0 for r in rows], dtype=np.int64)
+    ratio = np.where(n_raw == 0, 0, n_comp * 1_000_000 // np.maximum(n_raw, 1))
+    return pa.table({"doc_id": pa.array(ids), "n_raw": pa.array(n_raw),
+                     "n_comp": pa.array(n_comp),
+                     "ratio_ppm": pa.array(ratio.astype(np.int64))})
 
 
 def write_fixtures(sf_dir: str, out_dir: str) -> dict[str, int]:
