@@ -615,6 +615,33 @@ def _q_jpeg_color_features(spark, sf_dir):
     return jpeg_color_feature_extract(media)
 
 
+def _q_image_thumbnails(spark, sf_dir):
+    """Multimodal RESIZE stage: real PNG decode -> EXACT integer 8x8 box
+    resize (integral image, floor means, BT.601 integer luma) ->
+    (media_id, dims, 64-cell thumb array). Oracle: the same single-node
+    path frozen at sf0.01, re-derived each CI run."""
+    import pandas as pd
+
+    from cld2_spark.operators.multimodal import (encode_png_pixels,
+                                                 feature_pixels,
+                                                 image_thumbnails)
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [encode_png_pixels(feature_pixels(int(i)),
+                                              filter_type=int(i) % 5)
+                            for i in ids]})
+
+    media = (ensure_parallelism(spark.table("documents").select("doc_id"))
+             .mapInPandas(enc, "media_id long, payload binary"))
+    return image_thumbnails(media)
+
+
 def _q_video_features(spark, sf_dir):
     """REAL video frame decode (MJPEG-in-MP4): every doc_id becomes a
     well-formed MP4 whose mdat carries 2-4 baseline-JPEG frames split
@@ -1774,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "conv_state_stream": _q_conv_state_stream,
         "compression_ratio": _q_compression_ratio,
+        "image_thumbnails": _q_image_thumbnails,
     }
 
 
@@ -2762,6 +2790,9 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_compression_sf0_01.parquet')"),
+        "image_thumbnails": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_thumbs_sf0_01.parquet')"),
         "langid": (
             f"SELECT conv_id, turn_idx, lang1, pct1, is_reliable "
             f"FROM read_parquet('{_FIXDIR}/expected_langid_sf0_01.parquet')"),

@@ -1193,3 +1193,54 @@ def video_frame_features(df: DataFrame, id_col: str = "media_id",
                 "px_sumsq", "px_min", "px_max", "motion"])
 
     return df.mapInPandas(fn, schema)
+
+
+def box_resize_luma(px: np.ndarray, th: int = 8, tw: int = 8) -> np.ndarray:
+    """EXACT integer box resize to a (th, tw) luma thumbnail — the
+    multimodal 'resize' stage. Cells cover integer-boundary regions
+    (row band i = [i*h//th, (i+1)*h//th)), cell value = floor(mean) over
+    the region computed from an int64 integral image, so the result is a
+    pure integer function of the pixels (hash-stable across engines and
+    platforms). 3-channel input folds to luma first with the BT.601
+    integer weights (299/587/114, floor div)."""
+    v = np.asarray(px).astype(np.int64)
+    if v.ndim == 3:
+        v = (299 * v[:, :, 0] + 587 * v[:, :, 1] + 114 * v[:, :, 2]) // 1000
+    h, w = v.shape
+    rb = (np.arange(th + 1, dtype=np.int64) * h) // th
+    cb = (np.arange(tw + 1, dtype=np.int64) * w) // tw
+    integ = np.zeros((h + 1, w + 1), dtype=np.int64)
+    integ[1:, 1:] = v.cumsum(0).cumsum(1)
+    s = (integ[rb[1:, None], cb[None, 1:]]
+         - integ[rb[:-1, None], cb[None, 1:]]
+         - integ[rb[1:, None], cb[None, :-1]]
+         + integ[rb[:-1, None], cb[None, :-1]])
+    cnt = (rb[1:, None] - rb[:-1, None]) * (cb[None, 1:] - cb[None, :-1])
+    return s // np.maximum(cnt, 1)
+
+
+def image_thumbnails(df: DataFrame, id_col: str = "media_id",
+                     payload_col: str = "payload",
+                     th: int = 8, tw: int = 8) -> DataFrame:
+    """mapInPandas resize stage: REAL PNG pixel decode (zlib IDAT +
+    defilter) -> exact integer box resize -> (media_id, width, height,
+    thumb array<bigint> of th*tw luma cells, row-major). Non-PNG /
+    undecodable rows are dropped."""
+    import pandas as pd
+
+    schema = f"{id_col} long, width long, height long, thumb array<bigint>"
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_png_pixels(buf) if buf is not None else None
+                if px is None:
+                    continue
+                t = box_resize_luma(px, th, tw)
+                rows.append((int(mid), px.shape[1], px.shape[0],
+                             [int(x) for x in t.reshape(-1)]))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height",
+                                              "thumb"])
+
+    return df.mapInPandas(fn, schema)

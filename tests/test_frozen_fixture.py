@@ -13,8 +13,8 @@ import pytest
 from tools.freeze_expected import (COMPRESSION_FILE, JPEG_COLOR_FILE,
                                    JPEG_FEATURES_FILE, KEEP_DROP_FILE,
                                    LANGID_FILE, MEDIA_FEATURES_FILE,
-                                   SPANS_FILE, VIDEO_FEATURES_FILE,
-                                   compute_fixtures)
+                                   SPANS_FILE, THUMBS_FILE,
+                                   VIDEO_FEATURES_FILE, compute_fixtures)
 
 SF_DIR = "/root/testdata/sf0.01"
 FIXDIR = Path(__file__).parent / "data"
@@ -30,7 +30,7 @@ def recomputed():
 @pytest.mark.parametrize("fname", [LANGID_FILE, KEEP_DROP_FILE, SPANS_FILE,
                                    MEDIA_FEATURES_FILE, JPEG_FEATURES_FILE,
                                    JPEG_COLOR_FILE, VIDEO_FEATURES_FILE,
-                                   COMPRESSION_FILE])
+                                   COMPRESSION_FILE, THUMBS_FILE])
 def test_fixture_matches_recompute(recomputed, fname):
     frozen = pq.read_table(FIXDIR / fname)
     fresh = recomputed[fname]

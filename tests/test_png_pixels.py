@@ -92,3 +92,28 @@ def test_extract_features_decoder_true_for_png(spark):
     # JPEG row keeps the disclosed placeholder (nibble histogram sums ~1)
     f2 = np.array(out.loc[2, "feature"], dtype=np.float32)
     assert f2.sum() == pytest.approx(1.0, abs=1e-5)
+
+
+def test_box_resize_is_exact_integer_function():
+    """The resize stage: integer-boundary box regions, floor means from
+    an int64 integral image — constant images resize to the constant,
+    decode-then-resize equals resize-of-original (lossless PNG), and
+    values stay inside the source range."""
+    import numpy as np
+
+    from cld2_spark.operators.multimodal import (box_resize_luma,
+                                                 decode_png_pixels,
+                                                 encode_png_pixels,
+                                                 feature_pixels)
+    c = np.full((20, 30, 3), 77, dtype=np.uint8)
+    lum = (299 * 77 + 587 * 77 + 114 * 77) // 1000
+    assert (box_resize_luma(c) == lum).all()
+    for mid in (0, 3, 11):
+        px = feature_pixels(mid)
+        dec = decode_png_pixels(encode_png_pixels(px, filter_type=mid % 5))
+        t = box_resize_luma(dec, 8, 8)
+        assert t.shape == (8, 8)
+        assert np.array_equal(t, box_resize_luma(px, 8, 8))
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    t2 = box_resize_luma(np.stack([g] * 3, -1), 4, 4)
+    assert t2.min() >= 0 and t2.max() <= 63

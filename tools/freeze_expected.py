@@ -46,6 +46,7 @@ JPEG_FEATURES_FILE = "expected_jpeg_features_sf0_01.parquet"
 JPEG_COLOR_FILE = "expected_jpeg_color_sf0_01.parquet"
 VIDEO_FEATURES_FILE = "expected_video_features_sf0_01.parquet"
 COMPRESSION_FILE = "expected_compression_sf0_01.parquet"
+THUMBS_FILE = "expected_thumbs_sf0_01.parquet"
 
 _LANGID_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -129,7 +130,8 @@ def compute_fixtures(sf_dir: str) -> dict[str, pa.Table]:
             JPEG_FEATURES_FILE: _jpeg_features_fixture(sf_dir),
             JPEG_COLOR_FILE: _jpeg_color_fixture(sf_dir),
             VIDEO_FEATURES_FILE: _video_features_fixture(sf_dir),
-            COMPRESSION_FILE: _compression_ratio_fixture(sf_dir)}
+            COMPRESSION_FILE: _compression_ratio_fixture(sf_dir),
+            THUMBS_FILE: _thumbnails_fixture(sf_dir)}
 
 
 def _video_features_fixture(sf_dir: str) -> pa.Table:
@@ -267,6 +269,37 @@ def _compression_ratio_fixture(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids), "n_raw": pa.array(n_raw),
                      "n_comp": pa.array(n_comp),
                      "ratio_ppm": pa.array(ratio.astype(np.int64))})
+
+
+def _thumbnails_fixture(sf_dir: str) -> pa.Table:
+    """Expected `image_thumbnails` rows: doc_id -> deterministic RGB
+    pixels -> real PNG encode -> REAL decode -> exact integer 8x8 box
+    resize (integral image, floor means), run single-node."""
+    from cld2_spark.operators.multimodal import (box_resize_luma,
+                                                 decode_png_pixels,
+                                                 encode_png_pixels,
+                                                 feature_pixels)
+
+    con = duckdb.connect()
+    ids = con.execute(
+        "SELECT doc_id FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') ORDER BY doc_id").df()["doc_id"]
+    con.close()
+    mids, ws, hs, thumbs = [], [], [], []
+    for did in ids:
+        px = feature_pixels(int(did))
+        dec = decode_png_pixels(encode_png_pixels(px,
+                                                  filter_type=int(did) % 5))
+        t = box_resize_luma(dec, 8, 8)
+        mids.append(int(did))
+        ws.append(dec.shape[1])
+        hs.append(dec.shape[0])
+        thumbs.append([int(x) for x in t.reshape(-1)])
+    return pa.table({
+        "media_id": pa.array(mids, type=pa.int64()),
+        "width": pa.array(ws, type=pa.int64()),
+        "height": pa.array(hs, type=pa.int64()),
+        "thumb": pa.array(thumbs, type=pa.list_(pa.int64()))})
 
 
 def write_fixtures(sf_dir: str, out_dir: str) -> dict[str, int]:
