@@ -615,6 +615,36 @@ def _q_jpeg_color_features(spark, sf_dir):
     return jpeg_color_feature_extract(media)
 
 
+def _q_frame_sample(spark, sf_dir):
+    """Frame-sampling grid from REAL parsed MP4 durations: every doc_id
+    becomes a well-formed MP4 whose mvhd carries an id-derived duration;
+    frame_sample(from_payload=True) re-parses it from the raw bytes and
+    emits one row per 1000 ms frame slot. LIVE id-arithmetic oracle (the
+    duration round-trips exactly: 5 ms-divisible durations survive the
+    timescale conversion), so a parser bug cannot cancel out."""
+    import pandas as pd
+
+    from cld2_spark.operators.multimodal import (encode_mp4_fixture,
+                                                 frame_sample)
+    _register(spark, sf_dir)
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": ["video"] * len(ids),
+                "payload": [encode_mp4_fixture(*_video_params(int(i))[:3],
+                                               _video_params(int(i))[3])
+                            for i in ids],
+                "duration_ms": [None] * len(ids)})
+
+    media = (spark.table("documents").select("doc_id")
+             .mapInPandas(enc, "media_id long, kind string, "
+                               "payload binary, duration_ms int"))
+    return frame_sample(media, every_ms=1000, from_payload=True)
+
+
 def _q_image_thumbnails(spark, sf_dir):
     """Multimodal RESIZE stage: real PNG decode -> EXACT integer 8x8 box
     resize (integral image, floor means, BT.601 integer luma) ->
@@ -1802,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_state_stream": _q_conv_state_stream,
         "compression_ratio": _q_compression_ratio,
         "image_thumbnails": _q_image_thumbnails,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -2793,6 +2824,14 @@ def oracle_sql() -> dict[str, str]:
         "image_thumbnails": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_thumbs_sf0_01.parquet')"),
+        "frame_sample": (
+            "WITH fs AS (SELECT doc_id, "
+            "  500 + 5 * ((doc_id * 13) % 1900) AS dur FROM documents), "
+            "fn AS (SELECT doc_id, CAST(ceil(dur / 1000.0) AS INT) AS nf "
+            "  FROM fs) "
+            "SELECT doc_id AS media_id, "
+            "CAST(unnest(range(0, nf)) * 1000 AS BIGINT) AS frame_ts_ms "
+            "FROM fn"),
         "langid": (
             f"SELECT conv_id, turn_idx, lang1, pct1, is_reliable "
             f"FROM read_parquet('{_FIXDIR}/expected_langid_sf0_01.parquet')"),
