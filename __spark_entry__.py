@@ -1075,6 +1075,36 @@ def _q_compression_ratio(spark, sf_dir):
     return compression_ratio(ensure_parallelism(spark.table("documents")))
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """Distributed BPE tokenization (operators/tokenizer): train merges
+    via ONE map-side-combinable word-count shuffle + driver-side merge
+    learning on the bounded histogram (the production BPE-trainer shape
+    — cost is vocabulary-sized, not corpus-sized), then encode every
+    document in a single ArrowEvalPython stage with the merge ranks in
+    the UDF closure (zero exchanges, per-batch distinct-word memo).
+    Integer-exact stats + md5 over the piece stream.  Oracle: an
+    INDEPENDENT single-node BPE frozen at sf0.01 (re-derived each CI
+    run, tools/freeze_expected.py:_bpe_fixtures)."""
+    from cld2_spark.operators.tokenizer import encode_corpus, train_bpe
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = train_bpe(docs, num_merges=40, min_count=2, max_words=20_000)
+    return encode_corpus(ensure_parallelism(docs), merges)
+
+
+def _q_bpe_merges(spark, sf_dir):
+    """The learned BPE merge table itself (rank, left, right, merged) —
+    deterministic given the corpus: ties break to the lexicographically
+    smallest pair, histogram order is (count desc, word).  Same frozen
+    independent-implementation oracle as bpe_encode."""
+    from cld2_spark.operators.tokenizer import merges_df, train_bpe
+    _register(spark, sf_dir)
+    merges = train_bpe(spark.table("documents"), num_merges=40,
+                       min_count=2, max_words=20_000)
+    return merges_df(spark, merges)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Composite Gopher document filter (operators/curation
     .gopher_quality): word-count band, mean-word-length band, symbol
@@ -1744,7 +1774,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_spans": _q_lang_spans,
         "scrub_pii": _q_scrub_pii,
         "quality_flags": _q_quality_flags,
-        "toxicity": _q_toxicity,
         "strip_html": _q_strip_html,
         # -- transcript relational / window surface -------------------------
         "turn_window": _q_turn_window,
@@ -1780,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "corpus_shuffle": _q_corpus_shuffle,
         "tfidf_terms": _q_tfidf_terms,
+        "bpe_encode": _q_bpe_encode,
         # -- events / streaming ----------------------------------------------
         "events_stream": _q_events_stream,
         "events_stream_join": _q_events_stream_join,
@@ -1833,6 +1863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": _q_compression_ratio,
         "image_thumbnails": _q_image_thumbnails,
         "frame_sample": _q_frame_sample,
+        "toxicity": _q_toxicity,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -2821,6 +2853,14 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_compression_sf0_01.parquet')"),
+        # frozen truth is an INDEPENDENT single-node BPE implementation
+        # (tools/freeze_expected.py:_bpe_fixtures), re-derived each CI run
+        "bpe_encode": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_bpe_encode_sf0_01.parquet')"),
+        "bpe_merges": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_bpe_merges_sf0_01.parquet')"),
         "image_thumbnails": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_thumbs_sf0_01.parquet')"),

@@ -197,7 +197,9 @@ def main() -> None:
                      # lists, composite Gopher filter
                      "video_features", "pq_ann",
                      "dedup_incremental_bloom", "dup_span_cuts",
-                     "gopher_quality"]:
+                     "gopher_quality",
+                     # round 6 session 4: distributed BPE train+encode
+                     "bpe_encode"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()

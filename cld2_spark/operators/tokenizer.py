@@ -1,0 +1,189 @@
+"""Distributed BPE tokenizer: train merges from a corpus, encode with them.
+
+The one training-pipeline stage the engine was missing: real byte-pair
+encoding (Sennrich et al. 2016, the HF-tokenizers / SentencePiece-BPE
+training recipe), expressed in the shape that scales to a 100 TB corpus:
+
+  1. TRAIN — the only corpus-sized work is ONE word-frequency aggregation
+     (`explode(split(text))` -> `groupBy(word).count()`), which is
+     map-side combinable: partial counts collapse per partition before
+     the single shuffle, so the shuffled volume is the DISTINCT-word
+     histogram, not the corpus. The histogram is then pruned
+     (`min_count`, deterministic top-`max_words` by (count desc, word))
+     and merge learning runs on that bounded table — merge learning cost
+     is a function of VOCABULARY size, not corpus size (this is exactly
+     how production BPE trainers work: count words once, learn merges on
+     the histogram). At 100 TB the histogram under Zipf is a few million
+     rows; `max_words` makes the driver-side step explicitly bounded and
+     the cap is a documented knob, not a silent truncation.
+
+  2. ENCODE — merge ranks broadcast to executors as a plain dict inside
+     one Arrow-batched pandas UDF: a single ArrowEvalPython stage, zero
+     exchanges, rows scale across executors. Per-batch distinct-word
+     memoization makes the amortized cost per word O(pieces) after the
+     first occurrence (Zipf again: a 10K-row batch has few distinct
+     words relative to tokens).
+
+Merge semantics (the canonical spec, shared by trainer, encoder and the
+independent single-node oracle in tools/freeze_expected.py):
+
+  * a word is the list of its Unicode characters (no end-of-word marker;
+    merges never cross word boundaries);
+  * one merge step replaces ALL non-overlapping occurrences of the
+    chosen pair LEFT-TO-RIGHT within each word;
+  * training picks the pair with the highest total count, ties broken by
+    lexicographically smallest (a, b) — fully deterministic;
+  * encoding applies learned merges in rank order: repeatedly merge the
+    LOWEST-rank pair present in the word until none applies.
+
+Words are split on the explicit ASCII whitespace class [ \\t\\n\\r\\f]
+(identical semantics in Java regex, RE2, Python re and DuckDB — Python's
+\\s is Unicode-aware and Java's is not, so neither is portable).
+
+No analogue in the reference (CLD2 tokenizes for language scoring only);
+cited absence: SURVEY.md SS2.13.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence, Tuple
+
+import pandas as pd  # module-level: pandas_udf resolves string type hints
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# portable whitespace class — see module docstring
+WS_CLASS = "[ \\t\\n\\r\\f]+"
+
+
+def merge_word(syms: List[str], a: str, b: str) -> List[str]:
+    """Replace all non-overlapping (a, b) occurrences left-to-right."""
+    out: List[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def learn_merges(word_counts: Sequence[Tuple[str, int]],
+                 num_merges: int) -> List[Tuple[str, str]]:
+    """Classic BPE merge learning over a (word, count) histogram.
+
+    Cost is O(num_merges * sum(len(word))) over DISTINCT words only —
+    corpus-size independent. Deterministic: max count, then smallest
+    (a, b) lexicographically.
+    """
+    vocab: List[Tuple[List[str], int]] = [
+        (list(w), c) for w, c in word_counts if w]
+    merges: List[Tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict = {}
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = [(merge_word(syms, *best), c) if best[0] in syms else (syms, c)
+                 for syms, c in vocab]
+    return merges
+
+
+def encode_word(word: str, ranks: dict) -> List[str]:
+    """Apply learned merges in rank order until none applies."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        syms = merge_word(syms, *best_pair)
+    return syms
+
+
+def word_histogram(df: DataFrame, text_col: str = "text",
+                   min_count: int = 1, max_words: int = 200_000) -> DataFrame:
+    """The corpus-sized step: one map-side-combinable word count.
+
+    Returns the deterministic top-`max_words` histogram ordered by
+    (count desc, word asc). The orderBy+limit compiles to a distributed
+    TakeOrdered — no global sort materialization.
+    """
+    words = (df
+             .select(F.explode(F.split(F.col(text_col), WS_CLASS))
+                     .alias("word"))
+             .where(F.col("word") != ""))
+    return (words.groupBy("word").agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+            .orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(max_words))
+
+
+def train_bpe(df: DataFrame, num_merges: int, text_col: str = "text",
+              min_count: int = 1, max_words: int = 200_000,
+              ) -> List[Tuple[str, str]]:
+    """Distributed BPE training: Spark word histogram + local merge loop.
+
+    The collect is the pruned histogram (<= max_words rows), not corpus
+    data — the documented driver-side bound.
+    """
+    hist = word_histogram(df, text_col, min_count, max_words).collect()
+    return learn_merges([(r["word"], r["cnt"]) for r in hist], num_merges)
+
+
+def merges_df(spark: SparkSession, merges: Sequence[Tuple[str, str]],
+              ) -> DataFrame:
+    """Learned merge table as a DataFrame (rank, left, right, merged)."""
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING, merged STRING")
+
+
+def encode_corpus(df: DataFrame, merges: Sequence[Tuple[str, str]],
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ) -> DataFrame:
+    """Encode every document with the learned merges.
+
+    One ArrowEvalPython stage, zero exchanges: ranks travel inside the
+    UDF closure (broadcast with the task), per-batch distinct-word memo.
+    Emits integer-exact per-doc stats plus an md5 over the piece stream
+    so the whole tokenization is hash-checkable.
+    """
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("n_tokens BIGINT, n_pieces_per_100_words BIGINT, tok_hash STRING")
+    def enc(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+        ws = re.compile(WS_CLASS)
+        memo: dict = {}
+        for s in texts:
+            n_tok, ppw, th = [], [], []
+            for t in s:
+                words = [w for w in ws.split(t or "") if w]
+                pieces: List[str] = []
+                for w in words:
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = encode_word(w, ranks)
+                    pieces.extend(got)
+                n_tok.append(len(pieces))
+                ppw.append(len(pieces) * 100 // len(words) if words else 0)
+                th.append(hashlib.md5(
+                    " ".join(pieces).encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"n_tokens": n_tok,
+                                "n_pieces_per_100_words": ppw,
+                                "tok_hash": th})
+
+    out = df.select(F.col(id_col), enc(F.col(text_col)).alias("e"))
+    return out.select(id_col, "e.n_tokens", "e.n_pieces_per_100_words",
+                      "e.tok_hash")

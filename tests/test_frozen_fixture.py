@@ -10,7 +10,8 @@ from pathlib import Path
 import pyarrow.parquet as pq
 import pytest
 
-from tools.freeze_expected import (COMPRESSION_FILE, JPEG_COLOR_FILE,
+from tools.freeze_expected import (BPE_ENCODE_FILE, BPE_MERGES_FILE,
+                                   COMPRESSION_FILE, JPEG_COLOR_FILE,
                                    JPEG_FEATURES_FILE, KEEP_DROP_FILE,
                                    LANGID_FILE, MEDIA_FEATURES_FILE,
                                    SPANS_FILE, THUMBS_FILE,
@@ -30,7 +31,8 @@ def recomputed():
 @pytest.mark.parametrize("fname", [LANGID_FILE, KEEP_DROP_FILE, SPANS_FILE,
                                    MEDIA_FEATURES_FILE, JPEG_FEATURES_FILE,
                                    JPEG_COLOR_FILE, VIDEO_FEATURES_FILE,
-                                   COMPRESSION_FILE, THUMBS_FILE])
+                                   COMPRESSION_FILE, THUMBS_FILE,
+                                   BPE_MERGES_FILE, BPE_ENCODE_FILE])
 def test_fixture_matches_recompute(recomputed, fname):
     frozen = pq.read_table(FIXDIR / fname)
     fresh = recomputed[fname]

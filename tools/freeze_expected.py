@@ -47,6 +47,13 @@ JPEG_COLOR_FILE = "expected_jpeg_color_sf0_01.parquet"
 VIDEO_FEATURES_FILE = "expected_video_features_sf0_01.parquet"
 COMPRESSION_FILE = "expected_compression_sf0_01.parquet"
 THUMBS_FILE = "expected_thumbs_sf0_01.parquet"
+BPE_MERGES_FILE = "expected_bpe_merges_sf0_01.parquet"
+BPE_ENCODE_FILE = "expected_bpe_encode_sf0_01.parquet"
+
+# driver-query BPE parameters — MUST match __spark_entry__._q_bpe_*
+BPE_NUM_MERGES = 40
+BPE_MIN_COUNT = 2
+BPE_MAX_WORDS = 20_000
 
 _LANGID_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -131,7 +138,93 @@ def compute_fixtures(sf_dir: str) -> dict[str, pa.Table]:
             JPEG_COLOR_FILE: _jpeg_color_fixture(sf_dir),
             VIDEO_FEATURES_FILE: _video_features_fixture(sf_dir),
             COMPRESSION_FILE: _compression_ratio_fixture(sf_dir),
-            THUMBS_FILE: _thumbnails_fixture(sf_dir)}
+            THUMBS_FILE: _thumbnails_fixture(sf_dir),
+            **_bpe_fixtures(sf_dir)}
+
+
+def _bpe_fixtures(sf_dir: str) -> dict[str, pa.Table]:
+    """Expected `bpe_merges` + `bpe_encode` rows via an INDEPENDENT
+    single-node BPE (plain Counter loops — written against the spec in
+    operators/tokenizer.py's docstring, not by importing it), so the
+    frozen truth is a genuine second implementation of the algorithm,
+    not a re-run of the Spark UDF code path."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') ORDER BY doc_id").fetchall()
+    con.close()
+
+    ws = re.compile(r"[ \t\n\r\f]+")
+    counts: Counter = Counter()
+    for _, text in rows:
+        counts.update(w for w in ws.split(text or "") if w)
+    hist = sorted(((w, c) for w, c in counts.items() if c >= BPE_MIN_COUNT),
+                  key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_WORDS]
+
+    def apply_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    vocab = [(list(w), c) for w, c in hist]
+    merges: list[tuple[str, str]] = []
+    for _ in range(BPE_NUM_MERGES):
+        pc: Counter = Counter()
+        for syms, c in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = [(apply_merge(s, *best), c) for s, c in vocab]
+
+    merges_tbl = pa.table({
+        "rank": pa.array(range(len(merges)), type=pa.int32()),
+        "left": pa.array([a for a, _ in merges], type=pa.string()),
+        "right": pa.array([b for _, b in merges], type=pa.string()),
+        "merged": pa.array([a + b for a, b in merges], type=pa.string()),
+    })
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def enc_word(word):
+        syms = list(word)
+        while len(syms) > 1:
+            ranked = [(ranks[(a, b)], (a, b)) for a, b in zip(syms, syms[1:])
+                      if (a, b) in ranks]
+            if not ranked:
+                break
+            syms = apply_merge(syms, *min(ranked)[1])
+        return syms
+
+    ids, n_tok, ppw, th = [], [], [], []
+    for did, text in rows:
+        words = [w for w in ws.split(text or "") if w]
+        pieces: list[str] = []
+        for w in words:
+            pieces.extend(enc_word(w))
+        ids.append(int(did))
+        n_tok.append(len(pieces))
+        ppw.append(len(pieces) * 100 // len(words) if words else 0)
+        th.append(hashlib.md5(" ".join(pieces).encode("utf-8")).hexdigest())
+    enc_tbl = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "n_tokens": pa.array(n_tok, type=pa.int64()),
+        "n_pieces_per_100_words": pa.array(ppw, type=pa.int64()),
+        "tok_hash": pa.array(th, type=pa.string()),
+    })
+    return {BPE_MERGES_FILE: merges_tbl, BPE_ENCODE_FILE: enc_tbl}
 
 
 def _video_features_fixture(sf_dir: str) -> pa.Table:
