@@ -198,8 +198,9 @@ def main() -> None:
                      "video_features", "pq_ann",
                      "dedup_incremental_bloom", "dup_span_cuts",
                      "gopher_quality",
-                     # round 6 session 4: distributed BPE train+encode
-                     "bpe_encode"]:
+                     # round 6 session 4: distributed BPE train+encode,
+                     # integer-exact classifier training, z-order layout
+                     "bpe_encode", "classifier_train", "zorder_stats"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()
