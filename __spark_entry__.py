@@ -1516,6 +1516,19 @@ def _q_zorder_stats(spark, sf_dir):
         checksum_sql="o_orderkey")
 
 
+def _q_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM + stupid-backoff fluency scoring
+    (operators/ngram_lm) — the CCNet/KenLM perplexity-filter stage,
+    integer-exact in ppm so the DuckDB oracle replays training AND
+    scoring live. min_count=2 prunes singleton grams (KenLM pruning),
+    which also exercises the backoff branch on every pruned bigram."""
+    from cld2_spark.operators.ngram_lm import lm_score
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+    return lm_score(ensure_parallelism(spark.table("documents")),
+                    min_count=2)
+
+
 def _q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide paragraph dedup + reassembly (operators/curation):
     every distinct trimmed line survives only at its first (doc_id, pos)
@@ -1919,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toxicity": _q_toxicity,
         "bpe_merges": _q_bpe_merges,
         "classifier_score": _q_classifier_score,
+        "lm_score": _q_lm_score,
         "cheapest_supplier": _q_cheapest_supplier,
         "event_anomalies": _q_event_anomalies,
     }
@@ -2229,6 +2243,11 @@ def _classifier_oracle(which: str) -> str:
     from cld2_spark.operators import classifier as C
     return (C.train_oracle_sql() if which == "train"
             else C.score_oracle_sql())
+
+
+def _lm_oracle() -> str:
+    from cld2_spark.operators.ngram_lm import lm_score_oracle_sql
+    return lm_score_oracle_sql(min_count=2)
 
 
 def _zorder_oracle() -> str:
@@ -2937,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_train": _classifier_oracle("train"),
         "classifier_score": _classifier_oracle("score"),
         "zorder_stats": _zorder_oracle(),
+        "lm_score": _lm_oracle(),
         "image_thumbnails": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_thumbs_sf0_01.parquet')"),

@@ -200,7 +200,8 @@ def main() -> None:
                      "gopher_quality",
                      # round 6 session 4: distributed BPE train+encode,
                      # integer-exact classifier training, z-order layout
-                     "bpe_encode", "classifier_train", "zorder_stats"]:
+                     "bpe_encode", "classifier_train", "zorder_stats",
+                     "lm_score"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()

@@ -1,0 +1,162 @@
+"""Corpus-trained word n-gram language model + integer-exact fluency
+scoring — the CCNet / Gopher "KenLM perplexity filter" pipeline stage.
+
+The canonical web-scale quality signal: train an n-gram LM on (a trusted
+slice of) the corpus, score every document, drop the tails. The existing
+`kernels/crosscheck.py` perplexity is a CHARACTER-trigram surprise proxy
+against the pre-trained langid model; this operator is the other half —
+the LM is trained ON the corpus, distributedly:
+
+  1. TRAIN — unigram + bigram counts: one `posexplode`-free in-row bigram
+     construction (`transform` over the token array with the index
+     lambda), then two map-side-combinable groupBy-count aggregations.
+     Shuffled volume is the DISTINCT-gram histogram, not the corpus
+     (Zipf). `min_count` prunes the tail — the standard KenLM pruning —
+     which is what keeps the model broadcastable at scale.
+
+  2. SCORE — stupid backoff (Brants et al. 2007), integer-exact in ppm:
+         seen bigram:  score = (c(h,w) * 10^6) // c(h)
+         backoff:      score = (c(w) * 400_000) // N        (alpha = 0.4)
+     Every quantity is a count, every division has a nonnegative
+     numerator, so Spark DIV / DuckDB // agree and the DuckDB oracle is
+     LIVE (oracle replays training + scoring end-to-end). Per-doc output
+     is (n scored positions, sum, integer mean) — high mean = fluent /
+     in-domain text, the keep side of the CCNet filter.
+
+Scale notes (100 TB): the scoring joins broadcast the pruned count
+tables (a min_count-pruned web bigram table is ~10^7-10^8 rows — at the
+upper end switch the hint off and let it shuffle on the gram key; the
+only skewed key class is stop-word histories, which the pruned-broadcast
+path never shuffles at all). Two corpus scans total: one to count, one
+to score.
+
+No analogue in the reference (CLD2 ships pre-trained char tables; it
+never trains on the corpus); cited absence: SURVEY.md SS2.13.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+ALPHA_PPM = 400_000          # stupid-backoff alpha = 0.4, in ppm
+MIN_COUNT = 1                # KenLM-style pruning threshold
+
+_TOKS_SPARK = ("filter(split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')),"
+               " ' '), t -> t <> '')")
+_TOKS_DUCK = ("list_filter(string_split(trim(regexp_replace(lower({c}), "
+              "'\\s+', ' ', 'g')), ' '), t -> t <> '')")
+
+
+def _bigrams_expr(toks_col: str) -> str:
+    """In-row (history, word) structs — no self-join, no posexplode."""
+    return (f"transform(slice({toks_col}, 1, size({toks_col}) - 1), "
+            f"(t, i) -> struct(t AS h, element_at({toks_col}, i + 2) AS w))")
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    toks = _TOKS_SPARK.format(c=text_col)
+    return (df.where(F.col(text_col).isNotNull())
+              .select(id_col, F.expr(toks).alias("__toks")))
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", min_count: int = MIN_COUNT
+                    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(unigram counts, bigram counts, total-token count) — two map-side
+    combinable aggregations over one tokenized scan."""
+    tok = _tokenized(df, text_col, id_col)
+    uni = (tok.select(F.explode("__toks").alias("w"))
+              .groupBy("w").agg(F.count("*").alias("cw"))
+              .where(F.col("cw") >= min_count))
+    big = (tok.where(F.size("__toks") >= 2)
+              .select(F.explode(F.expr(_bigrams_expr("__toks"))).alias("b"))
+              .select(F.col("b.h").alias("h"), F.col("b.w").alias("w"))
+              .groupBy("h", "w").agg(F.count("*").alias("chw"))
+              .where(F.col("chw") >= min_count))
+    total = uni.agg(F.sum("cw").alias("n_tokens"))
+    return uni, big, total
+
+
+def score_stupid_backoff(df: DataFrame, uni: DataFrame, big: DataFrame,
+                         total: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         broadcast_model: bool = True) -> DataFrame:
+    """Per-doc integer fluency score: (doc_id, n_bigrams, sum_score_ppm,
+    avg_score_ppm). One scoring scan; the model travels broadcast (set
+    broadcast_model=False past ~10^8 pruned grams to shuffle on the gram
+    key instead)."""
+    hint = F.broadcast if broadcast_model else (lambda d: d)
+    tok = _tokenized(df, text_col, id_col).where(F.size("__toks") >= 2)
+    pos = (tok.select(id_col,
+                      F.explode(F.expr(_bigrams_expr("__toks"))).alias("b"))
+              .select(id_col, F.col("b.h").alias("h"),
+                      F.col("b.w").alias("w")))
+    uni_h = hint(uni.select(F.col("w").alias("h"),
+                            F.col("cw").alias("ch")))
+    scored = (pos
+              .join(hint(big), ["h", "w"], "left")
+              .join(uni_h, ["h"], "left")
+              .join(hint(uni), ["w"], "left")
+              .crossJoin(hint(total))
+              .select(
+                  id_col,
+                  F.expr(
+                      f"CASE WHEN chw IS NOT NULL "
+                      f"THEN (chw * CAST(1000000 AS BIGINT)) DIV ch "
+                      f"ELSE (coalesce(cw, 0) * "
+                      f"CAST({ALPHA_PPM} AS BIGINT)) DIV n_tokens END"
+                  ).alias("score_ppm")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("score_ppm").alias("sum_score_ppm"))
+            .select(id_col, "n_bigrams", "sum_score_ppm",
+                    F.expr("sum_score_ppm DIV n_bigrams")
+                     .alias("avg_score_ppm")))
+
+
+def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             min_count: int = MIN_COUNT) -> DataFrame:
+    """Train-on-corpus + score-the-corpus in one call (the self-scoring
+    CCNet configuration; for the trusted-slice configuration pass a
+    different `df` to train_bigram_lm)."""
+    uni, big, total = train_bigram_lm(df, text_col, id_col, min_count)
+    return score_stupid_backoff(df, uni, big, total, text_col, id_col)
+
+
+def lm_score_oracle_sql(table: str = "documents", text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_count: int = MIN_COUNT) -> str:
+    """LIVE DuckDB replica: trains the same LM and scores with the same
+    integer algebra."""
+    toks = _TOKS_DUCK.format(c=text_col)
+    return f"""
+WITH lm_tok AS MATERIALIZED (
+  SELECT {id_col}, {toks} AS toks FROM {table}
+  WHERE {text_col} IS NOT NULL),
+lm_uni AS MATERIALIZED (
+  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS cw
+  FROM (SELECT unnest(toks) AS tok FROM lm_tok)
+  GROUP BY tok HAVING COUNT(*) >= {min_count}),
+lm_pos AS MATERIALIZED (
+  SELECT {id_col}, unnest(toks[1:len(toks) - 1]) AS h,
+         unnest(toks[2:len(toks)]) AS w
+  FROM lm_tok WHERE len(toks) >= 2),
+lm_big AS MATERIALIZED (
+  SELECT h, w, CAST(COUNT(*) AS BIGINT) AS chw FROM lm_pos
+  GROUP BY h, w HAVING COUNT(*) >= {min_count}),
+lm_n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tokens FROM lm_uni),
+lm_scored AS (
+  SELECT p.{id_col},
+    CASE WHEN b.chw IS NOT NULL
+         THEN (b.chw * CAST(1000000 AS BIGINT)) // uh.cw
+         ELSE (COALESCE(uw.cw, 0) * CAST({ALPHA_PPM} AS BIGINT)) // n.n_tokens
+    END AS score_ppm
+  FROM lm_pos p
+  LEFT JOIN lm_big b ON p.h = b.h AND p.w = b.w
+  LEFT JOIN lm_uni uh ON p.h = uh.w
+  LEFT JOIN lm_uni uw ON p.w = uw.w
+  CROSS JOIN lm_n n)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm,
+  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm
+FROM lm_scored GROUP BY {id_col}"""
