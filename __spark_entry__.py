@@ -546,18 +546,21 @@ def _q_jpeg_features(spark, sf_dir):
 
 
 def _q_jpeg_progressive_features(spark, sf_dir):
-    """PROGRESSIVE JPEG (SOF2, spectral selection): the same grayscale
-    fixtures encoded as three-scan progressive files (DC scan, AC 1-5,
-    AC 6-63, EOBRUN) and decoded by the multi-scan coefficient-
-    accumulation path. Progressive reorganizes the SAME quantized
-    coefficients, so the decoded pixels — and therefore the integer
-    features — must equal the baseline path EXACTLY: the oracle is the
-    baseline jpeg_features frozen fixture, making the driver hash a
-    cross-profile equivalence proof."""
+    """PROGRESSIVE JPEG (SOF2), BOTH profiles rotated per image: even
+    media_ids use spectral selection (three scans: DC, AC 1-5, AC 6-63,
+    EOBRUN), odd media_ids use SUCCESSIVE APPROXIMATION (libjpeg's
+    standard 6-scan script: point-transformed first scans + per-bit
+    refinement scans with T.81 G.1.2.3 correction-bit ordering). Either
+    way progressive reorganizes the SAME quantized coefficients, so the
+    decoded pixels — and therefore the integer features — must equal
+    the baseline path EXACTLY: the oracle is the baseline jpeg_features
+    frozen fixture, making the driver hash a cross-profile equivalence
+    proof for BOTH progressive modes."""
     import pandas as pd
 
     from cld2_spark.operators.jpeg import (decode_jpeg_progressive_gray,
                                            encode_jpeg_progressive_gray,
+                                           encode_jpeg_progressive_sa_gray,
                                            gray_fixture_pixels,
                                            jpeg_gray_features)
     from cld2_spark.session import ensure_parallelism
@@ -567,8 +570,9 @@ def _q_jpeg_progressive_features(spark, sf_dir):
         for pdf in batches:
             rows = []
             for i in pdf["doc_id"].tolist():
-                buf = encode_jpeg_progressive_gray(
-                    gray_fixture_pixels(int(i)))
+                enc = (encode_jpeg_progressive_gray if int(i) % 2 == 0
+                       else encode_jpeg_progressive_sa_gray)
+                buf = enc(gray_fixture_pixels(int(i)))
                 px = decode_jpeg_progressive_gray(buf)
                 if px is not None:
                     rows.append((int(i),) + jpeg_gray_features(px))
@@ -1516,6 +1520,16 @@ def _q_zorder_stats(spark, sf_dir):
         checksum_sql="o_orderkey")
 
 
+def _q_sample_exact_k(spark, sf_dir):
+    """Exact-k uniform sample (operators/curation.sample_exact_k):
+    global top-100 by salted md5 rank — TakeOrderedAndProject, k rows
+    per partition shuffled, never the corpus (plan test pins it)."""
+    from cld2_spark.operators.curation import sample_exact_k
+    _register(spark, sf_dir)
+    return sample_exact_k(spark.table("documents"), k=100).select(
+        "doc_id", "source", "sample_key")
+
+
 def _q_lm_score(spark, sf_dir):
     """Corpus-trained bigram LM + stupid-backoff fluency scoring
     (operators/ngram_lm) — the CCNet/KenLM perplexity-filter stage,
@@ -1933,6 +1947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "classifier_score": _q_classifier_score,
         "lm_score": _q_lm_score,
+        "sample_exact_k": _q_sample_exact_k,
         "cheapest_supplier": _q_cheapest_supplier,
         "event_anomalies": _q_event_anomalies,
     }
@@ -2957,6 +2972,10 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": _classifier_oracle("score"),
         "zorder_stats": _zorder_oracle(),
         "lm_score": _lm_oracle(),
+        "sample_exact_k": (
+            "SELECT doc_id, source, "
+            "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "
+            "FROM documents ORDER BY sample_key LIMIT 100"),
         "image_thumbnails": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_thumbs_sf0_01.parquet')"),

@@ -479,3 +479,22 @@ def gopher_quality_duck_sql(table: str = "documents",
         f"SELECT {id_col}, n_words, sum_wlen, n_hash, n_ellipsis, "
         f"n_alpha_words, n_stopwords, r IS NULL AS keep, "
         f"COALESCE(r, '') AS drop_reason FROM gr")
+
+
+def sample_exact_k(df: DataFrame, k: int, id_col: str = "doc_id",
+                   salt: str = "cld2s-topk") -> DataFrame:
+    """Exact-k uniform simple random sample (without replacement).
+
+    `stratified_sample` flips a Bernoulli coin per row — output size is
+    binomial, not fixed. This is the other sampling primitive a pipeline
+    needs: EXACTLY k rows, uniformly, deterministically. Rank every row
+    by a salted md5 of its id (uniform, collision-free on distinct ids)
+    and take the global k smallest. Spark plans orderBy().limit(k) as
+    TakeOrderedAndProject: each partition keeps its local top-k and only
+    k rows per partition ever move — no global sort, no corpus shuffle,
+    the same shape at 10^12 rows. Changing the salt redraws the sample;
+    growing the corpus only ever displaces rows (consistent sampling).
+    """
+    key = F.expr(f"md5(concat('{salt}', CAST({id_col} AS STRING)))")
+    return (df.withColumn("sample_key", key)
+              .orderBy("sample_key").limit(k))

@@ -15,11 +15,14 @@ sampling-factor-general MCU walk (T.81 A.2.3 interleave, replicate
 upsample). PROGRESSIVE (SOF2) grayscale is supported for the spectral-
 selection profile (multi-scan coefficient accumulation, per-scan
 Huffman tables, EOBRUN; encode_jpeg_progressive_gray /
-decode_jpeg_progressive_gray) — progressive reorganizes the same
-quantized coefficients, so its decode equals the baseline round trip
-EXACTLY (pinned in pytest and by the shared driver oracle). Remaining
-disclosed gaps: 4:1:1, successive approximation (Ah/Al != 0) and
-multi-component progressive — all rejected cleanly, never misdecoded.
+decode_jpeg_progressive_gray) for BOTH progressive profiles:
+spectral selection AND successive approximation (Ah/Al != 0, T.81
+G.1.2.2/G.1.2.3 — libjpeg's standard 6-scan script incl. AC
+correction-bit refinement, encode_jpeg_progressive_sa_gray).
+Progressive reorganizes the same quantized coefficients, so its decode
+equals the baseline round trip EXACTLY (pinned in pytest and by the
+shared driver oracle). Remaining disclosed gaps: 4:1:1 and
+multi-component progressive — rejected cleanly, never misdecoded.
 
 Conformance evidence without a reference codec in the container:
 - encoder and decoder are independent directions of the spec sharing
@@ -954,12 +957,11 @@ def encode_jpeg_422(rgb: np.ndarray) -> bytes:
 # ---- progressive JPEG (SOF2), spectral-selection profile ------------------
 # Progressive scans split the zigzag spectrum across multiple SOS scans
 # (T.81 G.1): a DC scan (Ss=Se=0) then AC band scans (Ss..Se), with the
-# EOBRUN run-length mechanism coding runs of band-empty blocks. This
-# implements the SPECTRAL SELECTION profile (Ah=Al=0, single component):
-# successive approximation (Ah/Al != 0) and multi-component progressive
-# are rejected cleanly, not misdecoded — that narrower profile is still
-# the full multi-scan machinery (coefficient accumulation across scans,
-# per-scan Huffman tables, EOBRUN).
+# EOBRUN run-length mechanism coding runs of band-empty blocks. Both
+# single-component profiles are implemented: SPECTRAL SELECTION and
+# SUCCESSIVE APPROXIMATION (point-transformed first scans + one-bit
+# refinement scans with spec correction-bit ordering); multi-component
+# progressive is rejected cleanly, not misdecoded.
 
 PROG_BANDS = ((1, 5), (6, 63))   # AC scans after the DC scan
 
@@ -1037,6 +1039,141 @@ def encode_jpeg_progressive_gray(pixels: np.ndarray) -> bytes:
     return out + b"\xff\xd9"
 
 
+# libjpeg's standard progressive script for a single-component image
+# (jcparam.c jpeg_simple_progression): DC MSBs, coarse AC bands, then
+# one AC refinement per bit plane and the DC LSB. This is what
+# `cjpeg -progressive` emits for grayscale — the web's progressive
+# profile, successive approximation included.
+SA_SCRIPT = (
+    ("dc", 0, 0, 0, 1),
+    ("ac", 1, 5, 0, 2),
+    ("ac", 6, 63, 0, 2),
+    ("ac", 1, 63, 2, 1),
+    ("dc", 0, 0, 1, 0),
+    ("ac", 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive_sa_gray(pixels: np.ndarray) -> bytes:
+    """Progressive grayscale JPEG with SUCCESSIVE APPROXIMATION (T.81
+    G.1.2.2/G.1.2.3), libjpeg's standard 6-scan script (SA_SCRIPT).
+
+    First scans send point-transformed coefficients (DC: arithmetic
+    shift; AC: magnitude shift, sign reapplied); refinement scans send
+    one bit per already-nonzero coefficient (buffered and flushed after
+    the next emitted symbol, exactly the spec's correction-bit order)
+    and code newly-nonzero coefficients as size-1 symbols with a raw
+    sign bit. Every scan reorganizes the SAME quantized coefficients,
+    so the full decode equals the baseline round trip EXACTLY."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (padded.astype(np.float64) - 128.0).reshape(
+        ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    coefs = np.round((_DCT @ blocks @ _DCT.T) / QTABLE).astype(np.int64)
+    zz = coefs.reshape(-1, 64)[:, ZIGZAG]
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(AC_BITS, AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    scans = []
+    for kind, ss, se, ah, al in SA_SCRIPT:
+        bw = _BitWriter()
+        if kind == "dc" and ah == 0:
+            prev = 0
+            for b in range(len(zz)):
+                v = int(zz[b, 0]) >> al          # arithmetic shift (T.81)
+                diff = v - prev
+                prev = v
+                s = _csize(diff)
+                c, ln = dc_codes[s]
+                bw.write(c, ln)
+                if s:
+                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        elif kind == "dc":
+            for b in range(len(zz)):
+                bw.write((int(zz[b, 0]) >> al) & 1, 1)
+        elif ah == 0:                            # AC first scan at Al
+            for b in range(len(zz)):
+                band = zz[b, ss:se + 1]
+                t = np.sign(band) * (np.abs(band) >> al)
+                nz = np.flatnonzero(t)
+                if len(nz) == 0:
+                    c, ln = ac_codes[0x00]
+                    bw.write(c, ln)
+                    continue
+                run = 0
+                for k in range(int(nz[-1]) + 1):
+                    v = int(t[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_codes[0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                    s = _csize(v)
+                    c, ln = ac_codes[(run << 4) | s]
+                    bw.write(c, ln)
+                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if nz[-1] != len(band) - 1:
+                    c, ln = ac_codes[0x00]
+                    bw.write(c, ln)
+        else:                                    # AC refinement (Ah=Al+1)
+            for b in range(len(zz)):
+                band = zz[b, ss:se + 1]
+                absv = (np.abs(band) >> al).astype(np.int64)
+                ones = np.flatnonzero(absv == 1)
+                eob = int(ones[-1]) if len(ones) else -1
+                run, pending = 0, []
+                for k in range(len(band)):
+                    t = int(absv[k])
+                    if t == 0:
+                        run += 1
+                        continue
+                    # ZRL before ANY nonzero (history included), but only
+                    # while a newly-nonzero still follows (k <= eob) —
+                    # otherwise the run folds into the EOB
+                    while run > 15 and k <= eob:
+                        c, ln = ac_codes[0xF0]
+                        bw.write(c, ln)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        run -= 16
+                    if t > 1:                    # history: correction bit
+                        pending.append(t & 1)
+                        continue
+                    c, ln = ac_codes[(run << 4) | 1]
+                    bw.write(c, ln)
+                    bw.write(1 if band[k] > 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                    run = 0
+                if run > 0 or pending:           # EOB (EOBRUN=1) + flush
+                    c, ln = ac_codes[0x00]
+                    bw.write(c, ln)
+                    for bit in pending:
+                        bw.write(bit, 1)
+        scans.append((ss, se, ah, al, bw.flush()))
+
+    qzl = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out = b"\xff\xd8" + seg(0xFFDB, b"\x00" + qzl)
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+            + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)))
+    for ss, se, ah, al, scan in scans:
+        out += seg(0xFFDA, b"\x01\x01" + (b"\x00" if ss == 0 else b"\x10")
+                   + struct.pack(">BBB", ss, se, (ah << 4) | al))
+        out += scan
+    return out + b"\xff\xd9"
+
+
 def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
     """Decode a spectral-selection progressive grayscale JPEG: walk every
     SOS scan, accumulate zigzag coefficients across scans (DC scan =
@@ -1090,8 +1227,9 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
                     return None
                 tdta = payload[2]
                 ss, se, ahal = payload[3], payload[4], payload[5]
-                if ahal != 0:
-                    return None   # successive approximation: out of profile
+                ah, al = ahal >> 4, ahal & 0x0F
+                if ah != 0 and ah != al + 1:
+                    return None   # malformed successive-approx sequence
                 # scan data runs to the next marker (FF xx with xx != 00)
                 j = i + 2 + ln
                 k = j
@@ -1099,7 +1237,7 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
                     if buf[k] == 0xFF and buf[k + 1] not in (0x00,):
                         break
                     k += 1
-                scans.append((tdta, ss, se, buf[j:k]))
+                scans.append((tdta, ss, se, ah, al, buf[j:k]))
                 i = k
                 continue
             i += 2 + ln
@@ -1112,9 +1250,14 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
         nb = (ph // 8) * (pw // 8)
         Z = np.zeros((nb, 64), dtype=np.int64)
-        for tdta, ss, se, data in scans:
+        band_seen = np.zeros(64, dtype=bool)
+        for tdta, ss, se, ah, al, data in scans:
+            if ah == 0:
+                band_seen[ss:se + 1] = True
+            elif not band_seen[ss:se + 1].all():
+                return None   # refinement before any first scan: malformed
             br = _BitReader(data)
-            if ss == 0:                       # DC scan
+            if ss == 0 and ah == 0:           # DC first scan (Al >= 0)
                 dc_t = huff.get(tdta >> 4)
                 if dc_t is None or se != 0:
                     return None
@@ -1123,8 +1266,14 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
                     s = _read_symbol(br, dc_t)
                     if s:
                         prev += _extend(br.read_bits(s), s)
-                    Z[b, 0] = prev
-            else:                             # AC band scan
+                    Z[b, 0] = prev << al
+            elif ss == 0:                     # DC refinement: 1 raw bit
+                if se != 0:
+                    return None
+                for b in range(nb):
+                    if br.read_bit():
+                        Z[b, 0] |= 1 << al
+            elif ah == 0:                     # AC first scan (Al >= 0)
                 ac_t = huff.get(0x10 | (tdta & 0x0F))
                 if ac_t is None or not (1 <= ss <= se <= 63):
                     return None
@@ -1149,8 +1298,59 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
                         k += r
                         if k > se:
                             raise ValueError("band overrun")
-                        Z[b, k] = _extend(br.read_bits(s), s)
+                        Z[b, k] = _extend(br.read_bits(s), s) << al
                         k += 1
+            else:                             # AC refinement (Ah = Al+1)
+                ac_t = huff.get(0x10 | (tdta & 0x0F))
+                if ac_t is None or not (1 <= ss <= se <= 63):
+                    return None
+                p1, m1 = 1 << al, -(1 << al)
+
+                def _correct(b: int, k: int) -> None:
+                    # T.81 G.1.2.3: one correction bit per nonzero-
+                    # history coefficient; append p1 toward its sign
+                    # when bit=1 and bit Al not yet set
+                    if br.read_bit() and (int(Z[b, k]) & p1) == 0:
+                        Z[b, k] += p1 if Z[b, k] >= 0 else m1
+
+                eobrun = 0
+                for b in range(nb):
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _read_symbol(br, ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            newval = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError("bad refine size")
+                                newval = p1 if br.read_bit() else m1
+                            elif r != 15:     # EOB: run of ended blocks
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # advance: corrections on nonzero history,
+                            # r counts down over zero-history slots
+                            while k <= se:
+                                if Z[b, k] != 0:
+                                    _correct(b, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                Z[b, k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # rest of this block (and whole following
+                        # blocks) only refine existing coefficients
+                        while k <= se:
+                            if Z[b, k] != 0:
+                                _correct(b, k)
+                            k += 1
+                        eobrun -= 1
         blocks = _idct_blocks(Z, qts[comp_q])
         out = (blocks.reshape(ph // 8, pw // 8, 8, 8)
                .transpose(0, 2, 1, 3).reshape(ph, pw))

@@ -285,3 +285,26 @@ def test_duplicated_span_cuts_merges_planted_overlaps(spark):
     # doc2: shared24 at 21-44; doc3: shared16 at 1-16
     assert got == {(1, 1, 24, 24), (1, 45, 60, 16),
                    (2, 21, 44, 24), (3, 1, 16, 16)}, got
+
+
+class TestSampleExactK:
+    def test_exactly_k_deterministic_and_consistent(self, spark):
+        from cld2_spark.operators.curation import sample_exact_k
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        a = {r.doc_id for r in sample_exact_k(docs, 100).collect()}
+        b = {r.doc_id for r in sample_exact_k(docs, 100).collect()}
+        assert len(a) == 100 and a == b
+        # consistent sampling: the 50-sample is a subset of the 100-sample
+        c = {r.doc_id for r in sample_exact_k(docs, 50).collect()}
+        assert c < a
+        # a different salt redraws
+        d = {r.doc_id for r in sample_exact_k(docs, 100, salt="other").collect()}
+        assert d != a
+
+    def test_plan_is_take_ordered_not_global_sort(self, spark):
+        from cld2_spark.operators.curation import sample_exact_k
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        plan = (sample_exact_k(docs, 100)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan

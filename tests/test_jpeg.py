@@ -305,8 +305,55 @@ def test_progressive_equals_baseline_roundtrip():
     buf = encode_jpeg_progressive_gray(images[0])
     for k in range(0, len(buf), 11):
         decode_jpeg_progressive_gray(buf[:k])
-    # successive approximation (Ah/Al != 0) is rejected, not misdecoded
+    # a refinement scan with no preceding first scan is malformed:
+    # rejected, not misdecoded (well-formed SA files ARE decoded — see
+    # test_successive_approximation_equals_baseline)
     i = buf.find(b"\xff\xda")
     mut = bytearray(buf)
-    mut[i + 4 + 5] = 0x10        # Ah=1 on the first scan
+    mut[i + 4 + 5] = 0x10        # Ah=1 on the very first scan
     assert decode_jpeg_progressive_gray(bytes(mut)) is None
+
+
+def test_successive_approximation_equals_baseline():
+    """SA progressive (libjpeg 6-scan script: point-transformed first
+    scans + correction-bit refinements) carries the SAME quantized
+    coefficients as baseline — decode must match bitwise, including the
+    ZRL-with-buffered-correction-bits path (>=16 zero-history gaps
+    between newly-nonzero coefficients, T.81 G.1.2.3)."""
+    import numpy as np
+    from cld2_spark.operators.jpeg import (
+        decode_jpeg_gray, decode_jpeg_progressive_gray, encode_jpeg_gray,
+        encode_jpeg_progressive_sa_gray, gray_fixture_pixels)
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        h, w = rng.integers(8, 48, 2)
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        base = decode_jpeg_gray(encode_jpeg_gray(px))
+        sa = decode_jpeg_progressive_gray(
+            encode_jpeg_progressive_sa_gray(px))
+        assert sa is not None and np.array_equal(sa, base)
+    for i in (0, 1, 17, 255):
+        px = gray_fixture_pixels(i)
+        assert np.array_equal(
+            decode_jpeg_progressive_gray(encode_jpeg_progressive_sa_gray(px)),
+            decode_jpeg_gray(encode_jpeg_gray(px)))
+
+
+def test_successive_approximation_garbage_safe():
+    """Truncated / bit-flipped SA files must return None or a valid
+    array, never raise — the mapInPandas batch must survive bad rows."""
+    import numpy as np
+    from cld2_spark.operators.jpeg import (
+        decode_jpeg_progressive_gray, encode_jpeg_progressive_sa_gray,
+        gray_fixture_pixels)
+    buf = encode_jpeg_progressive_sa_gray(gray_fixture_pixels(3))
+    rng = np.random.default_rng(11)
+    for cut in (10, len(buf) // 3, len(buf) - 5):
+        out = decode_jpeg_progressive_gray(buf[:cut])
+        assert out is None or isinstance(out, np.ndarray)
+    for _ in range(30):
+        bad = bytearray(buf)
+        for _ in range(3):
+            bad[rng.integers(2, len(bad) - 2)] = rng.integers(0, 256)
+        out = decode_jpeg_progressive_gray(bytes(bad))
+        assert out is None or isinstance(out, np.ndarray)
