@@ -520,7 +520,10 @@ def _q_jpeg_features(spark, sf_dir):
     Annex-K quantization, canonical Huffman, byte stuffing) and decoded
     back by the independent decoder direction (marker walk + file-DHT
     Huffman reconstruction + entropy decode + IDCT); integer-exact pixel
-    features of the DECODED image. Oracle: the same single-node path
+    features of the DECODED image. Every third image is encoded with a
+    DRI/RSTn restart interval (doc_id % 7 + 1 MCUs) — restart files
+    carry the SAME coefficients, so the frozen oracle doubles as the
+    restart-path equivalence proof. Oracle: the same single-node path
     frozen at sf0.01 (tools/freeze_expected.py) — bit-identical int64s,
     so the driver hash verifies the whole codec round trip."""
     import pandas as pd
@@ -535,8 +538,10 @@ def _q_jpeg_features(spark, sf_dir):
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame({
                 "media_id": ids,
-                "payload": [encode_jpeg_gray(gray_fixture_pixels(int(i)))
-                            for i in ids]})
+                "payload": [encode_jpeg_gray(
+                    gray_fixture_pixels(int(i)),
+                    restart_interval=(int(i) % 7 + 1) if int(i) % 3 == 0
+                    else 0) for i in ids]})
 
     from cld2_spark.session import ensure_parallelism
     # encode+decode are per-row compute: spread the narrow id scan

@@ -4,7 +4,8 @@ gap the same way the PNG path did (multimodal.decode_png_pixels): the
 container has no codecs, so the repo carries its own spec-conformant
 implementation of the public byte format.
 
-Scope: baseline DCT (SOF0), 8-bit precision, no restart markers, four
+Scope: baseline DCT (SOF0), 8-bit precision, DRI/RSTn restart
+intervals (encode + decode, baseline gray and color), four
 profiles: single-component grayscale (encode_jpeg_gray/decode_jpeg_gray)
 and 3-component YCbCr color at 4:4:4 (encode_jpeg_color), 4:2:0 — the
 camera/web layout, 16x16 MCUs of four Y blocks + box-averaged Cb/Cr
@@ -44,6 +45,7 @@ for the training-pipeline multimodal mandate (SURVEY.md §2.13).
 
 from __future__ import annotations
 
+import re
 import struct
 from functools import lru_cache
 
@@ -149,10 +151,32 @@ def _csize(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
+_RST_SPLIT = re.compile(b"\xff[\xd0-\xd7]")
+
+
+def _split_restart_segments(scan: bytes, ri: int, n_mcus: int
+                            ) -> list[bytes] | None:
+    """Split entropy data at RSTn markers (B.2.1.2). Unambiguous: a real
+    0xFF inside entropy data is always stuffed to FF00, so FF D0-D7 can
+    only be a restart marker. Returns None when the segment count does
+    not match ceil(n_mcus / ri) — a malformed stream, not a profile gap.
+    """
+    segs = _RST_SPLIT.split(scan)
+    if ri <= 0:
+        return [scan]
+    if len(segs) != -(-n_mcus // ri):
+        return None
+    return segs
+
+
+def encode_jpeg_gray(pixels: np.ndarray,
+                     restart_interval: int = 0) -> bytes:
     """Baseline grayscale JPEG of a uint8 (h, w) array: edge-replication
     pad to 8x8 multiples, level shift, FDCT, Annex-K quantization,
-    zigzag, DC differencing, canonical Huffman entropy coding."""
+    zigzag, DC differencing, canonical Huffman entropy coding.
+    `restart_interval` > 0 emits a DRI segment and byte-aligned RSTn
+    markers every that many MCUs (DC predictor reset, marker id cycling
+    D0-D7 per B.2.1.2)."""
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -161,10 +185,20 @@ def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    pieces: list[bytes] = []
+    n_done = 0
     blocks = (padded.astype(np.float64) - 128.0).reshape(
         ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and n_done and \
+                    n_done % restart_interval == 0:
+                pieces.append(bw.flush())
+                pieces.append(bytes([0xFF, 0xD0 +
+                                     (n_done // restart_interval - 1) % 8]))
+                bw = _BitWriter()
+                prev_dc = 0
+            n_done += 1
             coef = _DCT @ blocks[by, bx] @ _DCT.T
             q = np.round(coef / QTABLE).astype(np.int64)
             zz = q.reshape(64)[ZIGZAG]
@@ -200,18 +234,21 @@ def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
             if last_nz < 63:
                 c, ln = ac_codes[0x00]         # EOB
                 bw.write(c, ln)
-    scan = bw.flush()
+    pieces.append(bw.flush())
+    scan = b"".join(pieces)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     qz = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
     dqt = seg(0xFFDB, b"\x00" + qz)
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     dht = (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
            + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)))
     sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
 class _BitReader:
@@ -399,7 +436,9 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray | None:
     encoder (not just encode_jpeg_gray): marker walk, DQT/SOF0/DHT from
     the file, Huffman entropy decode, dequantize, dezigzag, IDCT.
     Returns a uint8 (h, w) array, or None for anything unparseable or
-    outside the supported profile (progressive, color, restart markers).
+    outside the supported profile (progressive and color go to their
+    own decoders). DRI/RSTn restart intervals are decoded (predictor
+    reset + byte-aligned segment per E.2.4).
     """
     try:
         if len(buf) < 4 or buf[:2] != b"\xff\xd8":
@@ -408,6 +447,7 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray | None:
         dims = None
         comp_q = 0
         td = ta = 0
+        ri = 0
         huff: dict[int, dict[tuple[int, int], int]] = {}
         i = 2
         scan = None
@@ -440,7 +480,7 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray | None:
             elif marker == 0xFFC4:
                 huff.update(_decode_huff_tables(payload))
             elif marker == 0xFFDD:
-                return None            # restart intervals: out of profile
+                (ri,) = struct.unpack_from(">H", payload, 0)
             elif marker == 0xFFDA:
                 if payload[0] != 1:    # Ns: single-component scan only
                     return None
@@ -458,15 +498,21 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray | None:
         end = scan.rfind(b"\xff\xd9")
         if end >= 0:
             scan = scan[:end]
-        br = _BitReader(scan)
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
         nby, nbx = ph // 8, pw // 8
+        segs = _split_restart_segments(scan, ri, nby * nbx)
+        if segs is None:
+            return None
         # entropy pass fills one (n_blocks, 64) zigzag matrix; dezigzag,
         # dequantize and IDCT then run BATCHED over all blocks at once
         Z = np.zeros((nby * nbx, 64), dtype=np.int64)
         dc_t, ac_t = huff[td], huff[0x10 | ta]
+        br = _BitReader(segs[0])
         prev_dc = 0
         for row in range(nby * nbx):
+            if ri and row and row % ri == 0:   # restart boundary (E.2.4)
+                br = _BitReader(segs[row // ri])
+                prev_dc = 0
             prev_dc = _decode_block_zz(br, dc_t, ac_t, prev_dc, Z, row)
         blocks = _idct_blocks(Z, qt)
         out = (blocks.reshape(nby, nbx, 8, 8)
@@ -632,11 +678,13 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
     return int(zz[0])
 
 
-def encode_jpeg_color(rgb: np.ndarray) -> bytes:
+def encode_jpeg_color(rgb: np.ndarray, restart_interval: int = 0) -> bytes:
     """Baseline color JPEG at 4:4:4 (no chroma subsampling): RGB ->
     YCbCr, interleaved Y/Cb/Cr MCUs of one 8x8 block each, luminance
     tables for Y and chrominance tables for Cb/Cr (quant table ids 0/1,
-    Huffman table ids 0/1 per class) — the T.81 A.2.3 interleave order."""
+    Huffman table ids 0/1 per class) — the T.81 A.2.3 interleave order.
+    `restart_interval` > 0 emits DRI + RSTn every that many MCUs, all
+    three DC predictors reset at each marker."""
     rgb = np.asarray(rgb, dtype=np.uint8)
     h, w, _ = rgb.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -648,15 +696,26 @@ def encode_jpeg_color(rgb: np.ndarray) -> bytes:
     ac_c = _canonical_codes(AC_BITS_C, AC_VALS_C)
     bw = _BitWriter()
     prev = [0, 0, 0]
+    pieces: list[bytes] = []
+    n_done = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if restart_interval and n_done and \
+                    n_done % restart_interval == 0:
+                pieces.append(bw.flush())
+                pieces.append(bytes([0xFF, 0xD0 +
+                                     (n_done // restart_interval - 1) % 8]))
+                bw = _BitWriter()
+                prev = [0, 0, 0]
+            n_done += 1
             tile = ycc[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
             for comp, (qt, dc, ac) in enumerate(
                     [(QTABLE, dc_l, ac_l), (QTABLE_C, dc_c, ac_c),
                      (QTABLE_C, dc_c, ac_c)]):
                 prev[comp] = _encode_block(
                     bw, tile[:, :, comp], qt, prev[comp], dc, ac)
-    scan = bw.flush()
+    pieces.append(bw.flush())
+    scan = b"".join(pieces)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -664,6 +723,8 @@ def encode_jpeg_color(rgb: np.ndarray) -> bytes:
     qzl = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
     qzc = QTABLE_C.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
     dqt = seg(0xFFDB, b"\x00" + qzl) + seg(0xFFDB, b"\x01" + qzc)
+    if restart_interval:
+        dqt += seg(0xFFDD, struct.pack(">H", restart_interval))
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
               + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
     dht = (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
@@ -691,6 +752,7 @@ def decode_jpeg_color(buf: bytes) -> np.ndarray | None:
         dims = None
         comp_q: list[int] = []
         scan = None
+        ri = 0
         comp_huff: list[tuple[int, int]] = []
         i = 2
         while i + 4 <= len(buf):
@@ -734,7 +796,7 @@ def decode_jpeg_color(buf: bytes) -> np.ndarray | None:
             elif marker == 0xFFC4:
                 huff.update(_decode_huff_tables(payload))
             elif marker == 0xFFDD:
-                return None
+                (ri,) = _struct.unpack_from(">H", payload, 0)
             elif marker == 0xFFDA:
                 ns = payload[0]
                 if ns != 3:
@@ -753,13 +815,16 @@ def decode_jpeg_color(buf: bytes) -> np.ndarray | None:
         end = scan.rfind(b"\xff\xd9")
         if end >= 0:
             scan = scan[:end]
-        br = _BitReader(scan)
         hmax = max(s[0] for s in samps)
         vmax = max(s[1] for s in samps)
         mcu_w, mcu_h = 8 * hmax, 8 * vmax
         ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
         H, W = ph // mcu_h, pw // mcu_w
         n_mcu = H * W
+        segs = _split_restart_segments(scan, ri, n_mcu)
+        if segs is None:
+            return None
+        br = _BitReader(segs[0])
         # entropy pass fills one (n_blocks, 64) zigzag matrix per
         # component; dezigzag/dequant/IDCT run BATCHED per component
         # (_idct_blocks), and the MCU-interleaved block order maps onto
@@ -770,7 +835,10 @@ def decode_jpeg_color(buf: bytes) -> np.ndarray | None:
         rows = [0, 0, 0]
         tabs = [(huff[td], huff[0x10 | ta]) for td, ta in comp_huff]
         bpm = [hc * vc for hc, vc in samps]
-        for _ in range(n_mcu):
+        for m in range(n_mcu):
+            if ri and m and m % ri == 0:       # restart boundary (E.2.4)
+                br = _BitReader(segs[m // ri])
+                prev = [0, 0, 0]
             # T.81 A.2.3 interleave: per component, vc x hc blocks
             for c in range(3):
                 dc_t, ac_t = tabs[c]

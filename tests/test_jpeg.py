@@ -357,3 +357,31 @@ def test_successive_approximation_garbage_safe():
             bad[rng.integers(2, len(bad) - 2)] = rng.integers(0, 256)
         out = decode_jpeg_progressive_gray(bytes(bad))
         assert out is None or isinstance(out, np.ndarray)
+
+
+def test_restart_markers_roundtrip_gray_and_color():
+    """DRI/RSTn support: restart files decode IDENTICALLY to their
+    no-restart twins (same coefficients, predictors reset per segment);
+    a missing RST marker (segment-count mismatch) is rejected."""
+    import re
+
+    import numpy as np
+    from cld2_spark.operators.jpeg import (decode_jpeg_color,
+                                           decode_jpeg_gray,
+                                           encode_jpeg_color,
+                                           encode_jpeg_gray)
+    rng = np.random.default_rng(13)
+    for ri in (1, 3, 7):
+        px = rng.integers(0, 256, (27, 35)).astype(np.uint8)
+        plain = decode_jpeg_gray(encode_jpeg_gray(px))
+        buf = encode_jpeg_gray(px, restart_interval=ri)
+        assert b"\xff\xdd" in buf
+        assert np.array_equal(decode_jpeg_gray(buf), plain)
+        rgb = rng.integers(0, 256, (19, 26, 3)).astype(np.uint8)
+        cplain = decode_jpeg_color(encode_jpeg_color(rgb))
+        cbuf = encode_jpeg_color(rgb, restart_interval=ri)
+        assert np.array_equal(decode_jpeg_color(cbuf), cplain)
+    buf = encode_jpeg_gray(np.zeros((24, 24), np.uint8), restart_interval=2)
+    n_mcus, ri = 9, 2
+    assert len(re.findall(b"\xff[\xd0-\xd7]", buf)) == -(-n_mcus // ri) - 1
+    assert decode_jpeg_gray(re.sub(b"\xff\xd0", b"", buf, count=1)) is None
