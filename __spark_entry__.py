@@ -593,18 +593,23 @@ def _q_jpeg_progressive_features(spark, sf_dir):
 
 
 def _q_jpeg_color_features(spark, sf_dir):
-    """REAL baseline COLOR JPEG (operators/jpeg): RGB fixture ->
-    interleaved 3-component MCU encode rotating ALL THREE layouts by id
-    (4:4:4, 4:2:0 camera/web, 4:2:2 broadcast/video) ->
-    independent decode (file-DHT Huffman, sampling-factor MCU walk,
-    per-component DC predictors, chroma upsample, YCbCr->RGB) ->
-    integer-exact per-channel features; frozen-fixture hash-verified."""
+    """REAL COLOR JPEG (operators/jpeg): RGB fixture -> interleaved
+    3-component MCU encode rotating ALL THREE baseline layouts by id
+    (4:4:4, 4:2:0 camera/web, 4:2:2 broadcast/video) PLUS multi-
+    component PROGRESSIVE 4:4:4 (libjpeg 10-scan script) on every sixth
+    id -> independent decode with profile sniff (file-DHT Huffman,
+    sampling-factor MCU walk / multi-scan coefficient accumulation,
+    chroma upsample, YCbCr->RGB) -> integer-exact per-channel features.
+    Progressive carries the same coefficients as baseline 4:4:4, so the
+    frozen fixture stays the truth for those ids — the driver hash is
+    the multi-component-progressive equivalence proof."""
     import pandas as pd
 
     from cld2_spark.operators.jpeg import (color_fixture_pixels,
                                            encode_jpeg_420,
                                            encode_jpeg_422,
                                            encode_jpeg_color,
+                                           encode_jpeg_progressive_color,
                                            jpeg_color_feature_extract)
     _register(spark, sf_dir)
     encs = (encode_jpeg_color, encode_jpeg_420, encode_jpeg_422)
@@ -614,8 +619,10 @@ def _q_jpeg_color_features(spark, sf_dir):
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame({
                 "media_id": ids,
-                "payload": [encs[int(i) % 3](color_fixture_pixels(int(i)))
-                            for i in ids]})
+                "payload": [
+                    (encode_jpeg_progressive_color if int(i) % 6 == 0
+                     else encs[int(i) % 3])(color_fixture_pixels(int(i)))
+                    for i in ids]})
 
     from cld2_spark.session import ensure_parallelism
     # encode+decode are per-row compute: spread the narrow id scan

@@ -16,14 +16,16 @@ sampling-factor-general MCU walk (T.81 A.2.3 interleave, replicate
 upsample). PROGRESSIVE (SOF2) grayscale is supported for the spectral-
 selection profile (multi-scan coefficient accumulation, per-scan
 Huffman tables, EOBRUN; encode_jpeg_progressive_gray /
-decode_jpeg_progressive_gray) for BOTH progressive profiles:
+decode_jpeg_progressive_gray) for BOTH progressive profiles —
 spectral selection AND successive approximation (Ah/Al != 0, T.81
-G.1.2.2/G.1.2.3 — libjpeg's standard 6-scan script incl. AC
-correction-bit refinement, encode_jpeg_progressive_sa_gray).
+G.1.2.2/G.1.2.3, libjpeg's standard scan scripts incl. AC
+correction-bit refinement) — and for MULTI-COMPONENT 4:4:4 color
+(encode_jpeg_progressive_color / decode_jpeg_progressive_color:
+interleaved DC scans, single-component AC band scans per B.2.3).
 Progressive reorganizes the same quantized coefficients, so its decode
 equals the baseline round trip EXACTLY (pinned in pytest and by the
-shared driver oracle). Remaining disclosed gaps: 4:1:1 and
-multi-component progressive — rejected cleanly, never misdecoded.
+shared driver oracles). Remaining disclosed gaps: 4:1:1 and SUBSAMPLED
+progressive color — rejected cleanly, never misdecoded.
 
 Conformance evidence without a reference codec in the container:
 - encoder and decoder are independent directions of the spec sharing
@@ -896,8 +898,10 @@ def jpeg_color_features(px: np.ndarray) -> tuple[int, ...]:
 
 def jpeg_color_feature_extract(df, id_col: str = "media_id",
                                payload_col: str = "payload"):
-    """mapInPandas: decode baseline 4:4:4 color JPEG payloads and emit
-    integer-exact per-channel features (undecodable rows dropped)."""
+    """mapInPandas: decode color JPEG payloads — baseline (4:4:4/4:2:0/
+    4:2:2) with a progressive (SOF2) fallback, the profile sniff a real
+    ingest pipeline does — and emit integer-exact per-channel features
+    (undecodable rows dropped)."""
     import pandas as pd
 
     cols = ["media_id", "width", "height",
@@ -909,8 +913,12 @@ def jpeg_color_feature_extract(df, id_col: str = "media_id",
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf[id_col], pdf[payload_col]):
-                px = (decode_jpeg_color(bytes(buf))
-                      if buf is not None else None)
+                px = None
+                if buf is not None:
+                    b = bytes(buf)
+                    px = decode_jpeg_color(b)
+                    if px is None:
+                        px = decode_jpeg_progressive_color(b)
                 if px is None:
                     continue
                 rows.append((int(mid),) + jpeg_color_features(px))
@@ -1107,6 +1115,102 @@ def encode_jpeg_progressive_gray(pixels: np.ndarray) -> bytes:
     return out + b"\xff\xd9"
 
 
+def _emit_dc_first_scan(bw: _BitWriter, zzs: list, dc_codes_list: list,
+                        al: int) -> None:
+    """DC first scan at Al (interleaved when len(zzs) > 1, all 1x1):
+    arithmetic-shift point transform, per-component differencing."""
+    prevs = [0] * len(zzs)
+    for b in range(len(zzs[0])):
+        for ci, zz in enumerate(zzs):
+            v = int(zz[b, 0]) >> al              # arithmetic shift (T.81)
+            diff = v - prevs[ci]
+            prevs[ci] = v
+            s = _csize(diff)
+            c, ln = dc_codes_list[ci][s]
+            bw.write(c, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _emit_dc_refine_scan(bw: _BitWriter, zzs: list, al: int) -> None:
+    for b in range(len(zzs[0])):
+        for zz in zzs:
+            bw.write((int(zz[b, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first_scan(bw: _BitWriter, zz: np.ndarray, ac_codes: dict,
+                        ss: int, se: int, al: int) -> None:
+    """AC first scan at Al: magnitude point transform (truncate toward
+    zero), run/size with per-block EOB (EOBRUN=1 — always legal)."""
+    for b in range(len(zz)):
+        band = zz[b, ss:se + 1]
+        t = np.sign(band) * (np.abs(band) >> al)
+        nz = np.flatnonzero(t)
+        if len(nz) == 0:
+            c, ln = ac_codes[0x00]
+            bw.write(c, ln)
+            continue
+        run = 0
+        for k in range(int(nz[-1]) + 1):
+            v = int(t[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            s = _csize(v)
+            c, ln = ac_codes[(run << 4) | s]
+            bw.write(c, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] != len(band) - 1:
+            c, ln = ac_codes[0x00]
+            bw.write(c, ln)
+
+
+def _emit_ac_refine_scan(bw: _BitWriter, zz: np.ndarray, ac_codes: dict,
+                         ss: int, se: int, al: int) -> None:
+    """AC refinement (Ah = Al+1), T.81 G.1.2.3 correction-bit order."""
+    for b in range(len(zz)):
+        band = zz[b, ss:se + 1]
+        absv = (np.abs(band) >> al).astype(np.int64)
+        ones = np.flatnonzero(absv == 1)
+        eob = int(ones[-1]) if len(ones) else -1
+        run, pending = 0, []
+        for k in range(len(band)):
+            t = int(absv[k])
+            if t == 0:
+                run += 1
+                continue
+            # ZRL before ANY nonzero (history included), but only
+            # while a newly-nonzero still follows (k <= eob) —
+            # otherwise the run folds into the EOB
+            while run > 15 and k <= eob:
+                c, ln = ac_codes[0xF0]
+                bw.write(c, ln)
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+                run -= 16
+            if t > 1:                    # history: correction bit
+                pending.append(t & 1)
+                continue
+            c, ln = ac_codes[(run << 4) | 1]
+            bw.write(c, ln)
+            bw.write(1 if band[k] > 0 else 0, 1)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            run = 0
+        if run > 0 or pending:           # EOB (EOBRUN=1) + flush
+            c, ln = ac_codes[0x00]
+            bw.write(c, ln)
+            for bit in pending:
+                bw.write(bit, 1)
+
+
 # libjpeg's standard progressive script for a single-component image
 # (jcparam.c jpeg_simple_progression): DC MSBs, coarse AC bands, then
 # one AC refinement per bit plane and the DC LSB. This is what
@@ -1151,83 +1255,13 @@ def encode_jpeg_progressive_sa_gray(pixels: np.ndarray) -> bytes:
     for kind, ss, se, ah, al in SA_SCRIPT:
         bw = _BitWriter()
         if kind == "dc" and ah == 0:
-            prev = 0
-            for b in range(len(zz)):
-                v = int(zz[b, 0]) >> al          # arithmetic shift (T.81)
-                diff = v - prev
-                prev = v
-                s = _csize(diff)
-                c, ln = dc_codes[s]
-                bw.write(c, ln)
-                if s:
-                    bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            _emit_dc_first_scan(bw, [zz], [dc_codes], al)
         elif kind == "dc":
-            for b in range(len(zz)):
-                bw.write((int(zz[b, 0]) >> al) & 1, 1)
-        elif ah == 0:                            # AC first scan at Al
-            for b in range(len(zz)):
-                band = zz[b, ss:se + 1]
-                t = np.sign(band) * (np.abs(band) >> al)
-                nz = np.flatnonzero(t)
-                if len(nz) == 0:
-                    c, ln = ac_codes[0x00]
-                    bw.write(c, ln)
-                    continue
-                run = 0
-                for k in range(int(nz[-1]) + 1):
-                    v = int(t[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, ln = ac_codes[0xF0]
-                        bw.write(c, ln)
-                        run -= 16
-                    s = _csize(v)
-                    c, ln = ac_codes[(run << 4) | s]
-                    bw.write(c, ln)
-                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if nz[-1] != len(band) - 1:
-                    c, ln = ac_codes[0x00]
-                    bw.write(c, ln)
-        else:                                    # AC refinement (Ah=Al+1)
-            for b in range(len(zz)):
-                band = zz[b, ss:se + 1]
-                absv = (np.abs(band) >> al).astype(np.int64)
-                ones = np.flatnonzero(absv == 1)
-                eob = int(ones[-1]) if len(ones) else -1
-                run, pending = 0, []
-                for k in range(len(band)):
-                    t = int(absv[k])
-                    if t == 0:
-                        run += 1
-                        continue
-                    # ZRL before ANY nonzero (history included), but only
-                    # while a newly-nonzero still follows (k <= eob) —
-                    # otherwise the run folds into the EOB
-                    while run > 15 and k <= eob:
-                        c, ln = ac_codes[0xF0]
-                        bw.write(c, ln)
-                        for bit in pending:
-                            bw.write(bit, 1)
-                        pending = []
-                        run -= 16
-                    if t > 1:                    # history: correction bit
-                        pending.append(t & 1)
-                        continue
-                    c, ln = ac_codes[(run << 4) | 1]
-                    bw.write(c, ln)
-                    bw.write(1 if band[k] > 0 else 0, 1)
-                    for bit in pending:
-                        bw.write(bit, 1)
-                    pending = []
-                    run = 0
-                if run > 0 or pending:           # EOB (EOBRUN=1) + flush
-                    c, ln = ac_codes[0x00]
-                    bw.write(c, ln)
-                    for bit in pending:
-                        bw.write(bit, 1)
+            _emit_dc_refine_scan(bw, [zz], al)
+        elif ah == 0:
+            _emit_ac_first_scan(bw, zz, ac_codes, ss, se, al)
+        else:
+            _emit_ac_refine_scan(bw, zz, ac_codes, ss, se, al)
         scans.append((ss, se, ah, al, bw.flush()))
 
     qzl = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
@@ -1242,21 +1276,104 @@ def encode_jpeg_progressive_sa_gray(pixels: np.ndarray) -> bytes:
     return out + b"\xff\xd9"
 
 
-def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
-    """Decode a spectral-selection progressive grayscale JPEG: walk every
-    SOS scan, accumulate zigzag coefficients across scans (DC scan =
-    baseline DC differencing; AC band scans = run/size within Ss..Se
-    with EOBRUN runs of band-empty blocks), then one batched
-    dequant/IDCT. Returns None for anything outside the profile
-    (successive approximation, multi-component, baseline files)."""
+# libjpeg's standard progressive script for 3 components
+# (jcparam.c jpeg_simple_progression): interleaved-DC MSBs, coarse Y AC
+# band, full chroma AC, Y AC tail, one refinement per bit plane.
+SA_SCRIPT_COLOR = (
+    ("dc", (0, 1, 2), 0, 0, 0, 1),
+    ("ac", (0,), 1, 5, 0, 2),
+    ("ac", (2,), 1, 63, 0, 1),
+    ("ac", (1,), 1, 63, 0, 1),
+    ("ac", (0,), 6, 63, 0, 2),
+    ("ac", (0,), 1, 63, 2, 1),
+    ("dc", (0, 1, 2), 0, 0, 1, 0),
+    ("ac", (2,), 1, 63, 1, 0),
+    ("ac", (1,), 1, 63, 1, 0),
+    ("ac", (0,), 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive_color(rgb: np.ndarray) -> bytes:
+    """Progressive (SOF2) 4:4:4 COLOR JPEG — the multi-component
+    profile, libjpeg's standard 10-scan script (SA_SCRIPT_COLOR):
+    interleaved 3-component DC scans, single-component AC band scans
+    (B.2.3), successive approximation in both. Same quantized
+    coefficients as encode_jpeg_color, so decode equals the baseline
+    color round trip EXACTLY."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    ycc = rgb_to_ycbcr(np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)),
+                              mode="edge")) - 128.0
+    zzs = []
+    for comp, qt in ((0, QTABLE), (1, QTABLE_C), (2, QTABLE_C)):
+        blocks = ycc[:, :, comp].reshape(
+            ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coefs = np.round((_DCT @ blocks @ _DCT.T) / qt).astype(np.int64)
+        zzs.append(coefs.reshape(-1, 64)[:, ZIGZAG])
+    dc_codes = [_canonical_codes(DC_BITS, DC_VALS),
+                _canonical_codes(DC_BITS_C, DC_VALS_C),
+                _canonical_codes(DC_BITS_C, DC_VALS_C)]
+    ac_codes = [_canonical_codes(AC_BITS, AC_VALS),
+                _canonical_codes(AC_BITS_C, AC_VALS_C),
+                _canonical_codes(AC_BITS_C, AC_VALS_C)]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    scans = []
+    for kind, comps, ss, se, ah, al in SA_SCRIPT_COLOR:
+        bw = _BitWriter()
+        if kind == "dc" and ah == 0:
+            _emit_dc_first_scan(bw, [zzs[c] for c in comps],
+                                [dc_codes[c] for c in comps], al)
+        elif kind == "dc":
+            _emit_dc_refine_scan(bw, [zzs[c] for c in comps], al)
+        elif ah == 0:
+            _emit_ac_first_scan(bw, zzs[comps[0]], ac_codes[comps[0]],
+                                ss, se, al)
+        else:
+            _emit_ac_refine_scan(bw, zzs[comps[0]], ac_codes[comps[0]],
+                                 ss, se, al)
+        scans.append((comps, ss, se, ah, al, bw.flush()))
+
+    qzl = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    qzc = QTABLE_C.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out = (b"\xff\xd8" + seg(0xFFDB, b"\x00" + qzl)
+           + seg(0xFFDB, b"\x01" + qzc))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3)
+               + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    out += (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+            + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+            + seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+            + seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C)))
+    for comps, ss, se, ah, al, scan in scans:
+        hdr = bytes([len(comps)])
+        for c in comps:
+            hdr += bytes([c + 1, (0 if c == 0 else 0x11)])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, hdr) + scan
+    return out + b"\xff\xd9"
+
+
+def _decode_progressive_coefs(buf: bytes):
+    """Shared progressive (SOF2) scan walker for 1 or 3 components at
+    sampling factors 1x1 (grayscale / 4:4:4 color): parses every SOS,
+    accumulates zigzag coefficients across scans — DC scans may be
+    interleaved (Ns = nc, T.81 allows it) or single-component; AC scans
+    are single-component by spec — handling all four scan kinds
+    (first/refinement x DC/AC, successive approximation included).
+    Returns (Zs, qts, comp_qs, dims, nc) or None."""
     try:
         if len(buf) < 4 or buf[:2] != b"\xff\xd8":
             return None
         qts: dict[int, np.ndarray] = {}
-        comp_q = 0
+        comp_qs: list[int] = []
+        comp_ids: list[int] = []
         dims = None
+        nc = 0
         huff: dict[int, _HuffTable] = {}
-        scans = []          # (td_or_ta_key, ss, se, scan_bytes)
+        scans = []   # ([comp], [tdta], ss, se, ah, al, data)
         i = 2
         progressive = False
         while i + 4 <= len(buf):
@@ -1279,9 +1396,13 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
                     j += 65
             elif marker == 0xFFC2:
                 prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-                if prec != 8 or nc != 1:
-                    return None   # multi-component progressive: stubbed
-                comp_q = payload[8]
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                for c in range(nc):
+                    comp_ids.append(payload[6 + 3 * c])
+                    if payload[6 + 3 * c + 1] != 0x11:
+                        return None   # subsampled progressive: stubbed
+                    comp_qs.append(payload[6 + 3 * c + 2])
                 dims = (h, w)
                 progressive = True
             elif marker in (0xFFC0, 0xFFC1, 0xFFC3):
@@ -1291,13 +1412,21 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
             elif marker == 0xFFDD:
                 return None
             elif marker == 0xFFDA:
-                if payload[0] != 1:
-                    return None
-                tdta = payload[2]
-                ss, se, ahal = payload[3], payload[4], payload[5]
+                ns = payload[0]
+                comps, tdtas = [], []
+                for c in range(ns):
+                    cid = payload[1 + 2 * c]
+                    if cid not in comp_ids:
+                        return None
+                    comps.append(comp_ids.index(cid))
+                    tdtas.append(payload[2 + 2 * c])
+                ss, se, ahal = (payload[1 + 2 * ns], payload[2 + 2 * ns],
+                                payload[3 + 2 * ns])
                 ah, al = ahal >> 4, ahal & 0x0F
                 if ah != 0 and ah != al + 1:
                     return None   # malformed successive-approx sequence
+                if ss != 0 and ns != 1:
+                    return None   # AC scans are single-component (B.2.3)
                 # scan data runs to the next marker (FF xx with xx != 00)
                 j = i + 2 + ln
                 k = j
@@ -1305,44 +1434,51 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
                     if buf[k] == 0xFF and buf[k + 1] not in (0x00,):
                         break
                     k += 1
-                scans.append((tdta, ss, se, ah, al, buf[j:k]))
+                scans.append((comps, tdtas, ss, se, ah, al, buf[j:k]))
                 i = k
                 continue
             i += 2 + ln
-        if not progressive or dims is None or comp_q not in qts \
-                or not scans:
+        if not progressive or dims is None or not scans \
+                or any(q not in qts for q in comp_qs):
             return None
         h, w = dims
         if h == 0 or w == 0:
             return None
         ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
         nb = (ph // 8) * (pw // 8)
-        Z = np.zeros((nb, 64), dtype=np.int64)
-        band_seen = np.zeros(64, dtype=bool)
-        for tdta, ss, se, ah, al, data in scans:
-            if ah == 0:
-                band_seen[ss:se + 1] = True
-            elif not band_seen[ss:se + 1].all():
-                return None   # refinement before any first scan: malformed
+        Zs = [np.zeros((nb, 64), dtype=np.int64) for _ in range(nc)]
+        band_seen = [np.zeros(64, dtype=bool) for _ in range(nc)]
+        for comps, tdtas, ss, se, ah, al, data in scans:
+            for c in comps:
+                if ah == 0:
+                    band_seen[c][ss:se + 1] = True
+                elif not band_seen[c][ss:se + 1].all():
+                    return None   # refinement before first scan
             br = _BitReader(data)
             if ss == 0 and ah == 0:           # DC first scan (Al >= 0)
-                dc_t = huff.get(tdta >> 4)
-                if dc_t is None or se != 0:
+                if se != 0:
                     return None
-                prev = 0
+                dc_ts = [huff.get(t >> 4) for t in tdtas]
+                if any(t is None for t in dc_ts):
+                    return None
+                prevs = [0] * len(comps)
                 for b in range(nb):
-                    s = _read_symbol(br, dc_t)
-                    if s:
-                        prev += _extend(br.read_bits(s), s)
-                    Z[b, 0] = prev << al
+                    # interleaved at 1x1: one block per component per MCU
+                    for ci, c in enumerate(comps):
+                        s_ = _read_symbol(br, dc_ts[ci])
+                        if s_:
+                            prevs[ci] += _extend(br.read_bits(s_), s_)
+                        Zs[c][b, 0] = prevs[ci] << al
             elif ss == 0:                     # DC refinement: 1 raw bit
                 if se != 0:
                     return None
                 for b in range(nb):
-                    if br.read_bit():
-                        Z[b, 0] |= 1 << al
+                    for c in comps:
+                        if br.read_bit():
+                            Zs[c][b, 0] |= 1 << al
             elif ah == 0:                     # AC first scan (Al >= 0)
-                ac_t = huff.get(0x10 | (tdta & 0x0F))
+                Z = Zs[comps[0]]
+                ac_t = huff.get(0x10 | (tdtas[0] & 0x0F))
                 if ac_t is None or not (1 <= ss <= se <= 63):
                     return None
                 eobrun = 0
@@ -1353,8 +1489,8 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
                     k = ss
                     while k <= se:
                         rs = _read_symbol(br, ac_t)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
+                        r, s_ = rs >> 4, rs & 0x0F
+                        if s_ == 0:
                             if r == 15:       # ZRL
                                 k += 16
                                 continue
@@ -1366,10 +1502,11 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
                         k += r
                         if k > se:
                             raise ValueError("band overrun")
-                        Z[b, k] = _extend(br.read_bits(s), s) << al
+                        Z[b, k] = _extend(br.read_bits(s_), s_) << al
                         k += 1
             else:                             # AC refinement (Ah = Al+1)
-                ac_t = huff.get(0x10 | (tdta & 0x0F))
+                Z = Zs[comps[0]]
+                ac_t = huff.get(0x10 | (tdtas[0] & 0x0F))
                 if ac_t is None or not (1 <= ss <= se <= 63):
                     return None
                 p1, m1 = 1 << al, -(1 << al)
@@ -1387,10 +1524,10 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
                     if eobrun == 0:
                         while k <= se:
                             rs = _read_symbol(br, ac_t)
-                            r, s = rs >> 4, rs & 0x0F
+                            r, s_ = rs >> 4, rs & 0x0F
                             newval = 0
-                            if s:
-                                if s != 1:
+                            if s_:
+                                if s_ != 1:
                                     raise ValueError("bad refine size")
                                 newval = p1 if br.read_bit() else m1
                             elif r != 15:     # EOB: run of ended blocks
@@ -1419,10 +1556,50 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
                                 _correct(b, k)
                             k += 1
                         eobrun -= 1
-        blocks = _idct_blocks(Z, qts[comp_q])
-        out = (blocks.reshape(ph // 8, pw // 8, 8, 8)
-               .transpose(0, 2, 1, 3).reshape(ph, pw))
-        return np.clip(np.round(out + 128.0), 0, 255).astype(
-            np.uint8)[:h, :w]
+        return Zs, qts, comp_qs, dims, nc
     except (IndexError, ValueError, struct.error):
         return None
+
+
+def _progressive_planes(buf: bytes, want_nc: int):
+    got = _decode_progressive_coefs(buf)
+    if got is None:
+        return None
+    Zs, qts, comp_qs, (h, w), nc = got
+    if nc != want_nc:
+        return None
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = []
+    for c in range(nc):
+        blocks = _idct_blocks(Zs[c], qts[comp_qs[c]])
+        planes.append(blocks.reshape(ph // 8, pw // 8, 8, 8)
+                      .transpose(0, 2, 1, 3).reshape(ph, pw))
+    return planes, (h, w)
+
+
+def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
+    """Decode a progressive (SOF2) grayscale JPEG — spectral selection
+    AND successive approximation — by multi-scan coefficient
+    accumulation, then one batched dequant/IDCT. Returns None for
+    baseline files and anything malformed (refinement before first
+    scan, bad SA sequence, non-1x1 sampling)."""
+    got = _progressive_planes(buf, 1)
+    if got is None:
+        return None
+    planes, (h, w) = got
+    return np.clip(np.round(planes[0] + 128.0), 0, 255).astype(
+        np.uint8)[:h, :w]
+
+
+def decode_jpeg_progressive_color(buf: bytes) -> np.ndarray | None:
+    """Decode a progressive (SOF2) 4:4:4 COLOR JPEG — the multi-
+    component profile: interleaved DC scans (Ns=3), single-component AC
+    band scans per B.2.3, successive approximation in both. Returns
+    uint8 (h, w, 3) RGB or None (subsampled progressive is rejected
+    cleanly — sampling factors must be 1x1)."""
+    got = _progressive_planes(buf, 3)
+    if got is None:
+        return None
+    planes, (h, w) = got
+    ycc = np.stack(planes, axis=-1) + 128.0
+    return ycbcr_to_rgb(ycc)[:h, :w]

@@ -385,3 +385,40 @@ def test_restart_markers_roundtrip_gray_and_color():
     n_mcus, ri = 9, 2
     assert len(re.findall(b"\xff[\xd0-\xd7]", buf)) == -(-n_mcus // ri) - 1
     assert decode_jpeg_gray(re.sub(b"\xff\xd0", b"", buf, count=1)) is None
+
+
+def test_multicomponent_progressive_color_equals_baseline():
+    """Progressive 4:4:4 color (libjpeg 10-scan script: interleaved DC
+    scans, single-component AC band scans per B.2.3, SA refinement in
+    both) carries the same quantized coefficients as baseline color —
+    decode must match bitwise. Cross-profile files are rejected by the
+    wrong decoder; truncation/bit-flips never crash."""
+    import numpy as np
+    from cld2_spark.operators.jpeg import (
+        color_fixture_pixels, decode_jpeg_color,
+        decode_jpeg_progressive_color, decode_jpeg_progressive_gray,
+        encode_jpeg_color, encode_jpeg_progressive_color)
+    rng = np.random.default_rng(17)
+    for _ in range(25):
+        h, w = rng.integers(8, 40, 2)
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        base = decode_jpeg_color(encode_jpeg_color(rgb))
+        prog = decode_jpeg_progressive_color(
+            encode_jpeg_progressive_color(rgb))
+        assert prog is not None and np.array_equal(prog, base)
+    px = color_fixture_pixels(6)
+    buf = encode_jpeg_progressive_color(px)
+    # cross-profile rejections
+    assert decode_jpeg_color(buf) is None
+    assert decode_jpeg_progressive_gray(buf) is None
+    assert decode_jpeg_progressive_color(encode_jpeg_color(px)) is None
+    # robustness
+    for cut in (8, len(buf) // 2, len(buf) - 3):
+        out = decode_jpeg_progressive_color(buf[:cut])
+        assert out is None or isinstance(out, np.ndarray)
+    for _ in range(25):
+        bad = bytearray(buf)
+        for _ in range(3):
+            bad[rng.integers(2, len(bad) - 2)] = rng.integers(0, 256)
+        out = decode_jpeg_progressive_color(bytes(bad))
+        assert out is None or isinstance(out, np.ndarray)
