@@ -597,7 +597,8 @@ def _q_jpeg_color_features(spark, sf_dir):
     3-component MCU encode rotating ALL THREE baseline layouts by id
     (4:4:4, 4:2:0 camera/web, 4:2:2 broadcast/video) PLUS multi-
     component PROGRESSIVE 4:4:4 (libjpeg 10-scan script) on every sixth
-    id -> independent decode with profile sniff (file-DHT Huffman,
+    id AND 4:1:1 (DV layout) on ids = 5 mod 12
+    -> independent decode with profile sniff (file-DHT Huffman,
     sampling-factor MCU walk / multi-scan coefficient accumulation,
     chroma upsample, YCbCr->RGB) -> integer-exact per-channel features.
     Progressive carries the same coefficients as baseline 4:4:4, so the
@@ -606,6 +607,7 @@ def _q_jpeg_color_features(spark, sf_dir):
     import pandas as pd
 
     from cld2_spark.operators.jpeg import (color_fixture_pixels,
+                                           encode_jpeg_411,
                                            encode_jpeg_420,
                                            encode_jpeg_422,
                                            encode_jpeg_color,
@@ -614,15 +616,20 @@ def _q_jpeg_color_features(spark, sf_dir):
     _register(spark, sf_dir)
     encs = (encode_jpeg_color, encode_jpeg_420, encode_jpeg_422)
 
+    def pick(i):
+        if i % 6 == 0:
+            return encode_jpeg_progressive_color
+        if i % 12 == 5:
+            return encode_jpeg_411
+        return encs[i % 3]
+
     def enc(batches):
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             yield pd.DataFrame({
                 "media_id": ids,
-                "payload": [
-                    (encode_jpeg_progressive_color if int(i) % 6 == 0
-                     else encs[int(i) % 3])(color_fixture_pixels(int(i)))
-                    for i in ids]})
+                "payload": [pick(int(i))(color_fixture_pixels(int(i)))
+                            for i in ids]})
 
     from cld2_spark.session import ensure_parallelism
     # encode+decode are per-row compute: spread the narrow id scan

@@ -5,18 +5,19 @@ container has no codecs, so the repo carries its own spec-conformant
 implementation of the public byte format.
 
 Scope: baseline DCT (SOF0), 8-bit precision, DRI/RSTn restart
-intervals (encode + decode, baseline gray and color), four
-profiles: single-component grayscale (encode_jpeg_gray/decode_jpeg_gray)
-and 3-component YCbCr color at 4:4:4 (encode_jpeg_color), 4:2:0 — the
+intervals (encode + decode, baseline gray and color), five profiles:
+single-component grayscale (encode_jpeg_gray/decode_jpeg_gray) and
+3-component YCbCr color at 4:4:4 (encode_jpeg_color), 4:2:0 — the
 camera/web layout, 16x16 MCUs of four Y blocks + box-averaged Cb/Cr
-(encode_jpeg_420) — and 4:2:2 — the broadcast/video layout, 16x8 MCUs
-of two Y blocks + horizontally box-averaged Cb/Cr (encode_jpeg_422).
-decode_jpeg_color handles all three color layouts with ONE
+(encode_jpeg_420) — 4:2:2 — the broadcast/video layout, 16x8 MCUs
+of two Y blocks + horizontally box-averaged Cb/Cr (encode_jpeg_422) —
+and 4:1:1 — the DV/camcorder layout, 32x8 MCUs (encode_jpeg_411).
+decode_jpeg_color handles all four color layouts with ONE
 sampling-factor-general MCU walk (T.81 A.2.3 interleave, replicate
-upsample). PROGRESSIVE (SOF2) grayscale is supported for the spectral-
-selection profile (multi-scan coefficient accumulation, per-scan
-Huffman tables, EOBRUN; encode_jpeg_progressive_gray /
-decode_jpeg_progressive_gray) for BOTH progressive profiles —
+upsample). PROGRESSIVE (SOF2) is supported (multi-scan coefficient
+accumulation, per-scan Huffman tables, EOBRUN;
+encode_jpeg_progressive_gray / decode_jpeg_progressive_gray) for BOTH
+progressive profiles —
 spectral selection AND successive approximation (Ah/Al != 0, T.81
 G.1.2.2/G.1.2.3, libjpeg's standard scan scripts incl. AC
 correction-bit refinement) — and for MULTI-COMPONENT 4:4:4 color
@@ -24,7 +25,7 @@ correction-bit refinement) — and for MULTI-COMPONENT 4:4:4 color
 interleaved DC scans, single-component AC band scans per B.2.3).
 Progressive reorganizes the same quantized coefficients, so its decode
 equals the baseline round trip EXACTLY (pinned in pytest and by the
-shared driver oracles). Remaining disclosed gaps: 4:1:1 and SUBSAMPLED
+shared driver oracles). Remaining disclosed gap: SUBSAMPLED
 progressive color — rejected cleanly, never misdecoded.
 
 Conformance evidence without a reference codec in the container:
@@ -784,13 +785,14 @@ def decode_jpeg_color(buf: bytes) -> np.ndarray | None:
                     samp = payload[6 + 3 * c + 1]
                     samps.append((samp >> 4, samp & 0x0F))
                     comp_q.append(payload[6 + 3 * c + 2])
-                # supported layouts: 4:4:4 (all 1x1), 4:2:0 (Y 2x2) and
-                # 4:2:2 (Y 2x1), chroma 1x1; anything else is out of
-                # profile (the MCU walk below is sampling-factor-general,
-                # so adding a layout is a whitelist entry + fixtures)
+                # supported layouts: 4:4:4 (all 1x1), 4:2:0 (Y 2x2),
+                # 4:2:2 (Y 2x1) and 4:1:1 (Y 4x1), chroma 1x1; anything
+                # else is out of profile (the MCU walk below is sampling-
+                # factor-general: a layout is a whitelist entry + fixtures)
                 if samps not in ([(1, 1)] * 3,
                                  [(2, 2), (1, 1), (1, 1)],
-                                 [(2, 1), (1, 1), (1, 1)]):
+                                 [(2, 1), (1, 1), (1, 1)],
+                                 [(4, 1), (1, 1), (1, 1)]):
                     return None
                 dims = (h, w)
             elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
@@ -1021,6 +1023,58 @@ def encode_jpeg_422(rgb: np.ndarray) -> bytes:
     dqt = seg(0xFFDB, b"\x00" + qzl) + seg(0xFFDB, b"\x01" + qzc)
     sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
               + b"\x01\x21\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    dht = (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+           + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+           + seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
+           + seg(0xFFC4, b"\x11" + bytes(AC_BITS_C) + bytes(AC_VALS_C)))
+    sos = seg(0xFFDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11"
+              + b"\x00\x3f\x00")
+    return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def encode_jpeg_411(rgb: np.ndarray) -> bytes:
+    """Baseline color JPEG with 4:1:1 chroma subsampling (Y 4x1, chroma
+    1x1 — the DV/camcorder layout): 32x8 MCUs of four Y blocks side by
+    side plus one Cb and one Cr block from 4x1 box-averaged chroma.
+    The last baseline sampling layout; decode_jpeg_color's sampling-
+    factor-general MCU walk handles it once whitelisted."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 32) * 32
+    ycc = rgb_to_ycbcr(np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)),
+                              mode="edge")) - 128.0
+    yp = ycc[:, :, 0]
+    # 4x1 box-filter chroma downsample (horizontal only)
+    sub = [(ycc[:, 0::4, c] + ycc[:, 1::4, c]
+            + ycc[:, 2::4, c] + ycc[:, 3::4, c]) / 4.0 for c in (1, 2)]
+    dc_l = _canonical_codes(DC_BITS, DC_VALS)
+    ac_l = _canonical_codes(AC_BITS, AC_VALS)
+    dc_c = _canonical_codes(DC_BITS_C, DC_VALS_C)
+    ac_c = _canonical_codes(AC_BITS_C, AC_VALS_C)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(ph // 8):
+        for mx in range(pw // 32):
+            for bxx in range(4):          # four Y blocks, left to right
+                y0, x0 = my * 8, mx * 32 + bxx * 8
+                prev[0] = _encode_block(
+                    bw, yp[y0:y0 + 8, x0:x0 + 8], QTABLE,
+                    prev[0], dc_l, ac_l)
+            for c in (0, 1):              # one Cb, one Cr block
+                y0, x0 = my * 8, mx * 8
+                prev[c + 1] = _encode_block(
+                    bw, sub[c][y0:y0 + 8, x0:x0 + 8], QTABLE_C,
+                    prev[c + 1], dc_c, ac_c)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qzl = QTABLE.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    qzc = QTABLE_C.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    dqt = seg(0xFFDB, b"\x00" + qzl) + seg(0xFFDB, b"\x01" + qzc)
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3)
+              + b"\x01\x41\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
     dht = (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
            + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
            + seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))

@@ -213,26 +213,45 @@ def test_420_roundtrip_error_bounded_and_444_unchanged():
     assert np.abs(d.astype(int) - rgb.astype(int)).max() <= 20
 
 
-def test_411_and_truncated_420_rejected_or_safe():
-    import struct as _s
-
+def test_cross_layout_and_truncation_safe():
     from cld2_spark.operators.jpeg import (color_fixture_pixels,
                                            decode_jpeg_color,
                                            encode_jpeg_420)
     buf = bytearray(encode_jpeg_420(color_fixture_pixels(2)))
     i = bytes(buf).find(b"\xff\xc0")
-    # rewrite Y sampling 0x22 -> 0x41 (4:1:1): out of profile -> None
     assert buf[i + 4 + 6 + 1] == 0x22
-    buf2 = bytearray(buf)
-    buf2[i + 4 + 6 + 1] = 0x41
-    assert decode_jpeg_color(bytes(buf2)) is None
-    # a 4:2:2 SOF over a 4:2:0 entropy stream (geometry mismatch) must
-    # fail safe (None) or decode-to-garbage without crashing, never raise
-    buf3 = bytearray(buf)
-    buf3[i + 4 + 6 + 1] = 0x21
-    decode_jpeg_color(bytes(buf3))
+    # a mismatched SOF sampling over a 4:2:0 entropy stream (geometry
+    # mismatch) must fail safe (None) or decode-to-garbage without
+    # crashing, never raise — for every whitelisted layout byte
+    for samp in (0x41, 0x21, 0x11):
+        mut = bytearray(buf)
+        mut[i + 4 + 6 + 1] = samp
+        decode_jpeg_color(bytes(mut))
+    # out-of-profile sampling (e.g. 2x4) is rejected, not misdecoded
+    mut = bytearray(buf)
+    mut[i + 4 + 6 + 1] = 0x24
+    assert decode_jpeg_color(bytes(mut)) is None
     for k in range(0, len(buf), 13):
         decode_jpeg_color(bytes(buf[:k]))  # no crash on truncations
+
+
+def test_411_roundtrip_error_bounded():
+    """4:1:1 (Y 4x1 — the DV layout): full-res luma, 4x horizontal
+    chroma. Smooth fixtures: luma error stays JPEG-small, chroma error
+    bounded by the box filter."""
+    import numpy as np
+    from cld2_spark.operators.jpeg import (color_fixture_pixels,
+                                           decode_jpeg_color,
+                                           encode_jpeg_411,
+                                           rgb_to_ycbcr)
+    for i in (0, 3, 11, 40):
+        px = color_fixture_pixels(i)
+        out = decode_jpeg_color(encode_jpeg_411(px))
+        assert out is not None and out.shape == px.shape
+        ydiff = np.abs(rgb_to_ycbcr(out)[:, :, 0]
+                       - rgb_to_ycbcr(px)[:, :, 0])
+        assert ydiff.max() < 8.0
+        assert np.abs(out.astype(int) - px.astype(int)).mean() < 4.0
 
 
 def test_422_roundtrip_error_bounded():

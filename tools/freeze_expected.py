@@ -259,6 +259,7 @@ def _jpeg_color_fixture(sf_dir: str) -> pa.Table:
     features, run single-node."""
     from cld2_spark.operators.jpeg import (color_fixture_pixels,
                                            decode_jpeg_color,
+                                           encode_jpeg_411,
                                            encode_jpeg_420,
                                            encode_jpeg_422,
                                            encode_jpeg_color,
@@ -272,10 +273,16 @@ def _jpeg_color_fixture(sf_dir: str) -> pa.Table:
     names = ["width", "height", "r_sum", "r_min", "r_max",
              "g_sum", "g_min", "g_max", "b_sum", "b_min", "b_max"]
     rows = np.zeros((len(ids), len(names)), dtype=np.int64)
+    # mirror of _q_jpeg_color_features' rotation: ids = 0 mod 6 are
+    # progressive 4:4:4 in the QUERY but frozen here via the baseline
+    # 4:4:4 path (progressive decode == baseline decode EXACTLY, pinned
+    # in pytest — so the driver hash proves the equivalence); ids = 5
+    # mod 12 are 4:1:1.
     encs = (encode_jpeg_color, encode_jpeg_420, encode_jpeg_422)
     for j, did in enumerate(ids):
-        px = decode_jpeg_color(encs[int(did) % 3](
-            color_fixture_pixels(int(did))))
+        did = int(did)
+        enc = encode_jpeg_411 if did % 12 == 5 else encs[did % 3]
+        px = decode_jpeg_color(enc(color_fixture_pixels(did)))
         rows[j] = jpeg_color_features(px)
     cols = {"media_id": pa.array(ids.astype(np.int64), type=pa.int64())}
     for i, name in enumerate(names):
