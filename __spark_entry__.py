@@ -597,7 +597,9 @@ def _q_jpeg_color_features(spark, sf_dir):
     3-component MCU encode rotating ALL THREE baseline layouts by id
     (4:4:4, 4:2:0 camera/web, 4:2:2 broadcast/video) PLUS multi-
     component PROGRESSIVE 4:4:4 (libjpeg 10-scan script) on every sixth
-    id AND 4:1:1 (DV layout) on ids = 5 mod 12
+    id, 4:1:1 (DV layout) on ids = 5 mod 12, AND PROGRESSIVE 4:2:0 —
+    the cjpeg-web-photo profile, interleaved-DC dummy blocks included —
+    on ids = 7 mod 12
     -> independent decode with profile sniff (file-DHT Huffman,
     sampling-factor MCU walk / multi-scan coefficient accumulation,
     chroma upsample, YCbCr->RGB) -> integer-exact per-channel features.
@@ -611,6 +613,7 @@ def _q_jpeg_color_features(spark, sf_dir):
                                            encode_jpeg_420,
                                            encode_jpeg_422,
                                            encode_jpeg_color,
+                                           encode_jpeg_progressive_420,
                                            encode_jpeg_progressive_color,
                                            jpeg_color_feature_extract)
     _register(spark, sf_dir)
@@ -621,6 +624,8 @@ def _q_jpeg_color_features(spark, sf_dir):
             return encode_jpeg_progressive_color
         if i % 12 == 5:
             return encode_jpeg_411
+        if i % 12 == 7:      # a 420 slot: progressive == baseline 420
+            return encode_jpeg_progressive_420
         return encs[i % 3]
 
     def enc(batches):

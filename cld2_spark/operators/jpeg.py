@@ -14,19 +14,18 @@ of two Y blocks + horizontally box-averaged Cb/Cr (encode_jpeg_422) —
 and 4:1:1 — the DV/camcorder layout, 32x8 MCUs (encode_jpeg_411).
 decode_jpeg_color handles all four color layouts with ONE
 sampling-factor-general MCU walk (T.81 A.2.3 interleave, replicate
-upsample). PROGRESSIVE (SOF2) is supported (multi-scan coefficient
-accumulation, per-scan Huffman tables, EOBRUN;
-encode_jpeg_progressive_gray / decode_jpeg_progressive_gray) for BOTH
-progressive profiles —
+upsample). PROGRESSIVE (SOF2) is supported in FULL: both profiles —
 spectral selection AND successive approximation (Ah/Al != 0, T.81
 G.1.2.2/G.1.2.3, libjpeg's standard scan scripts incl. AC
-correction-bit refinement) — and for MULTI-COMPONENT 4:4:4 color
-(encode_jpeg_progressive_color / decode_jpeg_progressive_color:
-interleaved DC scans, single-component AC band scans per B.2.3).
-Progressive reorganizes the same quantized coefficients, so its decode
-equals the baseline round trip EXACTLY (pinned in pytest and by the
-shared driver oracles). Remaining disclosed gap: SUBSAMPLED
-progressive color — rejected cleanly, never misdecoded.
+correction-bit refinement) — for grayscale AND multi-component color
+at every baseline sampling layout (4:4:4/4:2:0/4:2:2/4:1:1:
+interleaved DC scans with A.2.4 dummy blocks at MCU edges,
+single-component AC scans over each component's own raster grid per
+B.2.3). Progressive reorganizes the same quantized coefficients, so
+its decode equals the baseline round trip EXACTLY (pinned in pytest
+and by the shared driver oracles). Out of scope (rejected cleanly,
+never misdecoded): arithmetic coding, 12-bit precision, lossless and
+hierarchical modes, progressive restart intervals.
 
 Conformance evidence without a reference codec in the container:
 - encoder and decoder are independent directions of the spec sharing
@@ -1347,30 +1346,45 @@ SA_SCRIPT_COLOR = (
 )
 
 
-def encode_jpeg_progressive_color(rgb: np.ndarray) -> bytes:
-    """Progressive (SOF2) 4:4:4 COLOR JPEG — the multi-component
-    profile, libjpeg's standard 10-scan script (SA_SCRIPT_COLOR):
-    interleaved 3-component DC scans, single-component AC band scans
-    (B.2.3), successive approximation in both. Same quantized
-    coefficients as encode_jpeg_color, so decode equals the baseline
-    color round trip EXACTLY."""
-    rgb = np.asarray(rgb, dtype=np.uint8)
-    h, w, _ = rgb.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    ycc = rgb_to_ycbcr(np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)),
-                              mode="edge")) - 128.0
-    zzs = []
-    for comp, qt in ((0, QTABLE), (1, QTABLE_C), (2, QTABLE_C)):
-        blocks = ycc[:, :, comp].reshape(
-            ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+def _encode_jpeg_progressive_ycc(planes, samps, h, w) -> bytes:
+    """Shared SOF2 color encoder core: per-component level-shifted YCC
+    planes at their TRUE sample dims -> libjpeg's 10-scan script
+    (SA_SCRIPT_COLOR). Interleaved DC scans walk the MCU grid with
+    DUMMY blocks (diff 0 / refinement bit 0) at edges per A.2.4; AC
+    scans walk each component's own raster block grid."""
+    hmax = max(sx for sx, _ in samps)
+    vmax = max(sy for _, sy in samps)
+    zzs, grids = [], []
+    for ci, (pl, qt) in enumerate(zip(planes,
+                                      (QTABLE, QTABLE_C, QTABLE_C))):
+        ch, cw = pl.shape
+        bh, bw_ = -(-ch // 8), -(-cw // 8)
+        grids.append((bh, bw_))
+        pad = np.pad(pl, ((0, bh * 8 - ch), (0, bw_ * 8 - cw)),
+                     mode="edge")
+        blocks = pad.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)\
+                    .reshape(-1, 8, 8)
         coefs = np.round((_DCT @ blocks @ _DCT.T) / qt).astype(np.int64)
         zzs.append(coefs.reshape(-1, 64)[:, ZIGZAG])
+    mcu_rows, mcu_cols = -(-h // (8 * vmax)), -(-w // (8 * hmax))
     dc_codes = [_canonical_codes(DC_BITS, DC_VALS),
                 _canonical_codes(DC_BITS_C, DC_VALS_C),
                 _canonical_codes(DC_BITS_C, DC_VALS_C)]
     ac_codes = [_canonical_codes(AC_BITS, AC_VALS),
                 _canonical_codes(AC_BITS_C, AC_VALS_C),
                 _canonical_codes(AC_BITS_C, AC_VALS_C)]
+
+    def dc_positions(comps):
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                for ci, c in enumerate(comps):
+                    hc, vc = samps[c]
+                    bh, bw_ = grids[c]
+                    for byy in range(vc):
+                        for bxx in range(hc):
+                            r, col = my * vc + byy, mx * hc + bxx
+                            yield ci, (r * bw_ + col
+                                       if r < bh and col < bw_ else -1)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1379,10 +1393,23 @@ def encode_jpeg_progressive_color(rgb: np.ndarray) -> bytes:
     for kind, comps, ss, se, ah, al in SA_SCRIPT_COLOR:
         bw = _BitWriter()
         if kind == "dc" and ah == 0:
-            _emit_dc_first_scan(bw, [zzs[c] for c in comps],
-                                [dc_codes[c] for c in comps], al)
+            prevs = [0] * len(comps)
+            for ci, b in dc_positions(comps):
+                # dummy blocks code diff 0 (predictor unchanged)
+                v = (int(zzs[comps[ci]][b, 0]) >> al) if b >= 0 \
+                    else prevs[ci]
+                diff = v - prevs[ci]
+                prevs[ci] = v
+                s_ = _csize(diff)
+                c_, ln = dc_codes[comps[ci]][s_]
+                bw.write(c_, ln)
+                if s_:
+                    bw.write(diff if diff > 0 else diff + (1 << s_) - 1,
+                             s_)
         elif kind == "dc":
-            _emit_dc_refine_scan(bw, [zzs[c] for c in comps], al)
+            for ci, b in dc_positions(comps):
+                bw.write((int(zzs[comps[ci]][b, 0]) >> al) & 1
+                         if b >= 0 else 0, 1)
         elif ah == 0:
             _emit_ac_first_scan(bw, zzs[comps[0]], ac_codes[comps[0]],
                                 ss, se, al)
@@ -1395,8 +1422,10 @@ def encode_jpeg_progressive_color(rgb: np.ndarray) -> bytes:
     qzc = QTABLE_C.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
     out = (b"\xff\xd8" + seg(0xFFDB, b"\x00" + qzl)
            + seg(0xFFDB, b"\x01" + qzc))
-    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 3)
-               + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01")
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for c, (hc, vc) in enumerate(samps):
+        sof += bytes([c + 1, (hc << 4) | vc, 0 if c == 0 else 1])
+    out += seg(0xFFC2, sof)
     out += (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
             + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
             + seg(0xFFC4, b"\x01" + bytes(DC_BITS_C) + bytes(DC_VALS_C))
@@ -1410,20 +1439,84 @@ def encode_jpeg_progressive_color(rgb: np.ndarray) -> bytes:
     return out + b"\xff\xd9"
 
 
+def _ycc_planes(rgb: np.ndarray, fx: int, fy: int):
+    """Level-shifted Y + box-downsampled chroma planes for a layout with
+    chroma factors (fx, fy). The image is edge-padded to full MCU
+    multiples BEFORE downsampling — the same edge content the baseline
+    encoders use — so the chroma edge blocks carry identical samples
+    and progressive-subsampled decode equals baseline-subsampled decode
+    bit for bit. The resulting chroma dims are exactly the raster block
+    grid (ceil(ceil(w/fx)/8)*8 == ceil(w/(8*fx))*8)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    mh, mw = 8 * fy, 8 * fx                    # MCU dims for these layouts
+    ph, pw = -(-h // mh) * mh, -(-w // mw) * mw
+    ycc = rgb_to_ycbcr(np.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)),
+                              mode="edge")) - 128.0
+    planes = [ycc[:h, :w, 0]]
+    for c in (1, 2):
+        acc = np.zeros((ph // fy, pw // fx))
+        for dy in range(fy):
+            for dx in range(fx):
+                acc += ycc[dy::fy, dx::fx, c]
+        planes.append(acc / (fx * fy))
+    return planes, h, w
+
+
+def encode_jpeg_progressive_color(rgb: np.ndarray) -> bytes:
+    """Progressive (SOF2) 4:4:4 COLOR JPEG — libjpeg's standard 10-scan
+    script: interleaved 3-component DC scans, single-component AC band
+    scans (B.2.3), successive approximation in both. Same quantized
+    coefficients as encode_jpeg_color, so decode equals the baseline
+    color round trip EXACTLY."""
+    planes, h, w = _ycc_planes(rgb, 1, 1)
+    return _encode_jpeg_progressive_ycc(planes, [(1, 1)] * 3, h, w)
+
+
+def encode_jpeg_progressive_420(rgb: np.ndarray) -> bytes:
+    """Progressive 4:2:0 — what `cjpeg -progressive` emits for a web
+    photo: SOF2 + chroma subsampling + interleaved-DC dummy blocks at
+    MCU edges + per-component AC raster scans."""
+    planes, h, w = _ycc_planes(rgb, 2, 2)
+    return _encode_jpeg_progressive_ycc(
+        planes, [(2, 2), (1, 1), (1, 1)], h, w)
+
+
+def encode_jpeg_progressive_422(rgb: np.ndarray) -> bytes:
+    """Progressive 4:2:2 (broadcast layout)."""
+    planes, h, w = _ycc_planes(rgb, 2, 1)
+    return _encode_jpeg_progressive_ycc(
+        planes, [(2, 1), (1, 1), (1, 1)], h, w)
+
+
+def encode_jpeg_progressive_411(rgb: np.ndarray) -> bytes:
+    """Progressive 4:1:1 (DV layout)."""
+    planes, h, w = _ycc_planes(rgb, 4, 1)
+    return _encode_jpeg_progressive_ycc(
+        planes, [(4, 1), (1, 1), (1, 1)], h, w)
+
+
 def _decode_progressive_coefs(buf: bytes):
     """Shared progressive (SOF2) scan walker for 1 or 3 components at
-    sampling factors 1x1 (grayscale / 4:4:4 color): parses every SOS,
-    accumulates zigzag coefficients across scans — DC scans may be
-    interleaved (Ns = nc, T.81 allows it) or single-component; AC scans
-    are single-component by spec — handling all four scan kinds
+    the baseline sampling layouts (gray, 4:4:4, 4:2:0, 4:2:2, 4:1:1):
+    parses every SOS and accumulates zigzag coefficients across scans.
+
+    DC scans may be interleaved (Ns = nc) or single-component; AC scans
+    are single-component by spec (B.2.3). Per T.81 A.2.4 each component
+    owns TWO block geometries: the raster grid derived from the true
+    image dims (what AC scans and the output walk) and the MCU-padded
+    grid (what interleaved DC scans walk — edge positions outside the
+    raster grid are DUMMY blocks that are entropy-coded but discarded,
+    predictor updates included). Handles all four scan kinds
     (first/refinement x DC/AC, successive approximation included).
-    Returns (Zs, qts, comp_qs, dims, nc) or None."""
+    Returns (Zs, qts, comp_qs, dims, samps) or None."""
     try:
         if len(buf) < 4 or buf[:2] != b"\xff\xd8":
             return None
         qts: dict[int, np.ndarray] = {}
         comp_qs: list[int] = []
         comp_ids: list[int] = []
+        samps: list[tuple[int, int]] = []
         dims = None
         nc = 0
         huff: dict[int, _HuffTable] = {}
@@ -1454,9 +1547,15 @@ def _decode_progressive_coefs(buf: bytes):
                     return None
                 for c in range(nc):
                     comp_ids.append(payload[6 + 3 * c])
-                    if payload[6 + 3 * c + 1] != 0x11:
-                        return None   # subsampled progressive: stubbed
+                    samp = payload[6 + 3 * c + 1]
+                    samps.append((samp >> 4, samp & 0x0F))
                     comp_qs.append(payload[6 + 3 * c + 2])
+                if samps not in ([(1, 1)],
+                                 [(1, 1)] * 3,
+                                 [(2, 2), (1, 1), (1, 1)],
+                                 [(2, 1), (1, 1), (1, 1)],
+                                 [(4, 1), (1, 1), (1, 1)]):
+                    return None
                 dims = (h, w)
                 progressive = True
             elif marker in (0xFFC0, 0xFFC1, 0xFFC3):
@@ -1481,6 +1580,8 @@ def _decode_progressive_coefs(buf: bytes):
                     return None   # malformed successive-approx sequence
                 if ss != 0 and ns != 1:
                     return None   # AC scans are single-component (B.2.3)
+                if ss == 0 and ns not in (1, nc):
+                    return None
                 # scan data runs to the next marker (FF xx with xx != 00)
                 j = i + 2 + ln
                 k = j
@@ -1498,17 +1599,47 @@ def _decode_progressive_coefs(buf: bytes):
         h, w = dims
         if h == 0 or w == 0:
             return None
-        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-        nb = (ph // 8) * (pw // 8)
-        Zs = [np.zeros((nb, 64), dtype=np.int64) for _ in range(nc)]
+        hmax = max(sx for sx, _ in samps)
+        vmax = max(sy for _, sy in samps)
+        # raster grid per component (true-dims geometry, A.2.4)
+        grids = []
+        for hc, vc in samps:
+            cw = -(-(w * hc) // hmax)
+            ch = -(-(h * vc) // vmax)
+            grids.append((-(-ch // 8), -(-cw // 8)))   # (block rows, cols)
+        mcu_rows, mcu_cols = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+        Zs = [np.zeros((bh * bw, 64), dtype=np.int64) for bh, bw in grids]
         band_seen = [np.zeros(64, dtype=bool) for _ in range(nc)]
         for comps, tdtas, ss, se, ah, al, data in scans:
             for c in comps:
                 if ah == 0:
                     band_seen[c][ss:se + 1] = True
                 elif not band_seen[c][ss:se + 1].all():
-                    return None   # refinement before first scan
+                    return None   # refinement before any first scan
             br = _BitReader(data)
+            interleaved = ss == 0 and len(comps) > 1
+
+            def _dc_positions():
+                """(ci, flat raster index | -1 for dummy) in scan order."""
+                if interleaved:
+                    for my in range(mcu_rows):
+                        for mx in range(mcu_cols):
+                            for ci, c in enumerate(comps):
+                                hc, vc = samps[c]
+                                bh, bw_ = grids[c]
+                                for byy in range(vc):
+                                    for bxx in range(hc):
+                                        r = my * vc + byy
+                                        col = mx * hc + bxx
+                                        if r < bh and col < bw_:
+                                            yield ci, r * bw_ + col
+                                        else:
+                                            yield ci, -1
+                else:
+                    bh, bw_ = grids[comps[0]]
+                    for b in range(bh * bw_):
+                        yield 0, b
+
             if ss == 0 and ah == 0:           # DC first scan (Al >= 0)
                 if se != 0:
                     return None
@@ -1516,22 +1647,22 @@ def _decode_progressive_coefs(buf: bytes):
                 if any(t is None for t in dc_ts):
                     return None
                 prevs = [0] * len(comps)
-                for b in range(nb):
-                    # interleaved at 1x1: one block per component per MCU
-                    for ci, c in enumerate(comps):
-                        s_ = _read_symbol(br, dc_ts[ci])
-                        if s_:
-                            prevs[ci] += _extend(br.read_bits(s_), s_)
-                        Zs[c][b, 0] = prevs[ci] << al
+                for ci, b in _dc_positions():
+                    s_ = _read_symbol(br, dc_ts[ci])
+                    if s_:
+                        prevs[ci] += _extend(br.read_bits(s_), s_)
+                    if b >= 0:
+                        Zs[comps[ci]][b, 0] = prevs[ci] << al
             elif ss == 0:                     # DC refinement: 1 raw bit
                 if se != 0:
                     return None
-                for b in range(nb):
-                    for c in comps:
-                        if br.read_bit():
-                            Zs[c][b, 0] |= 1 << al
+                for ci, b in _dc_positions():
+                    bit = br.read_bit()
+                    if bit and b >= 0:
+                        Zs[comps[ci]][b, 0] |= 1 << al
             elif ah == 0:                     # AC first scan (Al >= 0)
                 Z = Zs[comps[0]]
+                nb = len(Z)
                 ac_t = huff.get(0x10 | (tdtas[0] & 0x0F))
                 if ac_t is None or not (1 <= ss <= se <= 63):
                     return None
@@ -1560,6 +1691,7 @@ def _decode_progressive_coefs(buf: bytes):
                         k += 1
             else:                             # AC refinement (Ah = Al+1)
                 Z = Zs[comps[0]]
+                nb = len(Z)
                 ac_t = huff.get(0x10 | (tdtas[0] & 0x0F))
                 if ac_t is None or not (1 <= ss <= se <= 63):
                     return None
@@ -1610,7 +1742,7 @@ def _decode_progressive_coefs(buf: bytes):
                                 _correct(b, k)
                             k += 1
                         eobrun -= 1
-        return Zs, qts, comp_qs, dims, nc
+        return Zs, qts, comp_qs, dims, samps
     except (IndexError, ValueError, struct.error):
         return None
 
@@ -1619,15 +1751,24 @@ def _progressive_planes(buf: bytes, want_nc: int):
     got = _decode_progressive_coefs(buf)
     if got is None:
         return None
-    Zs, qts, comp_qs, (h, w), nc = got
-    if nc != want_nc:
+    Zs, qts, comp_qs, (h, w), samps = got
+    if len(samps) != want_nc:
         return None
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    hmax = max(sx for sx, _ in samps)
+    vmax = max(sy for _, sy in samps)
     planes = []
-    for c in range(nc):
+    for c, (hc, vc) in enumerate(samps):
+        cw = -(-(w * hc) // hmax)
+        ch = -(-(h * vc) // vmax)
+        bh, bw_ = -(-ch // 8), -(-cw // 8)
         blocks = _idct_blocks(Zs[c], qts[comp_qs[c]])
-        planes.append(blocks.reshape(ph // 8, pw // 8, 8, 8)
-                      .transpose(0, 2, 1, 3).reshape(ph, pw))
+        plane = (blocks.reshape(bh, bw_, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8))[:ch, :cw]
+        if hc < hmax:
+            plane = np.repeat(plane, hmax // hc, axis=1)
+        if vc < vmax:
+            plane = np.repeat(plane, vmax // vc, axis=0)
+        planes.append(plane[:h, :w])
     return planes, (h, w)
 
 
@@ -1636,7 +1777,7 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
     AND successive approximation — by multi-scan coefficient
     accumulation, then one batched dequant/IDCT. Returns None for
     baseline files and anything malformed (refinement before first
-    scan, bad SA sequence, non-1x1 sampling)."""
+    scan, bad SA sequence, unknown sampling layout)."""
     got = _progressive_planes(buf, 1)
     if got is None:
         return None
@@ -1646,11 +1787,12 @@ def decode_jpeg_progressive_gray(buf: bytes) -> np.ndarray | None:
 
 
 def decode_jpeg_progressive_color(buf: bytes) -> np.ndarray | None:
-    """Decode a progressive (SOF2) 4:4:4 COLOR JPEG — the multi-
-    component profile: interleaved DC scans (Ns=3), single-component AC
-    band scans per B.2.3, successive approximation in both. Returns
-    uint8 (h, w, 3) RGB or None (subsampled progressive is rejected
-    cleanly — sampling factors must be 1x1)."""
+    """Decode a progressive (SOF2) COLOR JPEG at 4:4:4, 4:2:0, 4:2:2 or
+    4:1:1 — the multi-component profile: interleaved DC scans (dummy
+    blocks at MCU edges decoded-and-discarded per A.2.4), single-
+    component AC band scans over each component's OWN raster block grid
+    (B.2.3), successive approximation in both. Returns uint8 (h, w, 3)
+    RGB or None."""
     got = _progressive_planes(buf, 3)
     if got is None:
         return None

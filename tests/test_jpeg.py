@@ -441,3 +441,34 @@ def test_multicomponent_progressive_color_equals_baseline():
             bad[rng.integers(2, len(bad) - 2)] = rng.integers(0, 256)
         out = decode_jpeg_progressive_color(bytes(bad))
         assert out is None or isinstance(out, np.ndarray)
+
+
+def test_subsampled_progressive_equals_subsampled_baseline():
+    """Progressive 4:2:0/4:2:2/4:1:1 (SOF2 + chroma subsampling): the
+    interleaved DC scans walk the MCU grid with DUMMY blocks at edges
+    (coded, discarded, predictor updated — T.81 A.2.4) while AC scans
+    walk each component's own raster grid. Same coefficients as the
+    baseline subsampled encoders (same MCU-padded downsample), so
+    decode must equal baseline decode bitwise — odd dims included."""
+    import numpy as np
+    from cld2_spark.operators.jpeg import (
+        color_fixture_pixels, decode_jpeg_color,
+        decode_jpeg_progressive_color, encode_jpeg_411, encode_jpeg_420,
+        encode_jpeg_422, encode_jpeg_progressive_411,
+        encode_jpeg_progressive_420, encode_jpeg_progressive_422)
+    pairs = [(encode_jpeg_progressive_420, encode_jpeg_420),
+             (encode_jpeg_progressive_422, encode_jpeg_422),
+             (encode_jpeg_progressive_411, encode_jpeg_411)]
+    rng = np.random.default_rng(29)
+    for pe, be in pairs:
+        for i in (0, 7, 23):
+            px = color_fixture_pixels(i)
+            assert np.array_equal(
+                decode_jpeg_progressive_color(pe(px)),
+                decode_jpeg_color(be(px)))
+        for _ in range(8):
+            h, w = rng.integers(9, 55, 2)   # odd dims: dummy blocks live
+            rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            assert np.array_equal(
+                decode_jpeg_progressive_color(pe(rgb)),
+                decode_jpeg_color(be(rgb))), (pe.__name__, h, w)
