@@ -1544,6 +1544,37 @@ def _q_zorder_stats(spark, sf_dir):
         checksum_sql="o_orderkey")
 
 
+def _q_unigram_encode(spark, sf_dir):
+    """Distributed UNIGRAM-LM tokenization (operators/tokenizer,
+    SentencePiece-style hard-EM/Viterbi variant): ONE word-count
+    shuffle + vocabulary-sized driver-side EM where every segmentation
+    score is compared in EXACT big-int arithmetic (prod(c_i)/T^k by
+    cross multiplication — no floats), then a single ArrowEvalPython
+    Viterbi encode with the vocab in the closure. Oracle: an
+    INDEPENDENT single-node implementation of the same spec, frozen at
+    sf0.01 and re-derived each CI run."""
+    from cld2_spark.operators.tokenizer import (encode_corpus_unigram,
+                                                train_unigram)
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    vocab = train_unigram(docs, vocab_size=120, n_iters=2,
+                          min_count=2, max_words=20_000)
+    return encode_corpus_unigram(ensure_parallelism(docs), vocab)
+
+
+def _q_unigram_vocab(spark, sf_dir):
+    """The learned unigram vocabulary itself (piece, count) — fully
+    deterministic given the corpus (exact integer EM, (count desc,
+    piece) pruning order). Same independent frozen oracle."""
+    from cld2_spark.operators.tokenizer import (train_unigram,
+                                                unigram_vocab_df)
+    _register(spark, sf_dir)
+    vocab = train_unigram(spark.table("documents"), vocab_size=120,
+                          n_iters=2, min_count=2, max_words=20_000)
+    return unigram_vocab_df(spark, vocab)
+
+
 def _q_sample_exact_k(spark, sf_dir):
     """Exact-k uniform sample (operators/curation.sample_exact_k):
     global top-100 by salted md5 rank — TakeOrderedAndProject, k rows
@@ -1972,6 +2003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": _q_classifier_score,
         "lm_score": _q_lm_score,
         "sample_exact_k": _q_sample_exact_k,
+        "unigram_encode": _q_unigram_encode,
+        "unigram_vocab": _q_unigram_vocab,
         "cheapest_supplier": _q_cheapest_supplier,
         "event_anomalies": _q_event_anomalies,
     }
@@ -2990,6 +3023,15 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_bpe_merges_sf0_01.parquet')"),
+        # independent single-node unigram hard-EM implementation, frozen
+        "unigram_encode": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_unigram_encode_sf0_01"
+            f".parquet')"),
+        "unigram_vocab": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_unigram_vocab_sf0_01"
+            f".parquet')"),
         # LIVE oracles: DuckDB replays the full 12-iteration integer
         # fixed-point GD run / the Morton bit algebra — nothing frozen
         "classifier_train": _classifier_oracle("train"),

@@ -201,7 +201,7 @@ def main() -> None:
                      # round 6 session 4: distributed BPE train+encode,
                      # integer-exact classifier training, z-order layout
                      "bpe_encode", "classifier_train", "zorder_stats",
-                     "lm_score"]:
+                     "lm_score", "unigram_encode"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()

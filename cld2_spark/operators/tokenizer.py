@@ -187,3 +187,158 @@ def encode_corpus(df: DataFrame, merges: Sequence[Tuple[str, str]],
     out = df.select(F.col(id_col), enc(F.col(text_col)).alias("e"))
     return out.select(id_col, "e.n_tokens", "e.n_pieces_per_100_words",
                       "e.tok_hash")
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM tokenizer (SentencePiece-style), hard-EM / Viterbi variant
+# ---------------------------------------------------------------------------
+# The OTHER production tokenizer family. Training is the same distributed
+# shape as BPE: the corpus-sized work is the ONE word-histogram shuffle;
+# seeding, hard-EM iterations and pruning run on the bounded histogram
+# (vocabulary-sized driver step). All scoring is EXACT: a segmentation's
+# likelihood prod(c_i) / T^k is compared by big-int cross multiplication
+# (prod_a * T^k_b vs prod_b * T^k_a) — no floats anywhere, so an
+# independent single-node implementation of this spec reproduces the
+# vocab and every segmentation bit-for-bit (the frozen-oracle contract).
+#
+# Canonical spec (shared by trainer, encoder and the independent oracle
+# in tools/freeze_expected.py):
+#   * seed vocab: every substring of every histogram word with length <=
+#     max_piece_len; count = sum of word freq over occurrence positions;
+#     keep counts >= seed_min plus ALL single characters (floor count 1);
+#     prune to the top 4*vocab_size by (count desc, piece asc);
+#   * hard-EM iteration: Viterbi-segment each histogram word under the
+#     current counts (T = sum of counts); new count(piece) = sum of word
+#     freq over pieces in the winning segmentations; prune to the top
+#     vocab_size by (count desc, piece asc), single chars re-floored;
+#   * Viterbi tie-break: higher exact score, then FEWER pieces, then
+#     lexicographically smaller piece tuple — fully deterministic.
+# Variant note: pruning ranks by raw count (the hard-EM variant), not by
+# SentencePiece's likelihood-loss — the loss ranking needs float logs,
+# which would break the exact cross-engine contract. At vocab sizes
+# below the distinct-word count the count ranking can oscillate between
+# char- and word-heavy vocabularies (classic hard-EM instability); size
+# the vocab above the frequent-word count, as production setups do.
+
+UNI_MAX_PIECE_LEN = 5
+
+
+def _seg_better(a, b, total: int) -> bool:
+    """Exact comparison of (prod, k, pieces) segmentation scores:
+    prod_a/T^k_a > prod_b/T^k_b via big-int cross multiplication."""
+    left = a[0] * total ** b[1]
+    right = b[0] * total ** a[1]
+    if left != right:
+        return left > right
+    if a[1] != b[1]:
+        return a[1] < b[1]
+    return a[2] < b[2]
+
+
+def viterbi_segment(word: str, counts: dict, total: int,
+                    max_piece_len: int = UNI_MAX_PIECE_LEN) -> tuple:
+    """Best segmentation of `word` under the unigram model — exact."""
+    n = len(word)
+    dp: list = [None] * (n + 1)
+    dp[0] = (1, 0, ())
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(0, i - max_piece_len), i):
+            if dp[j] is None:
+                continue
+            piece = word[j:i]
+            c = counts.get(piece)
+            if not c:
+                continue
+            cand = (dp[j][0] * c, dp[j][1] + 1, dp[j][2] + (piece,))
+            if best is None or _seg_better(cand, best, total):
+                best = cand
+        dp[i] = best
+    return dp[n][2] if dp[n] is not None else tuple(word)
+
+
+def learn_unigram(word_counts: Sequence[Tuple[str, int]],
+                  vocab_size: int = 120, n_iters: int = 2,
+                  max_piece_len: int = UNI_MAX_PIECE_LEN,
+                  seed_min: int = 2) -> dict:
+    """Hard-EM unigram training over a (word, freq) histogram — cost is
+    a function of VOCABULARY size, not corpus size."""
+    chars = {w[i] for w, _ in word_counts for i in range(len(w))}
+    counts: dict = {}
+    for w, c in word_counts:
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i:i + ln]
+                counts[p] = counts.get(p, 0) + c
+    counts = {p: c for p, c in counts.items()
+              if c >= seed_min or len(p) == 1}
+    keep = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    counts = dict(keep[:4 * vocab_size])
+    for ch in chars:
+        counts.setdefault(ch, 1)
+    for _ in range(n_iters):
+        total = sum(counts.values())
+        new: dict = {}
+        for w, c in word_counts:
+            for p in viterbi_segment(w, counts, total, max_piece_len):
+                new[p] = new.get(p, 0) + c
+        keep = sorted(new.items(), key=lambda kv: (-kv[1], kv[0]))
+        counts = dict(keep[:vocab_size])
+        for ch in chars:
+            counts.setdefault(ch, 1)
+    return counts
+
+
+def train_unigram(df: DataFrame, vocab_size: int = 120,
+                  n_iters: int = 2, text_col: str = "text",
+                  min_count: int = 1, max_words: int = 200_000) -> dict:
+    """Distributed unigram training: ONE map-side-combinable word-count
+    shuffle, then vocabulary-sized hard-EM on the driver."""
+    hist = word_histogram(df, text_col, min_count, max_words).collect()
+    return learn_unigram([(r["word"], r["cnt"]) for r in hist],
+                         vocab_size, n_iters)
+
+
+def unigram_vocab_df(spark: SparkSession, counts: dict) -> DataFrame:
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(p, int(c)) for p, c in rows], "piece STRING, cnt BIGINT")
+
+
+def encode_corpus_unigram(df: DataFrame, counts: dict,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Viterbi-encode every document with the trained unigram vocab —
+    one ArrowEvalPython stage, zero exchanges, vocab in the UDF closure,
+    per-batch distinct-word memo (Zipf amortization, like the BPE
+    encoder)."""
+    total = sum(counts.values())
+
+    @F.pandas_udf(
+        "n_tokens BIGINT, n_pieces_per_100_words BIGINT, tok_hash STRING")
+    def enc(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import re
+        ws = re.compile(WS_CLASS)
+        memo: dict = {}
+        for s in texts:
+            n_tok, ppw, th = [], [], []
+            for t in s:
+                words = [w for w in ws.split(t or "") if w]
+                pieces: List[str] = []
+                for w in words:
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = viterbi_segment(w, counts, total)
+                    pieces.extend(got)
+                n_tok.append(len(pieces))
+                ppw.append(len(pieces) * 100 // len(words) if words else 0)
+                th.append(hashlib.md5(
+                    " ".join(pieces).encode("utf-8")).hexdigest())
+            yield pd.DataFrame({"n_tokens": n_tok,
+                                "n_pieces_per_100_words": ppw,
+                                "tok_hash": th})
+
+    out = df.select(F.col(id_col), enc(F.col(text_col)).alias("e"))
+    return out.select(id_col, "e.n_tokens", "e.n_pieces_per_100_words",
+                      "e.tok_hash")

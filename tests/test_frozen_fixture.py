@@ -15,6 +15,7 @@ from tools.freeze_expected import (BPE_ENCODE_FILE, BPE_MERGES_FILE,
                                    JPEG_FEATURES_FILE, KEEP_DROP_FILE,
                                    LANGID_FILE, MEDIA_FEATURES_FILE,
                                    SPANS_FILE, THUMBS_FILE,
+                                   UNI_ENCODE_FILE, UNI_VOCAB_FILE,
                                    VIDEO_FEATURES_FILE, compute_fixtures)
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -32,7 +33,8 @@ def recomputed():
                                    MEDIA_FEATURES_FILE, JPEG_FEATURES_FILE,
                                    JPEG_COLOR_FILE, VIDEO_FEATURES_FILE,
                                    COMPRESSION_FILE, THUMBS_FILE,
-                                   BPE_MERGES_FILE, BPE_ENCODE_FILE])
+                                   BPE_MERGES_FILE, BPE_ENCODE_FILE,
+                                   UNI_VOCAB_FILE, UNI_ENCODE_FILE])
 def test_fixture_matches_recompute(recomputed, fname):
     frozen = pq.read_table(FIXDIR / fname)
     fresh = recomputed[fname]

@@ -104,3 +104,50 @@ def test_min_count_and_cap_are_deterministic(spark):
         [(1, "aa aa bb cc cc cc")], "doc_id LONG, text STRING")
     hist = word_histogram(df, min_count=2, max_words=1).collect()
     assert [(r["word"], r["cnt"]) for r in hist] == [("cc", 3)]
+
+
+class TestUnigram:
+    def test_exact_viterbi_hand_case(self):
+        """Exact big-int scoring: with T=100, 'unready' under counts
+        {un:20, ready:30, read:25, y:40, u:1,n:1,r:1,e:1,a:1,d:1} must
+        pick (un, ready): 600/T^2 beats (un, read, y) 20000/T^3 iff
+        600*T > 20000, i.e. T > 33.3 — so T=100 picks 2 pieces and a
+        tiny T=30 corpus would pick 3. Both checked."""
+        from cld2_spark.operators.tokenizer import viterbi_segment
+        counts = {"un": 20, "ready": 30, "read": 25, "y": 40,
+                  "u": 1, "n": 1, "r": 1, "e": 1, "a": 1, "d": 1}
+        assert viterbi_segment("unready", counts, 100) == ("un", "ready")
+        assert viterbi_segment("unready", counts, 30) == (
+            "un", "read", "y")
+
+    def test_tie_breaks_deterministic(self):
+        """Equal scores: fewer pieces wins; then lexicographic."""
+        from cld2_spark.operators.tokenizer import viterbi_segment
+        # 'ab' as ('ab',) score 4/T vs ('a','b') 4/T^2 — fewer wins
+        assert viterbi_segment("ab", {"ab": 4, "a": 2, "b": 2}, 8) == ("ab",)
+
+    def test_unigram_matches_independent_oracle(self, spark):
+        """Spark-trained vocab + encode == the second implementation in
+        tools/freeze_expected.py (exact arithmetic, so bit-for-bit)."""
+        import pyarrow.parquet as pq
+        from pathlib import Path
+        from cld2_spark.operators.tokenizer import (encode_corpus_unigram,
+                                                    train_unigram,
+                                                    unigram_vocab_df)
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        vocab = train_unigram(docs, vocab_size=120, n_iters=2,
+                              min_count=2, max_words=20_000)
+        frozen = pq.read_table(Path(__file__).parent / "data"
+                               / "expected_unigram_vocab_sf0_01.parquet")
+        got = {(r.piece, r.cnt)
+               for r in unigram_vocab_df(spark, vocab).collect()}
+        want = {(p, c) for p, c in zip(frozen["piece"].to_pylist(),
+                                       frozen["cnt"].to_pylist())}
+        assert got == want
+        enc = {r.doc_id: r.tok_hash for r in
+               encode_corpus_unigram(docs, vocab).collect()}
+        fenc = pq.read_table(Path(__file__).parent / "data"
+                             / "expected_unigram_encode_sf0_01.parquet")
+        for did, th in zip(fenc["doc_id"].to_pylist(),
+                           fenc["tok_hash"].to_pylist()):
+            assert enc[did] == th

@@ -49,6 +49,12 @@ COMPRESSION_FILE = "expected_compression_sf0_01.parquet"
 THUMBS_FILE = "expected_thumbs_sf0_01.parquet"
 BPE_MERGES_FILE = "expected_bpe_merges_sf0_01.parquet"
 BPE_ENCODE_FILE = "expected_bpe_encode_sf0_01.parquet"
+UNI_VOCAB_FILE = "expected_unigram_vocab_sf0_01.parquet"
+UNI_ENCODE_FILE = "expected_unigram_encode_sf0_01.parquet"
+UNI_VOCAB_SIZE = 120
+UNI_N_ITERS = 2
+UNI_MAX_PIECE = 5
+UNI_SEED_MIN = 2
 
 # driver-query BPE parameters — MUST match __spark_entry__._q_bpe_*
 BPE_NUM_MERGES = 40
@@ -139,7 +145,8 @@ def compute_fixtures(sf_dir: str) -> dict[str, pa.Table]:
             VIDEO_FEATURES_FILE: _video_features_fixture(sf_dir),
             COMPRESSION_FILE: _compression_ratio_fixture(sf_dir),
             THUMBS_FILE: _thumbnails_fixture(sf_dir),
-            **_bpe_fixtures(sf_dir)}
+            **_bpe_fixtures(sf_dir),
+            **_unigram_fixtures(sf_dir)}
 
 
 def _bpe_fixtures(sf_dir: str) -> dict[str, pa.Table]:
@@ -225,6 +232,110 @@ def _bpe_fixtures(sf_dir: str) -> dict[str, pa.Table]:
         "tok_hash": pa.array(th, type=pa.string()),
     })
     return {BPE_MERGES_FILE: merges_tbl, BPE_ENCODE_FILE: enc_tbl}
+
+
+def _unigram_fixtures(sf_dir: str) -> dict[str, pa.Table]:
+    """Expected `unigram_vocab` + `unigram_encode` rows via an
+    INDEPENDENT single-node implementation of the unigram hard-EM spec
+    (operators/tokenizer.py docstring) — plain dict/loop code written
+    against the spec, not imported. All arithmetic is exact big-int, so
+    the two implementations must agree bit-for-bit."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') ORDER BY doc_id").fetchall()
+    con.close()
+
+    ws = re.compile(r"[ \t\n\r\f]+")
+    wc: Counter = Counter()
+    for _, text in rows:
+        wc.update(w for w in ws.split(text or "") if w)
+    hist = sorted(((w, c) for w, c in wc.items() if c >= BPE_MIN_COUNT),
+                  key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_WORDS]
+
+    def better(a, b, total):
+        left, right = a[0] * total ** b[1], b[0] * total ** a[1]
+        if left != right:
+            return left > right
+        if a[1] != b[1]:
+            return a[1] < b[1]
+        return a[2] < b[2]
+
+    def viterbi(word, counts, total):
+        n = len(word)
+        dp = [None] * (n + 1)
+        dp[0] = (1, 0, ())
+        for i in range(1, n + 1):
+            best = None
+            for j in range(max(0, i - UNI_MAX_PIECE), i):
+                if dp[j] is None:
+                    continue
+                piece = word[j:i]
+                c = counts.get(piece)
+                if not c:
+                    continue
+                cand = (dp[j][0] * c, dp[j][1] + 1, dp[j][2] + (piece,))
+                if best is None or better(cand, best, total):
+                    best = cand
+            dp[i] = best
+        return dp[n][2] if dp[n] is not None else tuple(word)
+
+    chars = {w[i] for w, _ in hist for i in range(len(w))}
+    counts: dict = {}
+    for w, c in hist:
+        for i in range(len(w)):
+            for ln in range(1, min(UNI_MAX_PIECE, len(w) - i) + 1):
+                piece = w[i:i + ln]
+                counts[piece] = counts.get(piece, 0) + c
+    counts = {p: c for p, c in counts.items()
+              if c >= UNI_SEED_MIN or len(p) == 1}
+    counts = dict(sorted(counts.items(),
+                         key=lambda kv: (-kv[1], kv[0]))[:4 * UNI_VOCAB_SIZE])
+    for ch in chars:
+        counts.setdefault(ch, 1)
+    for _ in range(UNI_N_ITERS):
+        total = sum(counts.values())
+        new: dict = {}
+        for w, c in hist:
+            for piece in viterbi(w, counts, total):
+                new[piece] = new.get(piece, 0) + c
+        counts = dict(sorted(new.items(),
+                             key=lambda kv: (-kv[1], kv[0]))[:UNI_VOCAB_SIZE])
+        for ch in chars:
+            counts.setdefault(ch, 1)
+
+    vrows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab_tbl = pa.table({
+        "piece": pa.array([p for p, _ in vrows], type=pa.string()),
+        "cnt": pa.array([int(c) for _, c in vrows], type=pa.int64()),
+    })
+
+    total = sum(counts.values())
+    memo: dict = {}
+    ids, n_tok, ppw, th = [], [], [], []
+    for did, text in rows:
+        words = [w for w in ws.split(text or "") if w]
+        pieces: list[str] = []
+        for w in words:
+            got = memo.get(w)
+            if got is None:
+                got = memo[w] = viterbi(w, counts, total)
+            pieces.extend(got)
+        ids.append(int(did))
+        n_tok.append(len(pieces))
+        ppw.append(len(pieces) * 100 // len(words) if words else 0)
+        th.append(hashlib.md5(" ".join(pieces).encode("utf-8")).hexdigest())
+    enc_tbl = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "n_tokens": pa.array(n_tok, type=pa.int64()),
+        "n_pieces_per_100_words": pa.array(ppw, type=pa.int64()),
+        "tok_hash": pa.array(th, type=pa.string()),
+    })
+    return {UNI_VOCAB_FILE: vocab_tbl, UNI_ENCODE_FILE: enc_tbl}
 
 
 def _video_features_fixture(sf_dir: str) -> pa.Table:
