@@ -65,19 +65,25 @@ ITERS = 12
 # slow's), so it exercises real sign-discriminative learning; the hash-
 # collision noise in those buckets is the honest fastText-trick error
 # floor. Label is computed per dialect (lambda syntax differs).
+# explicit ASCII whitespace class, per dialect: Java regex \\s includes
+# \\x0B while RE2's does not, so neither engine may use \\s. The SPARK
+# spelling doubles the backslashes because Spark SQL string literals
+# UNESCAPE \\t/\\n/\\r (and mangle \\f to a literal 'f' -- the bug this
+# fixes); DuckDB literals pass the pattern to RE2 verbatim.
+_WS_SPARK = "[ \\\\t\\\\n\\\\r\\\\f]+"
+_WS_DUCK = "[ \\t\\n\\r\\f]+"
 _CNT_SPARK = ("size(filter(split(trim(regexp_replace(lower(text), "
-              "'\\\\s+', ' ')), ' '), t -> t = '{w}'))")
+              f"'{_WS_SPARK}'" + ", ' ')), ' '), t -> t = '{w}'))")
 _CNT_DUCK = ("len(list_filter(string_split(trim(regexp_replace(lower(text),"
-             " '\\s+', ' ', 'g')), ' '), t -> t = '{w}'))")
+             f" '{_WS_DUCK}'" + ", ' ', 'g')), ' '), t -> t = '{w}'))")
 DEFAULT_LABEL = (f"CASE WHEN {_CNT_SPARK.format(w='fast')} > "
                  f"{_CNT_SPARK.format(w='slow')} THEN 1 ELSE 0 END")
 DEFAULT_LABEL_DUCK = (f"CASE WHEN {_CNT_DUCK.format(w='fast')} > "
                       f"{_CNT_DUCK.format(w='slow')} THEN 1 ELSE 0 END")
 
 # portable tokenizer — identical semantics in Spark SQL and DuckDB
-# (same recipe as curation._TOK / tfidf_top_terms)
-_TOKS_SPARK = ("filter(split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')),"
-               " ' '), t -> t <> '')")
+_TOKS_SPARK = ("filter(split(trim(regexp_replace(lower({c}), "
+               f"'{_WS_SPARK}'" + ", ' ')), ' '), t -> t <> '')")
 
 
 def _feat_ids_spark(toks_expr: str, dim: int) -> str:

@@ -1083,14 +1083,15 @@ def encode_jpeg_411(rgb: np.ndarray) -> bytes:
     return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
-# ---- progressive JPEG (SOF2), spectral-selection profile ------------------
+# ---- progressive JPEG (SOF2) ----------------------------------------------
 # Progressive scans split the zigzag spectrum across multiple SOS scans
 # (T.81 G.1): a DC scan (Ss=Se=0) then AC band scans (Ss..Se), with the
-# EOBRUN run-length mechanism coding runs of band-empty blocks. Both
-# single-component profiles are implemented: SPECTRAL SELECTION and
-# SUCCESSIVE APPROXIMATION (point-transformed first scans + one-bit
-# refinement scans with spec correction-bit ordering); multi-component
-# progressive is rejected cleanly, not misdecoded.
+# EOBRUN run-length mechanism coding runs of band-empty blocks.
+# Implemented in FULL: spectral selection AND successive approximation
+# (point-transformed first scans + one-bit refinement scans with spec
+# correction-bit ordering), single-component AND multi-component color
+# at every baseline sampling layout (A.2.4 dummy blocks at MCU edges in
+# interleaved DC scans; per-component raster grids for AC scans).
 
 PROG_BANDS = ((1, 5), (6, 63))   # AC scans after the DC scan
 

@@ -41,10 +41,17 @@ from pyspark.sql import DataFrame, functions as F
 ALPHA_PPM = 400_000          # stupid-backoff alpha = 0.4, in ppm
 MIN_COUNT = 1                # KenLM-style pruning threshold
 
-_TOKS_SPARK = ("filter(split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')),"
-               " ' '), t -> t <> '')")
+# explicit ASCII whitespace class, per dialect: Java regex \\s includes
+# \\x0B while RE2's does not, so neither engine may use \\s. The SPARK
+# spelling doubles the backslashes because Spark SQL string literals
+# UNESCAPE \\t/\\n/\\r (and mangle \\f to a literal 'f' -- the bug this
+# fixes); DuckDB literals pass the pattern to RE2 verbatim.
+_WS_SPARK = "[ \\\\t\\\\n\\\\r\\\\f]+"
+_WS_DUCK = "[ \\t\\n\\r\\f]+"
+_TOKS_SPARK = ("filter(split(trim(regexp_replace(lower({c}), "
+               f"'{_WS_SPARK}'" + ", ' ')), ' '), t -> t <> '')")
 _TOKS_DUCK = ("list_filter(string_split(trim(regexp_replace(lower({c}), "
-              "'\\s+', ' ', 'g')), ' '), t -> t <> '')")
+              f"'{_WS_DUCK}'" + ", ' ', 'g')), ' '), t -> t <> '')")
 
 
 def _bigrams_expr(toks_col: str) -> str:

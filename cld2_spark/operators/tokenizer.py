@@ -148,19 +148,19 @@ def merges_df(spark: SparkSession, merges: Sequence[Tuple[str, str]],
         rows, "rank INT, left STRING, right STRING, merged STRING")
 
 
-def encode_corpus(df: DataFrame, merges: Sequence[Tuple[str, str]],
-                  id_col: str = "doc_id", text_col: str = "text",
-                  ) -> DataFrame:
-    """Encode every document with the learned merges.
+def _encode_stats_df(df: DataFrame, word_to_pieces, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Shared encode stage for both tokenizer families: one Arrow-batched
+    pandas UDF, zero exchanges, the model inside `word_to_pieces`'s
+    closure. The distinct-word memo lives for the PARTITION (the UDF
+    iterator spans all of a partition's Arrow batches), so amortized
+    cost per word is O(pieces) after its first occurrence anywhere in
+    the partition — Zipf makes the memo vocabulary-sized. Emits
+    integer-exact per-doc stats plus an md5 over the piece stream so
+    the whole tokenization is hash-checkable."""
 
-    One ArrowEvalPython stage, zero exchanges: ranks travel inside the
-    UDF closure (broadcast with the task), per-batch distinct-word memo.
-    Emits integer-exact per-doc stats plus an md5 over the piece stream
-    so the whole tokenization is hash-checkable.
-    """
-    ranks = {pair: i for i, pair in enumerate(merges)}
-
-    @F.pandas_udf("n_tokens BIGINT, n_pieces_per_100_words BIGINT, tok_hash STRING")
+    @F.pandas_udf(
+        "n_tokens BIGINT, n_pieces_per_100_words BIGINT, tok_hash STRING")
     def enc(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         import hashlib
         import re
@@ -174,7 +174,7 @@ def encode_corpus(df: DataFrame, merges: Sequence[Tuple[str, str]],
                 for w in words:
                     got = memo.get(w)
                     if got is None:
-                        got = memo[w] = encode_word(w, ranks)
+                        got = memo[w] = word_to_pieces(w)
                     pieces.extend(got)
                 n_tok.append(len(pieces))
                 ppw.append(len(pieces) * 100 // len(words) if words else 0)
@@ -187,6 +187,16 @@ def encode_corpus(df: DataFrame, merges: Sequence[Tuple[str, str]],
     out = df.select(F.col(id_col), enc(F.col(text_col)).alias("e"))
     return out.select(id_col, "e.n_tokens", "e.n_pieces_per_100_words",
                       "e.tok_hash")
+
+
+def encode_corpus(df: DataFrame, merges: Sequence[Tuple[str, str]],
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ) -> DataFrame:
+    """Encode every document with the learned BPE merges (ranks travel
+    in the UDF closure; see _encode_stats_df for the stage shape)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    return _encode_stats_df(df, lambda w: encode_word(w, ranks),
+                            id_col, text_col)
 
 
 # ---------------------------------------------------------------------------
@@ -308,37 +318,9 @@ def unigram_vocab_df(spark: SparkSession, counts: dict) -> DataFrame:
 def encode_corpus_unigram(df: DataFrame, counts: dict,
                           id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
-    """Viterbi-encode every document with the trained unigram vocab —
-    one ArrowEvalPython stage, zero exchanges, vocab in the UDF closure,
-    per-batch distinct-word memo (Zipf amortization, like the BPE
-    encoder)."""
+    """Viterbi-encode every document with the trained unigram vocab
+    (vocab + total in the UDF closure; see _encode_stats_df for the
+    stage shape)."""
     total = sum(counts.values())
-
-    @F.pandas_udf(
-        "n_tokens BIGINT, n_pieces_per_100_words BIGINT, tok_hash STRING")
-    def enc(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        import hashlib
-        import re
-        ws = re.compile(WS_CLASS)
-        memo: dict = {}
-        for s in texts:
-            n_tok, ppw, th = [], [], []
-            for t in s:
-                words = [w for w in ws.split(t or "") if w]
-                pieces: List[str] = []
-                for w in words:
-                    got = memo.get(w)
-                    if got is None:
-                        got = memo[w] = viterbi_segment(w, counts, total)
-                    pieces.extend(got)
-                n_tok.append(len(pieces))
-                ppw.append(len(pieces) * 100 // len(words) if words else 0)
-                th.append(hashlib.md5(
-                    " ".join(pieces).encode("utf-8")).hexdigest())
-            yield pd.DataFrame({"n_tokens": n_tok,
-                                "n_pieces_per_100_words": ppw,
-                                "tok_hash": th})
-
-    out = df.select(F.col(id_col), enc(F.col(text_col)).alias("e"))
-    return out.select(id_col, "e.n_tokens", "e.n_pieces_per_100_words",
-                      "e.tok_hash")
+    return _encode_stats_df(
+        df, lambda w: viterbi_segment(w, counts, total), id_col, text_col)
