@@ -191,7 +191,7 @@ def oracle_ctes(dim: int = DIM, iters: int = ITERS,
     parts = [
         f"cf_docs AS MATERIALIZED (SELECT {id_col}, CAST({label_sql} AS INT) AS y, "
         f"list_filter(string_split(trim(regexp_replace(lower({text_col}), "
-        f"'\\s+', ' ', 'g')), ' '), t -> t <> '') AS toks "
+        f"'{_WS_DUCK}', ' ', 'g')), ' '), t -> t <> '') AS toks "
         f"FROM {docs_table} WHERE {text_col} IS NOT NULL)",
         f"cf_tok AS MATERIALIZED (SELECT {id_col}, y, unnest(toks) AS tok FROM cf_docs)",
         f"cf_x AS MATERIALIZED (SELECT {id_col}, y, CAST(('0x' || substr(md5(tok), 1, 8))"
