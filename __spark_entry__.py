@@ -1894,6 +1894,65 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_keep_drop(spark, "/root/testdata/sf0.001")
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (operators/textstats): k=3-token
+    shingle hashes, w=4 window-minimum selection with rightmost tie-break
+    (Schleimer et al. 2003). Pure per-document array algebra in ONE
+    codegen projection — zero shuffle, zero UDF; any shared w+k-1 token
+    run between documents is guaranteed a shared fingerprint."""
+    from cld2_spark.operators.textstats import winnow_fingerprints
+    _register(spark, sf_dir)
+    return winnow_fingerprints(spark.table("documents"), k=3, w=4)
+
+
+def _q_heavy_hitters(spark, sf_dir):
+    """Corpus heavy hitters (operators/sketches): exact top-30 tokens by
+    occurrence next to their count-min-sketch estimates (depth 4 x width
+    1024). The sketch build emits at most depth*width cell rows per map
+    task into the shuffle regardless of token cardinality — the
+    fixed-size mergeable scale path, with the exact aggregate as its
+    verifiable twin (the user_reach HLL pairing, for frequencies)."""
+    from cld2_spark.operators.sketches import heavy_hitters
+    _register(spark, sf_dir)
+    return heavy_hitters(spark.table("documents"), k=30)
+
+
+def _q_group_sample_k(spark, sf_dir):
+    """Exact-k-per-group deterministic sample (operators/curation
+    .sample_k_per_group): 5 docs per source by salted-md5 rank. Spark
+    plans the rank<=k filter as WindowGroupLimit — each map task keeps
+    its local per-group top-k BEFORE the single group-keyed shuffle, so
+    heavy groups move k rows per partition, not their row count."""
+    from cld2_spark.operators.curation import sample_k_per_group
+    _register(spark, sf_dir)
+    return (sample_k_per_group(spark.table("documents"), "source", 5)
+            .select("source", "rk", "doc_id", "sample_key"))
+
+
+def _q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 undelivered-revenue orders for one market
+    segment. 3-way join with the selective dim side broadcast, exact
+    integer revenue (price cents x (100 - discount points) = c4 units,
+    no float sum), TakeOrderedAndProject top-k — only 10 rows per
+    partition ever reach the driver."""
+    from pyspark.sql import functions as F
+    _register(spark, sf_dir)
+    cut = "TIMESTAMP '1998-06-01 00:00:00'"
+    c = spark.table("customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").where(F.expr(f"o_orderdate < {cut}"))
+    li = spark.table("lineitem").where(F.expr(f"l_shipdate > {cut}"))
+    rev = F.expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * "
+                 "(100 - CAST(FLOOR(l_discount * 100) AS BIGINT))")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("order_date"))
+            .agg(F.sum(rev).alias("revenue_c4"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy(F.desc("revenue_c4"), F.asc("o_orderkey"))
+            .limit(10))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate checks the FIRST 50 entries in
     dict order.  The first 50 therefore hold the canonical query for every
@@ -1917,7 +1976,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "order_distribution": _q_order_distribution,
         "cube_revenue": _q_cube_revenue,
-        "viewers_not_buyers": _q_viewers_not_buyers,
         # -- dedup family (one canonical query per algorithm) ----------------
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
@@ -1928,20 +1986,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "dedup_incremental": _q_dedup_incremental,
         "paragraph_dedup": _q_paragraph_dedup,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # -- similarity / clustering -----------------------------------------
         "ann_lsh": _q_ann_lsh,
         "kmeans_clusters": _q_kmeans,
         "semdedup": _q_semdedup,
         # -- curation ---------------------------------------------------------
         "token_stats": _q_token_stats,
+        "heavy_hitters": _q_heavy_hitters,
+        "group_sample_k": _q_group_sample_k,
         "dataset_split": _q_dataset_split,
         "decontam": _q_decontam,
-        "rep_stats": _q_rep_stats,
         "seq_pack": _q_seq_pack,
         "mixture_sample": _q_mixture_sample,
         "quality_rank_filter": _q_quality_rank_filter,
         "curation_pipeline": _q_curation_pipeline,
-        "corpus_shuffle": _q_corpus_shuffle,
         "zorder_stats": _q_zorder_stats,
         "tfidf_terms": _q_tfidf_terms,
         "classifier_train": _q_classifier_train,
@@ -2007,6 +2066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_vocab": _q_unigram_vocab,
         "cheapest_supplier": _q_cheapest_supplier,
         "event_anomalies": _q_event_anomalies,
+        "rep_stats": _q_rep_stats,
+        "corpus_shuffle": _q_corpus_shuffle,
+        "viewers_not_buyers": _q_viewers_not_buyers,
+        "shipping_priority": _q_shipping_priority,
     }
 
 
@@ -3083,4 +3146,62 @@ def oracle_sql() -> dict[str, str]:
             f"CAST((100 * n_keep) // n_turns AS INT) AS keep_rate_pct, "
             f"(n_turns < 10 OR (100 * n_keep) // n_turns >= 20) "
             f"  AS conv_alive FROM cs"),
+        "winnow_fingerprints": (
+            "WITH wf_toks AS (SELECT doc_id, string_split(trim("
+            "  regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk "
+            "  FROM documents), "
+            "wf_hs AS (SELECT doc_id, "
+            "  list_transform(generate_series(1, len(tk) - 2), i -> "
+            "  ('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), "
+            "   1, 15))::BIGINT) AS h "
+            "  FROM wf_toks WHERE len(tk) >= 3), "
+            "wf_sel AS (SELECT doc_id, unnest(list_transform("
+            "  generate_series(1, greatest(len(h) - 3, 1)), j -> "
+            "  {'pos': CAST(j + len(h[j:j+3]) - list_position("
+            "     list_reverse(h[j:j+3]), list_min(h[j:j+3])) AS INTEGER), "
+            "   'fp': list_min(h[j:j+3])})) AS s "
+            "  FROM wf_hs) "
+            "SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM wf_sel"),
+        "heavy_hitters": (
+            "WITH hh_tok AS (SELECT unnest(string_split(trim("
+            "  regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) "
+            "  AS token FROM documents), "
+            "hh_t AS (SELECT token FROM hh_tok WHERE token != ''), "
+            "hh_cnt AS (SELECT token, count(*) AS n FROM hh_t "
+            "  GROUP BY token), "
+            "hh_top AS (SELECT token, n FROM hh_cnt "
+            "  ORDER BY n DESC, token ASC LIMIT 30), "
+            "hh_cells AS (SELECT r.range AS r, "
+            "  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || token), "
+            "   1, 8))::BIGINT % 1024 AS c, count(*) AS n "
+            "  FROM hh_t CROSS JOIN range(0, 4) r GROUP BY 1, 2) "
+            "SELECT t.token, t.n, MIN(c2.n) AS n_cms "
+            "FROM hh_top t CROSS JOIN range(0, 4) r "
+            "JOIN hh_cells c2 ON c2.r = r.range AND c2.c = "
+            "  ('0x' || substr(md5(CAST(r.range AS VARCHAR) || t.token), "
+            "   1, 8))::BIGINT % 1024 "
+            "GROUP BY t.token, t.n"),
+        "group_sample_k": (
+            "WITH gsk AS (SELECT source, doc_id, "
+            "  md5('cld2s-grpk' || CAST(doc_id AS VARCHAR)) AS sample_key, "
+            "  ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
+            "  md5('cld2s-grpk' || CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+            "  FROM documents) "
+            "SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, sample_key "
+            "FROM gsk WHERE rk <= 5"),
+        "shipping_priority": (
+            "SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') "
+            "  AS order_date, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) * "
+            "  (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "  AS revenue_c4, "
+            "COUNT(*) AS n_lines "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00' "
+            "  AND l.l_shipdate  > TIMESTAMP '1998-06-01 00:00:00' "
+            "GROUP BY 1, 2 "
+            "ORDER BY revenue_c4 DESC, o.o_orderkey ASC LIMIT 10"),
     }

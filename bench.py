@@ -201,7 +201,10 @@ def main() -> None:
                      # round 6 session 4: distributed BPE train+encode,
                      # integer-exact classifier training, z-order layout
                      "bpe_encode", "classifier_train", "zorder_stats",
-                     "lm_score", "unigram_encode"]:
+                     "lm_score", "unigram_encode",
+                     # round 6 session 5: winnowing fingerprints,
+                     # count-min heavy hitters
+                     "winnow_fingerprints", "heavy_hitters"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()

@@ -498,3 +498,26 @@ def sample_exact_k(df: DataFrame, k: int, id_col: str = "doc_id",
     key = F.expr(f"md5(concat('{salt}', CAST({id_col} AS STRING)))")
     return (df.withColumn("sample_key", key)
               .orderBy("sample_key").limit(k))
+
+
+def sample_k_per_group(df: DataFrame, group_col: str, k: int,
+                       id_col: str = "doc_id",
+                       salt: str = "cld2s-grpk") -> DataFrame:
+    """Exact-k uniform sample WITHIN each group (per-source / per-language
+    quota sampling — the primitive behind balanced eval-set construction).
+
+    Same salted-md5 ranking as `sample_exact_k`, but ranked per group via
+    ROW_NUMBER. Spark 3.5+ plans the rank<=k filter as WindowGroupLimit:
+    every map task pre-truncates to its local per-group top-k BEFORE the
+    shuffle (tests/test_plans.py pins the node), so a group with 10^9
+    rows moves only k rows per upstream partition — the skew-safe shape
+    of per-group top-k at corpus scale. Deterministic, redrawable by
+    salt, consistent under corpus growth, exactly like the global
+    variant; ties impossible (md5 of distinct ids, id tie-break)."""
+    from pyspark.sql import Window
+
+    key = F.expr(f"md5(concat('{salt}', CAST({id_col} AS STRING)))")
+    w = Window.partitionBy(group_col).orderBy("sample_key", id_col)
+    return (df.withColumn("sample_key", key)
+              .withColumn("rk", F.row_number().over(w))
+              .where(F.col("rk") <= k))

@@ -89,6 +89,53 @@ def quality_rank_filter(df: DataFrame, pct: float = 0.25,
                     F.round("pr", 6).alias("pr")))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        k: int = 3, w: int = 4) -> DataFrame:
+    """MOSS-style winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003): hash every k-token shingle, slide a w-hash
+    window, and in each window select the minimum hash (rightmost
+    occurrence on ties). The distinct selected (pos, hash) pairs are the
+    document's fingerprint — the guarantee is that any shared run of
+    w + k - 1 tokens between two documents shares at least one selected
+    fingerprint, at an expected density of 2/(w+1) of all shingles.
+
+    Everything is per-document array algebra inside ONE codegen
+    projection — zero shuffle, zero UDF, no explode before selection —
+    so at 100 TB the operator is a pure map over the corpus scan
+    (fingerprint-set size per doc is ~2m/(w+1), bounded by doc length).
+    The 60-bit hash is the similarity sketch itself (winnowing is an
+    approximate containment signal, not an identity key), so the
+    birthday-collision caveat that applies to dedup keys does not apply
+    here; downstream exact dedup must still verify text.
+
+    Docs with fewer than k tokens produce no fingerprints; docs with
+    fewer than w shingles produce one window covering all shingles (the
+    standard short-document convention).
+    """
+    tk = (f"split(trim(regexp_replace(lower({text_col}), "
+          f"'\\\\s+', ' ')), ' ')")
+    hs = (f"CASE WHEN size({tk}) >= {k} THEN "
+          f"transform(sequence(1, size({tk}) - {k} + 1), i -> "
+          f"cast(conv(substr(md5(concat_ws(' ', slice({tk}, i, {k}))), "
+          f"1, 15), 16, 10) AS BIGINT)) "
+          f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+    # windows: j -> slice(hs, j, w); selection: min hash, rightmost tie
+    fps = (f"CASE WHEN size(h) = 0 THEN "
+           f"CAST(array() AS ARRAY<STRUCT<pos: INT, fp: BIGINT>>) ELSE "
+           f"array_distinct(transform("
+           f"  transform(sequence(1, greatest(size(h) - {w} + 1, 1)), "
+           f"            j -> struct(j AS j, slice(h, j, {w}) AS s)), "
+           f"  x -> struct("
+           f"    CAST(x.j + size(x.s) - array_position(reverse(x.s), "
+           f"         array_min(x.s)) AS INT) AS pos, "
+           f"    array_min(x.s) AS fp))) END")
+    return (df.select(id_col, F.expr(hs).alias("h"))
+            .select(id_col, F.explode(F.expr(fps)).alias("f"))
+            .select(id_col, F.col("f.pos").alias("pos"),
+                    F.col("f.fp").alias("fp")))
+
+
 def compression_ratio(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       level: int = 6) -> DataFrame:
