@@ -1953,6 +1953,40 @@ def _q_shipping_priority(spark, sf_dir):
             .limit(10))
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus partition (operators/ngram_lm
+    .ccnet_buckets, Wenzek et al. 2020): documents ordered by the
+    corpus-trained bigram-LM fluency score and cut into three buckets
+    each holding one third of the corpus CHARACTERS. The cumulative
+    character count is an exact distributed prefix sum
+    (operators/prefix.running_total: range partition + per-partition
+    window + broadcast offsets — never a single-task global window);
+    the tertile rule is cross-multiplied integer algebra, so the DuckDB
+    oracle replays training, scoring, the scan, and the cut live."""
+    from cld2_spark.operators.ngram_lm import ccnet_buckets
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+    return ccnet_buckets(ensure_parallelism(spark.table("documents")),
+                         min_count=2)
+
+
+def _q_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling data selection (operators/dsir, Xie et
+    al. 2023): hashed uni+bigram count models over a 4096-bucket closed
+    feature space — target model from the src0/src1 slice, raw model
+    from the whole corpus — and per-document Laplace-smoothed
+    target-vs-raw frequency-ratio weights in exact integer ppm. Both
+    model fits are map-side-combinable aggregates bounded at B rows per
+    map task; the <=B-row weight table travels broadcast; selection is
+    TakeOrderedAndProject top-50."""
+    from cld2_spark.operators.dsir import dsir_select
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+    docs = ensure_parallelism(spark.table("documents"))
+    return dsir_select(docs, docs.where("source IN ('src0', 'src1')"),
+                       k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate checks the FIRST 50 entries in
     dict order.  The first 50 therefore hold the canonical query for every
@@ -1974,8 +2008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_rollup": _q_conv_rollup,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
-        "order_distribution": _q_order_distribution,
-        "cube_revenue": _q_cube_revenue,
         # -- dedup family (one canonical query per algorithm) ----------------
         "dedup_exact": _q_dedup_exact,
         "minhash_pairs": _q_minhash_pairs,
@@ -2000,6 +2032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": _q_seq_pack,
         "mixture_sample": _q_mixture_sample,
         "quality_rank_filter": _q_quality_rank_filter,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "dsir_select": _q_dsir_select,
         "curation_pipeline": _q_curation_pipeline,
         "zorder_stats": _q_zorder_stats,
         "tfidf_terms": _q_tfidf_terms,
@@ -2070,6 +2104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _q_corpus_shuffle,
         "viewers_not_buyers": _q_viewers_not_buyers,
         "shipping_priority": _q_shipping_priority,
+        "order_distribution": _q_order_distribution,
+        "cube_revenue": _q_cube_revenue,
     }
 
 
@@ -2383,6 +2419,16 @@ def _classifier_oracle(which: str) -> str:
 def _lm_oracle() -> str:
     from cld2_spark.operators.ngram_lm import lm_score_oracle_sql
     return lm_score_oracle_sql(min_count=2)
+
+
+def _ccnet_oracle() -> str:
+    from cld2_spark.operators.ngram_lm import ccnet_buckets_oracle_sql
+    return ccnet_buckets_oracle_sql(min_count=2)
+
+
+def _dsir_oracle() -> str:
+    from cld2_spark.operators.dsir import dsir_oracle_sql
+    return dsir_oracle_sql("source IN ('src0', 'src1')", k=50)
 
 
 def _zorder_oracle() -> str:
@@ -3101,6 +3147,8 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": _classifier_oracle("score"),
         "zorder_stats": _zorder_oracle(),
         "lm_score": _lm_oracle(),
+        "ccnet_buckets": _ccnet_oracle(),
+        "dsir_select": _dsir_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

@@ -130,6 +130,70 @@ def lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return score_stupid_backoff(df, uni, big, total, text_col, id_col)
 
 
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", size_col: str = "n_chars",
+                  min_count: int = MIN_COUNT) -> DataFrame:
+    """CCNet head/middle/tail corpus partition (Wenzek et al. 2020):
+    order documents by LM fluency (best first) and cut the corpus into
+    three buckets each holding one third of the CHARACTERS — the
+    published rule is thirds of corpus volume, not thirds of document
+    count, so long documents move the boundary.
+
+    Integer-exact end to end: the fluency key is `lm_score`'s ppm
+    integer, the cumulative character count is an exact distributed
+    prefix sum (`operators/prefix.running_total` — range partition +
+    per-partition offsets, never a single-task global window), and the
+    tertile test is cross-multiplied (`3 * cum <= tot`), so the DuckDB
+    oracle replays training, scoring, the scan, and the cut live.
+
+    Docs with fewer than two tokens have no LM score and no bucket
+    (standard CCNet behavior: unscorable fragments are filtered before
+    bucketing).
+    """
+    from cld2_spark.operators.prefix import running_total
+
+    scored = lm_score(df, text_col, id_col, min_count)
+    sized = (scored.join(df.select(id_col, size_col), id_col)
+             .withColumn("__neg", -F.col("avg_score_ppm")))
+    cum = running_total(sized, ["__neg", id_col], size_col,
+                        out_col="cum_chars")
+    tot = sized.agg(F.sum(size_col).cast("bigint").alias("__tot"))
+    return (cum.crossJoin(F.broadcast(tot))
+            .select(id_col, "avg_score_ppm",
+                    F.col(size_col).cast("bigint").alias(size_col),
+                    "cum_chars",
+                    F.expr("CASE WHEN 3 * cum_chars <= __tot THEN 'head' "
+                           "WHEN 3 * cum_chars <= 2 * __tot THEN 'middle' "
+                           "ELSE 'tail' END").alias("bucket")))
+
+
+def ccnet_buckets_oracle_sql(table: str = "documents",
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             size_col: str = "n_chars",
+                             min_count: int = MIN_COUNT) -> str:
+    """LIVE DuckDB replica: the embedded lm_score oracle feeds an exact
+    windowed running sum (ordering keys are unique, so RANGE == ROWS)
+    and the same cross-multiplied tertile rule."""
+    lm = lm_score_oracle_sql(table, text_col, id_col, min_count)
+    return f"""
+WITH cb_lm AS MATERIALIZED (FROM ({lm})),
+cb_j AS (
+  SELECT l.{id_col}, l.avg_score_ppm, CAST(d.{size_col} AS BIGINT) AS sz
+  FROM cb_lm l JOIN {table} d USING ({id_col})),
+cb_c AS (
+  SELECT {id_col}, avg_score_ppm, sz,
+    CAST(SUM(sz) OVER (ORDER BY avg_score_ppm DESC, {id_col}) AS BIGINT)
+      AS cum_chars,
+    CAST(SUM(sz) OVER () AS BIGINT) AS tot
+  FROM cb_j)
+SELECT {id_col}, avg_score_ppm, sz AS {size_col}, cum_chars,
+  CASE WHEN 3 * cum_chars <= tot THEN 'head'
+       WHEN 3 * cum_chars <= 2 * tot THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM cb_c"""
+
+
 def lm_score_oracle_sql(table: str = "documents", text_col: str = "text",
                         id_col: str = "doc_id",
                         min_count: int = MIN_COUNT) -> str:
