@@ -1987,6 +1987,40 @@ def _q_dsir_select(spark, sf_dir):
                        k=50)
 
 
+def _q_textrank(spark, sf_dir):
+    """TextRank corpus keywords (operators/graph.textrank_keywords,
+    Mihalcea & Tarau 2004): weighted PageRank over the adjacent-pair
+    word co-occurrence graph, 5 rounds, integer-exact ppm damping
+    850/1000 — the DuckDB oracle replays graph construction and every
+    iteration live as an unrolled MATERIALIZED WITH chain. Per
+    iteration: one vocabulary-sized shuffle join + one map-side
+    combinable groupBy; the edge table persists once."""
+    from cld2_spark.operators.graph import textrank_keywords
+    _register(spark, sf_dir)
+    return textrank_keywords(spark.table("documents"), k=50)
+
+
+def _q_kanon_grams(spark, sf_dir):
+    """k-anonymous n-gram release (operators/curation.kanon_grams):
+    a 3-gram is releasable only if it occurs in >= 5 DISTINCT documents
+    (per-doc grams deduped in-row BEFORE the explode, so the shuffled
+    rows are already (doc, gram)-unique and the distinct-doc count is a
+    plain map-side-combinable count)."""
+    from cld2_spark.operators.curation import kanon_grams
+    _register(spark, sf_dir)
+    return kanon_grams(spark.table("documents"), n=3, k_anon=5)
+
+
+def _q_pmi_collocations(spark, sf_dir):
+    """Top-40 PMI collocations (operators/ngram_lm.pmi_collocations,
+    Church & Hanks 1990): rank key is the engine-exact integer ratio
+    c(h,w)*N*10^6 DIV (c(h)*c(w)); counts reuse the bigram-LM
+    aggregation, selection is TakeOrderedAndProject."""
+    from cld2_spark.operators.ngram_lm import pmi_collocations
+    _register(spark, sf_dir)
+    return pmi_collocations(spark.table("documents"), k=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate checks the FIRST 50 entries in
     dict order.  The first 50 therefore hold the canonical query for every
@@ -2030,13 +2064,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "decontam": _q_decontam,
         "seq_pack": _q_seq_pack,
-        "mixture_sample": _q_mixture_sample,
         "quality_rank_filter": _q_quality_rank_filter,
         "ccnet_buckets": _q_ccnet_buckets,
         "dsir_select": _q_dsir_select,
+        "kanon_grams": _q_kanon_grams,
         "curation_pipeline": _q_curation_pipeline,
         "zorder_stats": _q_zorder_stats,
-        "tfidf_terms": _q_tfidf_terms,
+        # -- graph -------------------------------------------------------------
+        "textrank_keywords": _q_textrank,
         "classifier_train": _q_classifier_train,
         "bpe_encode": _q_bpe_encode,
         # -- events / streaming ----------------------------------------------
@@ -2106,6 +2141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,
         "order_distribution": _q_order_distribution,
         "cube_revenue": _q_cube_revenue,
+        "tfidf_terms": _q_tfidf_terms,
+        "mixture_sample": _q_mixture_sample,
+        "pmi_collocations": _q_pmi_collocations,
     }
 
 
@@ -2429,6 +2467,21 @@ def _ccnet_oracle() -> str:
 def _dsir_oracle() -> str:
     from cld2_spark.operators.dsir import dsir_oracle_sql
     return dsir_oracle_sql("source IN ('src0', 'src1')", k=50)
+
+
+def _textrank_oracle() -> str:
+    from cld2_spark.operators.graph import textrank_oracle_sql
+    return textrank_oracle_sql(k=50)
+
+
+def _kanon_oracle() -> str:
+    from cld2_spark.operators.curation import kanon_grams_oracle_sql
+    return kanon_grams_oracle_sql(n=3, k_anon=5)
+
+
+def _pmi_oracle() -> str:
+    from cld2_spark.operators.ngram_lm import pmi_oracle_sql
+    return pmi_oracle_sql(k=40)
 
 
 def _zorder_oracle() -> str:
@@ -3149,6 +3202,9 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _lm_oracle(),
         "ccnet_buckets": _ccnet_oracle(),
         "dsir_select": _dsir_oracle(),
+        "textrank_keywords": _textrank_oracle(),
+        "kanon_grams": _kanon_oracle(),
+        "pmi_collocations": _pmi_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

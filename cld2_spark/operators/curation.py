@@ -521,3 +521,53 @@ def sample_k_per_group(df: DataFrame, group_col: str, k: int,
     return (df.withColumn("sample_key", key)
               .withColumn("rk", F.row_number().over(w))
               .where(F.col("rk") <= k))
+
+
+def kanon_grams(df: DataFrame, n: int = 3, k_anon: int = 20,
+                text_col: str = "text", id_col: str = "doc_id"
+                ) -> DataFrame:
+    """k-anonymous n-gram release: the privacy-preserving vocabulary-
+    export rule (the federated-learning / differential-release heuristic
+    used when publishing corpus statistics) — an n-gram may be released
+    only if it occurs in at least `k_anon` DISTINCT documents, so no
+    released gram can be traced to fewer than k sources. Returns
+    (gram, n_docs) for every releasable gram.
+
+    Distributed shape (100 TB): in-row n-gram construction (array
+    higher-order functions, no posexplode self-join), then per-doc
+    DISTINCT grams collapsed map-side (array_distinct BEFORE the
+    explode, so a gram repeated inside one document contributes one row,
+    not one per occurrence), then ONE map-side-combinable
+    groupBy(gram).count() — the count of distinct docs, because the
+    input rows are already (doc, gram)-unique. Shuffle volume is the
+    per-doc distinct-gram set, and the released table is tiny by
+    construction (Zipf head)."""
+    toks = _TOK.format(c=text_col)
+    grams = (f"array_distinct(CASE WHEN size({toks}) >= {n} THEN "
+             f"transform(sequence(1, size({toks}) - {n} + 1), "
+             f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+             f"ELSE array() END)")
+    return (df.where(F.col(text_col).isNotNull())
+            .select(id_col, F.explode(F.expr(grams)).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") >= k_anon))
+
+
+def kanon_grams_oracle_sql(table: str = "documents", n: int = 3,
+                           k_anon: int = 20, text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """LIVE DuckDB replica of the k-anonymity release rule."""
+    toks = ("list_filter(string_split(trim(regexp_replace(lower("
+            f"{text_col}), '\\s+', ' ', 'g')), ' '), t -> t <> '')")
+    return f"""
+WITH ka_tok AS MATERIALIZED (
+  SELECT {id_col}, {toks} AS toks FROM {table}
+  WHERE {text_col} IS NOT NULL),
+ka_g AS (
+  SELECT DISTINCT {id_col}, g AS gram
+  FROM (SELECT {id_col},
+          unnest(list_transform(generate_series(1, len(toks) - {n} + 1),
+                 i -> array_to_string(toks[i:i + {n} - 1], ' '))) AS g
+        FROM ka_tok WHERE len(toks) >= {n}))
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ka_g GROUP BY gram HAVING COUNT(*) >= {k_anon}"""

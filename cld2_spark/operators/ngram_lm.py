@@ -231,3 +231,63 @@ SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
   CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm,
   CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm
 FROM lm_scored GROUP BY {id_col}"""
+
+
+def pmi_collocations(df: DataFrame, k: int = 50, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 5
+                     ) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    corpus-statistics extractor (Church & Hanks 1990) a curation
+    pipeline uses to find multiword terms worth protecting from
+    tokenizer splits.
+
+    PMI = log p(h,w) / (p(h) p(w)) is monotone in the integer ratio
+    c(h,w) * N / (c(h) * c(w)), so the rank key is the engine-exact
+
+        pmi_ratio_ppm = (c(h,w) * N * 10^6) DIV (c(h) * c(w))
+
+    (counts and nonnegative floor division only — no logs, no floats;
+    the same integer-rank recipe as tf-idf and DSIR). `min_count`
+    prunes hapax pairs exactly as in the published form.
+
+    Scale: reuses the bigram-LM count aggregation (map-side combinable,
+    Zipf-pruned shuffle); the rank join is gram-keyed on the PRUNED
+    tables; selection is TakeOrderedAndProject. int64 bound:
+    c(h,w) * N * 10^6 < 2^63 — holds to N ~ 9e5 * max-pair-count;
+    past it flip the numerator to DECIMAL(38,0), ranking unchanged."""
+    uni, big, total = train_bigram_lm(df, text_col, id_col, min_count=1)
+    big = big.where(F.col("chw") >= min_count)
+    uh = uni.select(F.col("w").alias("h"), F.col("cw").alias("ch"))
+    return (big.join(F.broadcast(uh), "h").join(F.broadcast(uni), "w")
+            .crossJoin(F.broadcast(total))
+            .select("h", "w", "chw",
+                    F.expr("(chw * n_tokens * CAST(1000000 AS BIGINT)) "
+                           "DIV (ch * cw)").alias("pmi_ratio_ppm"))
+            .orderBy(F.desc("pmi_ratio_ppm"), F.asc("h"), F.asc("w"))
+            .limit(k))
+
+
+def pmi_oracle_sql(table: str = "documents", k: int = 50,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   min_count: int = 5) -> str:
+    """LIVE DuckDB replica: same counts, same integer PMI ratio."""
+    toks = _TOKS_DUCK.format(c=text_col)
+    return f"""
+WITH pm_tok AS MATERIALIZED (
+  SELECT {id_col}, {toks} AS toks FROM {table}
+  WHERE {text_col} IS NOT NULL),
+pm_uni AS MATERIALIZED (
+  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS cw
+  FROM (SELECT unnest(toks) AS tok FROM pm_tok) GROUP BY tok),
+pm_big AS (
+  SELECT h, w, CAST(COUNT(*) AS BIGINT) AS chw
+  FROM (SELECT unnest(toks[1:len(toks) - 1]) AS h,
+               unnest(toks[2:len(toks)]) AS w
+        FROM pm_tok WHERE len(toks) >= 2)
+  GROUP BY h, w HAVING COUNT(*) >= {min_count}),
+pm_n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tokens FROM pm_uni)
+SELECT b.h, b.w, b.chw,
+  (b.chw * n.n_tokens * 1000000) // (uh.cw * uw.cw) AS pmi_ratio_ppm
+FROM pm_big b JOIN pm_uni uh ON b.h = uh.w
+JOIN pm_uni uw ON b.w = uw.w CROSS JOIN pm_n n
+ORDER BY pmi_ratio_ppm DESC, b.h ASC, b.w ASC LIMIT {k}"""
