@@ -2021,6 +2021,80 @@ def _q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(spark.table("documents"), k=40)
 
 
+def _context_trim_sql(dialect: str, budget: int = 40) -> str:
+    """Per-conversation context-window packing: keep the maximal SUFFIX
+    of turns whose total token count fits the budget — the transform
+    that turns raw transcripts into model-context-sized training rows
+    (most-recent-turns-win, the standard chat-truncation rule).
+
+    Shape: ONE window over the table's native (conv_id, turn_idx)
+    bucketing — a co-located sort per conversation, no extra shuffle at
+    10^12 turns. The reverse cumulative token sum is an explicit
+    ROWS-frame running total; kept = cum_tail <= budget."""
+    from cld2_spark.operators.ngram_lm import _TOKS_DUCK, _TOKS_SPARK
+    toks = (_TOKS_SPARK if dialect == "spark" else _TOKS_DUCK).format(c="text")
+    ln = "size" if dialect == "spark" else "len"
+    return (
+        f"SELECT conv_id, turn_idx, n_tokens, cum_tail, "
+        f"cum_tail <= {budget} AS kept FROM ("
+        f"SELECT conv_id, turn_idx, n_tokens, "
+        f"CAST(SUM(n_tokens) OVER (PARTITION BY conv_id "
+        f"ORDER BY turn_idx DESC "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        f"AS cum_tail FROM (SELECT conv_id, turn_idx, "
+        f"CAST({ln}({toks}) AS BIGINT) AS n_tokens "
+        f"FROM transcripts) ct_t) ct_s")
+
+
+def _q_context_trim(spark, sf_dir):
+    _register(spark, sf_dir)
+    return spark.sql(_context_trim_sql("spark"))
+
+
+# Dialect-shared SQL (no regex, no dialect-divergent functions): per-
+# conversation structural-integrity audit over a deterministically
+# decimated view (the modulus drop injects the gaps/adjacent-role
+# repeats a real ingestion estate shows).  Flags: conversation does not
+# open with a user turn, adjacent turns with the same role, turn_idx
+# discontinuities.  Shape: window + groupBy on the SAME conv_id key --
+# one shuffle, then co-located sort and aggregation; at 10^12 turns
+# this rides the table's native conv_id bucketing.
+_TURN_INTEGRITY_SQL = """
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_role_repeats,
+  CAST(SUM(CASE WHEN prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_idx_gaps,
+  MAX(CASE WHEN rn = 1 AND role <> 'user' THEN TRUE ELSE FALSE END)
+    AS bad_start
+FROM (
+  SELECT conv_id, turn_idx, role,
+    LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+    LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+      AS prev_idx,
+    ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM (SELECT conv_id, turn_idx, role FROM transcripts
+        WHERE (CAST(substring(conv_id, 2) AS INT) + turn_idx * 3) % 7
+              <> 0) ti_k
+) ti_w GROUP BY conv_id"""
+
+
+def _q_turn_integrity(spark, sf_dir):
+    _register(spark, sf_dir)
+    return spark.sql(_TURN_INTEGRITY_SQL)
+
+
+def _q_kcenter(spark, sf_dir):
+    """Greedy k-center diversity selection (Gonzalez farthest-point
+    traversal) over int8-quantized embeddings — exact BIGINT distances,
+    centers travel as codegen literals, the assignment is one shuffle-
+    free projection (operators/similarity.kcenter_select)."""
+    from cld2_spark.operators.similarity import kcenter_select
+    _register(spark, sf_dir)
+    return kcenter_select(spark.table("embeddings"), k=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate checks the FIRST 50 entries in
     dict order.  The first 50 therefore hold the canonical query for every
@@ -2144,6 +2218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": _q_tfidf_terms,
         "mixture_sample": _q_mixture_sample,
         "pmi_collocations": _q_pmi_collocations,
+        "context_trim": _q_context_trim,
+        "turn_integrity": _q_turn_integrity,
+        "kcenter_select": _q_kcenter,
     }
 
 
@@ -2482,6 +2559,11 @@ def _kanon_oracle() -> str:
 def _pmi_oracle() -> str:
     from cld2_spark.operators.ngram_lm import pmi_oracle_sql
     return pmi_oracle_sql(k=40)
+
+
+def _kcenter_oracle() -> str:
+    from cld2_spark.operators.similarity import kcenter_oracle_sql
+    return kcenter_oracle_sql(k=6)
 
 
 def _zorder_oracle() -> str:
@@ -3205,6 +3287,9 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _textrank_oracle(),
         "kanon_grams": _kanon_oracle(),
         "pmi_collocations": _pmi_oracle(),
+        "context_trim": f"{_duck_ctes()} {_context_trim_sql('duckdb')}",
+        "turn_integrity": f"{_duck_ctes()} {_TURN_INTEGRITY_SQL}",
+        "kcenter_select": _kcenter_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

@@ -623,3 +623,112 @@ def pq_adc_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
             .where(F.col("rank") <= k)
             .select("qid", "nid", "adist", F.col("rank").cast("int")
                     .alias("rank")))
+
+
+def kcenter_select(df: DataFrame, k: int = 6, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center diversity selection (Gonzalez 1985, the farthest-
+    point traversal) — the coreset / diversity-sampling step a curation
+    pipeline runs to pick maximally-spread exemplars before manual
+    review or active learning. Returns every vector assigned to its
+    nearest selected center: (id, center_id, d2).
+
+    Engine-exact: vectors are int8-quantized first (quantize_embeddings,
+    the same recipe kmeans_assign uses), so every distance is an exact
+    BIGINT sum of squared integer deltas — no float-aggregation hazard
+    across engines. Seed = MIN(id); each round picks the point whose
+    min-distance to the chosen set is largest (ties -> smaller id).
+    Greedy k-center is a 2-approximation to the optimal covering radius.
+
+    Distributed shape (100 TB): the code table is cached once; each of
+    the k rounds is ONE TakeOrderedAndProject scan (k rows per partition
+    move to the driver — never the corpus) with the running min-distance
+    maintained as a cumulative least() column, so round r costs r
+    inline-literal distance evaluations, not a join. Centers travel as
+    codegen literals — no broadcast join, no shuffle anywhere. The final
+    assignment is a single whole-stage-codegen projection: least() over
+    k literal (d2, rank, id) structs picks the argmin in-row. k is
+    bounded by codegen expression size (~k*dim integer literals per
+    projection; keep k*dim under ~64K tokens — k<=100 at dim 64), which
+    is exactly the regime greedy k-center is used in."""
+    codes = (quantize_embeddings(df, vec_col, id_col)
+             .select(F.col(id_col).alias("kid"), "codes"))
+    codes.persist()
+    try:
+        def d2(center_codes: list[int]) -> str:
+            arr = "array(" + ", ".join(str(int(x)) for x in center_codes) + ")"
+            return (f"aggregate(zip_with(codes, {arr}, (a, b) -> "
+                    f"(CAST(a AS BIGINT) - b) * (CAST(a AS BIGINT) - b)), "
+                    f"CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+        seed = codes.orderBy(F.asc("kid")).head(1)[0]
+        centers = [(0, int(seed["kid"]), [int(x) for x in seed["codes"]])]
+        cur = codes.withColumn("mind", F.expr(d2(centers[0][2])))
+        for r in range(1, k):
+            far = cur.orderBy(F.desc("mind"), F.asc("kid")).head(1)
+            if not far:
+                break
+            row = far[0]
+            centers.append((r, int(row["kid"]), [int(x) for x in row["codes"]]))
+            cur = cur.withColumn(
+                "mind", F.expr(f"least(mind, {d2(centers[-1][2])})"))
+        structs = ", ".join(
+            f"named_struct('d2', {d2(c)}, 'rk', {r}, "
+            f"'cid', CAST({cid} AS BIGINT))"
+            for r, cid, c in centers)
+        pick = f"least({structs})" if len(centers) > 1 else f"({structs})"
+        return (codes.withColumn("pick", F.expr(pick))
+                .select(F.col("kid").alias(id_col),
+                        F.col("pick.cid").alias("center_id"),
+                        F.col("pick.d2").alias("d2")))
+    finally:
+        codes.unpersist(blocking=False)
+
+
+def kcenter_oracle_sql(k: int = 6, table: str = "embeddings",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """LIVE DuckDB replica of kcenter_select: the same quantization CTEs
+    the kmeans oracle uses, then the greedy traversal unrolled as
+    (farthest-point LIMIT 1 -> running LEAST) CTE pairs, then the
+    nearest-center assignment via ROW_NUMBER."""
+    def dd(v: str, c: str) -> str:
+        t = f"(CAST({v}.codes[i] AS BIGINT) - {c}.codes[i])"
+        return (f"CAST(list_sum(list_transform(generate_series(1, "
+                f"len({v}.codes)), i -> {t} * {t})) AS BIGINT)")
+
+    ctes = [
+        ("kc_q", f"SELECT {id_col} AS kid, list_max(list_transform("
+                 f"{vec_col}, x -> abs(CAST(x AS DOUBLE)))) / 127.0 "
+                 f"AS scale, {vec_col} AS emb FROM {table}"),
+        ("kc_c", "SELECT kid, CASE WHEN scale = 0 THEN "
+                 "list_transform(emb, x -> 0) ELSE "
+                 "list_transform(emb, x -> CAST(round("
+                 "CAST(x AS DOUBLE) / scale) AS INTEGER)) END AS codes "
+                 "FROM kc_q"),
+        ("kc_cent0", "SELECT kid, codes FROM kc_c "
+                     "WHERE kid = (SELECT MIN(kid) FROM kc_c)"),
+        ("kc_d0", f"SELECT v.kid, v.codes, {dd('v', 'c')} AS mind "
+                  f"FROM kc_c v CROSS JOIN kc_cent0 c"),
+    ]
+    for r in range(1, k):
+        ctes += [
+            (f"kc_cent{r}", f"SELECT kid, codes FROM kc_d{r - 1} "
+                            f"ORDER BY mind DESC, kid ASC LIMIT 1"),
+            (f"kc_d{r}", f"SELECT v.kid, v.codes, LEAST(v.mind, "
+                         f"{dd('v', 'c')}) AS mind "
+                         f"FROM kc_d{r - 1} v CROSS JOIN kc_cent{r} c"),
+        ]
+    cent_union = " UNION ALL ".join(
+        f"SELECT {r} AS rk, kid, codes FROM kc_cent{r}" for r in range(k))
+    ctes += [
+        ("kc_cent", cent_union),
+        ("kc_all", f"SELECT v.kid, c.kid AS center_id, c.rk, "
+                   f"{dd('v', 'c')} AS d2 "
+                   f"FROM kc_c v CROSS JOIN kc_cent c"),
+    ]
+    body = ", ".join(f"{name} AS ({sql})" for name, sql in ctes)
+    return (f"WITH {body} SELECT kid AS {id_col}, "
+            f"CAST(center_id AS BIGINT) AS center_id, d2 FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY kid "
+            f"ORDER BY d2 ASC, rk ASC) AS rn FROM kc_all) WHERE rn = 1")

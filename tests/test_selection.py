@@ -1,0 +1,123 @@
+"""Greedy k-center selection, context-window trimming, turn integrity."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cld2_spark.operators.similarity import kcenter_select
+
+
+def _vecs(spark, arrs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in a]) for i, a in enumerate(arrs)],
+        "vec_id long, embedding array<float>")
+
+
+def _quantize(a):
+    a = np.asarray(a, dtype=np.float64)
+    m = np.abs(a).max()
+    if m == 0:
+        return np.zeros(len(a), dtype=np.int64)
+    # numpy rounds half-even; Spark/DuckDB round half away from zero
+    x = a / (m / 127.0)
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+
+def _simulate_kcenter(arrs, k):
+    codes = np.stack([_quantize(a) for a in arrs])
+    n = len(codes)
+    centers = [0]                              # seed = MIN(vec_id)
+    mind = ((codes - codes[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        best = max(range(n), key=lambda i: (mind[i], -i))
+        centers.append(best)
+        mind = np.minimum(mind, ((codes - codes[best]) ** 2).sum(axis=1))
+    assign = {}
+    for i in range(n):
+        d = [(int(((codes[i] - codes[c]) ** 2).sum()), r, c)
+             for r, c in enumerate(centers)]
+        d2, _, c = min(d)
+        assign[i] = (c, d2)
+    return centers, assign
+
+
+def test_kcenter_matches_greedy_simulator(spark):
+    rng = np.random.RandomState(7)
+    arrs = rng.randn(40, 8) * 3.0
+    got = {r.vec_id: (r.center_id, r.d2)
+           for r in kcenter_select(_vecs(spark, arrs), k=5).collect()}
+    centers, assign = _simulate_kcenter(arrs, k=5)
+    assert got == assign
+    assert sorted(set(c for c, _ in got.values())) == sorted(centers)
+
+
+def test_kcenter_centers_have_zero_distance_and_cover(spark):
+    rng = np.random.RandomState(11)
+    arrs = rng.randn(30, 6)
+    rows = kcenter_select(_vecs(spark, arrs), k=4).collect()
+    centers = {r.center_id for r in rows}
+    assert len(centers) == 4
+    by_id = {r.vec_id: r for r in rows}
+    for c in centers:
+        assert by_id[c].center_id == c and by_id[c].d2 == 0
+    # the covering radius shrinks (weakly) vs a 1-center solution
+    one = kcenter_select(_vecs(spark, arrs), k=1).collect()
+    assert max(r.d2 for r in rows) <= max(r.d2 for r in one)
+
+
+def test_kcenter_seed_is_min_id_and_farthest_second(spark):
+    # per-vector scale makes quantization direction-only, so spread the
+    # fixture in ANGLE: vec 2 points the opposite way from the seed
+    arrs = [[1.0, 0.0], [0.9, 0.1], [-1.0, 0.0], [0.8, 0.2]]
+    rows = kcenter_select(_vecs(spark, arrs), k=2).collect()
+    centers = {r.center_id for r in rows}
+    assert 0 in centers          # seed = MIN(vec_id)
+    assert 2 in centers          # farthest direction from the seed
+
+
+def _transcripts(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+
+
+def test_context_trim_keeps_maximal_suffix(spark):
+    from __spark_entry__ import _context_trim_sql
+    _transcripts(spark, [
+        ("c1", 0, "user", "a b c d e"),        # 5 tokens
+        ("c1", 1, "assistant", "f g h"),       # 3
+        ("c1", 2, "user", "i j"),              # 2
+        ("c1", 3, "assistant", "k l m n"),     # 4
+        ("c2", 0, "user", ""),                 # 0 tokens
+    ]).createOrReplaceTempView("transcripts")
+    got = {(r.conv_id, r.turn_idx): r
+           for r in spark.sql(_context_trim_sql("spark", budget=9)).collect()}
+    # suffix sums from the end in c1: t3=4, t2=6, t1=9, t0=14
+    assert [got[("c1", i)].kept for i in range(4)] == [False, True, True, True]
+    assert got[("c1", 0)].cum_tail == 14
+    assert got[("c1", 1)].cum_tail == 9        # exactly at budget: kept
+    assert got[("c2", 0)].n_tokens == 0 and got[("c2", 0)].kept
+    # kept rows always form a contiguous suffix
+    kept_idx = [i for i in range(4) if got[("c1", i)].kept]
+    assert kept_idx == list(range(min(kept_idx), 4))
+
+
+def test_turn_integrity_flags(spark):
+    from __spark_entry__ import _TURN_INTEGRITY_SQL
+    # conv c3: idx 0,1,2 -> (3 + idx*3) % 7 = 3,6,2 -> none dropped
+    # conv c4: idx 0,1,2,3 -> (4 + idx*3) % 7 = 4,0,3,6 -> idx 1 dropped
+    _transcripts(spark, [
+        ("c3", 0, "user", "x"),
+        ("c3", 1, "assistant", "x"),
+        ("c3", 2, "user", "x"),
+        ("c4", 0, "assistant", "x"),           # bad start
+        ("c4", 1, "user", "x"),                # dropped by the decimator
+        ("c4", 2, "assistant", "x"),           # repeat after the drop + gap
+        ("c4", 3, "assistant", "x"),           # true adjacent repeat
+    ]).createOrReplaceTempView("transcripts")
+    got = {r.conv_id: r for r in spark.sql(_TURN_INTEGRITY_SQL).collect()}
+    assert got["c3"].n_turns == 3
+    assert not got["c3"].bad_start
+    assert got["c3"].n_role_repeats == 0 and got["c3"].n_idx_gaps == 0
+    assert got["c4"].n_turns == 3
+    assert got["c4"].bad_start
+    assert got["c4"].n_role_repeats == 2       # 0->2 (drop) and 2->3
+    assert got["c4"].n_idx_gaps == 1           # 0 -> 2
