@@ -223,3 +223,40 @@ def test_dup_span_cuts_window_is_per_document(spark):
                        plan)
     assert specs, plan
     assert all("doc_id" in s for s in specs), specs
+
+
+def test_kcenter_assignment_is_shuffle_free(spark):
+    """kcenter_select's nearest-center assignment must stay ONE codegen
+    projection over the scan: centers are inline literals, so there is
+    no join, no exchange, and no Python stage anywhere in the plan --
+    the property that makes the assignment free at 10^12 vectors."""
+    from cld2_spark.operators.similarity import kcenter_select
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kcenter_select(emb, k=3)
+    stats = plan_stats(out)
+    plan = formatted_plan(out)
+    assert stats["exchanges"] == 0, plan
+    assert stats["python_stages"] == 0, plan
+    assert "Join" not in plan, plan
+
+
+def test_context_trim_single_colocated_window(spark):
+    """context_trim is one window over (conv_id): exactly one exchange
+    (the conv_id hash partitioning the table is already bucketed by in
+    production) and zero Python stages."""
+    import __spark_entry__ as E
+    df = E.queries()["context_trim"](spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    assert stats["exchanges"] == 1, formatted_plan(df)
+    assert stats["python_stages"] == 0
+
+
+def test_turn_integrity_window_and_agg_share_one_exchange(spark):
+    """turn_integrity's LAG window and its GROUP BY both key on conv_id:
+    Catalyst must reuse ONE hashpartitioning(conv_id) exchange for both
+    (plus at most a partial-agg pass), never re-shuffle between them."""
+    import __spark_entry__ as E
+    df = E.queries()["turn_integrity"](spark, "/root/testdata/sf0.001")
+    stats = plan_stats(df)
+    assert stats["exchanges"] == 1, formatted_plan(df)
+    assert stats["python_stages"] == 0
