@@ -1133,6 +1133,38 @@ def _q_bpe_merges(spark, sf_dir):
     return merges_df(spark, merges)
 
 
+def _q_wordpiece_encode(spark, sf_dir):
+    """Distributed WordPiece tokenization (operators/tokenizer, the
+    third tokenizer family): same one-shuffle histogram shape as BPE;
+    the merge criterion is the WordPiece likelihood ratio
+    count(ab)/(count(a)*count(b)) compared by exact integer cross
+    multiplication; encode is the BERT greedy longest-match-first rule
+    in a single ArrowEvalPython stage (vocab set in the UDF closure).
+    Oracle: an INDEPENDENT single-node WordPiece frozen at sf0.01
+    (re-derived each CI run, tools/freeze_expected
+    .py:_wordpiece_fixtures)."""
+    from cld2_spark.operators.tokenizer import (encode_corpus_wordpiece,
+                                                train_wordpiece)
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    _, vocab = train_wordpiece(docs, num_merges=40, min_count=2,
+                               max_words=20_000)
+    return encode_corpus_wordpiece(ensure_parallelism(docs), vocab)
+
+
+def _q_wordpiece_vocab(spark, sf_dir):
+    """The learned WordPiece merge products in rank order — deterministic
+    given the corpus (exact rational argmax, ties to the smaller pair).
+    Same frozen independent-implementation oracle as wordpiece_encode."""
+    from cld2_spark.operators.tokenizer import (train_wordpiece,
+                                                wordpiece_vocab_df)
+    _register(spark, sf_dir)
+    merged, _ = train_wordpiece(spark.table("documents"), num_merges=40,
+                                min_count=2, max_words=20_000)
+    return wordpiece_vocab_df(spark, merged)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Composite Gopher document filter (operators/curation
     .gopher_quality): word-count band, mean-word-length band, symbol
@@ -2221,6 +2253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_trim": _q_context_trim,
         "turn_integrity": _q_turn_integrity,
         "kcenter_select": _q_kcenter,
+        "wordpiece_encode": _q_wordpiece_encode,
+        "wordpiece_vocab": _q_wordpiece_vocab,
     }
 
 
@@ -3275,6 +3309,15 @@ def oracle_sql() -> dict[str, str]:
         "unigram_vocab": (
             f"SELECT * FROM "
             f"read_parquet('{_FIXDIR}/expected_unigram_vocab_sf0_01"
+            f".parquet')"),
+        # independent single-node WordPiece implementation, frozen
+        "wordpiece_encode": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_wordpiece_encode_sf0_01"
+            f".parquet')"),
+        "wordpiece_vocab": (
+            f"SELECT * FROM "
+            f"read_parquet('{_FIXDIR}/expected_wordpiece_vocab_sf0_01"
             f".parquet')"),
         # LIVE oracles: DuckDB replays the full 12-iteration integer
         # fixed-point GD run / the Morton bit algebra — nothing frozen

@@ -324,3 +324,143 @@ def encode_corpus_unigram(df: DataFrame, counts: dict,
     total = sum(counts.values())
     return _encode_stats_df(
         df, lambda w: viterbi_segment(w, counts, total), id_col, text_col)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer (BERT-style), likelihood-ratio greedy variant
+# ---------------------------------------------------------------------------
+# The THIRD production tokenizer family (after BPE and unigram-LM above).
+# Training is the same distributed shape: the corpus-sized work is the ONE
+# word-histogram shuffle; the merge loop runs on the bounded histogram
+# (vocabulary-sized driver step). The WordPiece merge criterion prefers
+# the pair maximizing count(ab) / (count(a) * count(b)) — a likelihood
+# ratio — which is compared EXACTLY by integer cross multiplication
+# (pc1 * ca2 * cb2 vs pc2 * ca1 * cb1), no floats, so an independent
+# single-node implementation of this spec reproduces the vocab and every
+# segmentation bit-for-bit (the frozen-oracle contract, mirroring BPE).
+#
+# Canonical spec (shared by trainer, encoder, and the independent oracle
+# in tools/freeze_expected.py):
+#   * a word is seeded as [w[0], '##'+w[1], ..., '##'+w[-1]] — the BERT
+#     continuation convention; every non-initial symbol carries '##';
+#   * merge round: c(sym) = sum of word freq over symbol occurrences,
+#     pc(a,b) = sum of word freq over adjacent pairs; best pair = max
+#     pc/(c(a)*c(b)) by cross multiplication, ties -> smaller (a, b);
+#     merged symbol = a + b[2:] (b is always a continuation);
+#   * final vocab = all symbols in the final segmentations UNION the
+#     initial single-character alphabet (so greedy encode always has a
+#     fallback for seen characters);
+#   * encode: greedy longest-match-first (the BERT WordPiece algorithm):
+#     at word start match the longest plain-form vocab prefix, after it
+#     the longest '##'-form piece; any position with no match makes the
+#     WHOLE word '[UNK]'. Fully deterministic.
+
+WP_UNK = "[UNK]"
+
+
+def _wp_syms(word: str) -> List[str]:
+    return [word[0]] + ["##" + ch for ch in word[1:]]
+
+
+def learn_wordpiece(word_counts: Sequence[Tuple[str, int]],
+                    num_merges: int) -> tuple[List[str], set]:
+    """WordPiece merge learning over a (word, count) histogram.
+
+    Returns (merged_tokens_in_rank_order, final_vocab). Cost is
+    O(num_merges * sum(len(word))) over DISTINCT words only —
+    corpus-size independent, the same bound as learn_merges."""
+    vocab: List[Tuple[List[str], int]] = [
+        (_wp_syms(w), c) for w, c in word_counts if w]
+    alphabet: set = set()
+    for syms, _ in vocab:
+        alphabet.update(syms)
+    merged_tokens: List[str] = []
+    for _ in range(num_merges):
+        sym_c: dict = {}
+        pair_c: dict = {}
+        for syms, c in vocab:
+            for s in syms:
+                sym_c[s] = sym_c.get(s, 0) + c
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_c[p] = pair_c.get(p, 0) + c
+        if not pair_c:
+            break
+        # argmax pc/(ca*cb) by exact cross multiplication; ties -> the
+        # lexicographically smaller pair
+        best, bp, bd = None, 0, 1
+        for (a, b), pc in pair_c.items():
+            d = sym_c[a] * sym_c[b]
+            if best is None or pc * bd > bp * d or (
+                    pc * bd == bp * d and (a, b) < best):
+                best, bp, bd = (a, b), pc, d
+        a, b = best
+        merged = a + b[2:]
+        merged_tokens.append(merged)
+
+        def mrg(syms: List[str]) -> List[str]:
+            out: List[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        vocab = [(mrg(s), c) if a in s else (s, c) for s, c in vocab]
+    final_vocab: set = set(alphabet)
+    for syms, _ in vocab:
+        final_vocab.update(syms)
+    return merged_tokens, final_vocab
+
+
+def encode_word_wordpiece(word: str, vocab: set,
+                          max_piece: int | None = None) -> List[str]:
+    """Greedy longest-match-first WordPiece encode (BERT rule)."""
+    if max_piece is None:
+        max_piece = max((len(p) for p in vocab), default=1)
+    pieces: List[str] = []
+    i, n = 0, len(word)
+    while i < n:
+        j = min(n, i + max_piece)
+        while j > i:
+            cand = word[i:j] if i == 0 else "##" + word[i:j]
+            if cand in vocab:
+                pieces.append(cand)
+                break
+            j -= 1
+        else:
+            return [WP_UNK]
+        i = j
+    return pieces
+
+
+def train_wordpiece(df: DataFrame, num_merges: int, text_col: str = "text",
+                    min_count: int = 1, max_words: int = 200_000,
+                    ) -> tuple[List[str], set]:
+    """Distributed WordPiece training: Spark word histogram + local merge
+    loop. The collect is the pruned histogram (<= max_words rows), not
+    corpus data — the same documented driver-side bound as train_bpe."""
+    hist = word_histogram(df, text_col, min_count, max_words).collect()
+    return learn_wordpiece([(r["word"], r["cnt"]) for r in hist], num_merges)
+
+
+def wordpiece_vocab_df(spark: SparkSession, merged_tokens: Sequence[str],
+                       ) -> DataFrame:
+    """Learned merge products in rank order as a DataFrame."""
+    rows = [(i, t) for i, t in enumerate(merged_tokens)]
+    return spark.createDataFrame(rows, "rank INT, token STRING")
+
+
+def encode_corpus_wordpiece(df: DataFrame, vocab: set,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Encode every document with the learned WordPiece vocab (the vocab
+    set travels in the UDF closure; see _encode_stats_df for the
+    single-Arrow-stage shape shared by all three tokenizer families)."""
+    mp = max((len(p) for p in vocab), default=1)
+    return _encode_stats_df(
+        df, lambda w: encode_word_wordpiece(w, vocab, mp), id_col, text_col)

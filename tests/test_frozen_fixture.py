@@ -16,7 +16,8 @@ from tools.freeze_expected import (BPE_ENCODE_FILE, BPE_MERGES_FILE,
                                    LANGID_FILE, MEDIA_FEATURES_FILE,
                                    SPANS_FILE, THUMBS_FILE,
                                    UNI_ENCODE_FILE, UNI_VOCAB_FILE,
-                                   VIDEO_FEATURES_FILE, compute_fixtures)
+                                   VIDEO_FEATURES_FILE, WP_ENCODE_FILE,
+                                   WP_VOCAB_FILE, compute_fixtures)
 
 SF_DIR = "/root/testdata/sf0.01"
 FIXDIR = Path(__file__).parent / "data"
@@ -34,7 +35,8 @@ def recomputed():
                                    JPEG_COLOR_FILE, VIDEO_FEATURES_FILE,
                                    COMPRESSION_FILE, THUMBS_FILE,
                                    BPE_MERGES_FILE, BPE_ENCODE_FILE,
-                                   UNI_VOCAB_FILE, UNI_ENCODE_FILE])
+                                   UNI_VOCAB_FILE, UNI_ENCODE_FILE,
+                                   WP_VOCAB_FILE, WP_ENCODE_FILE])
 def test_fixture_matches_recompute(recomputed, fname):
     frozen = pq.read_table(FIXDIR / fname)
     fresh = recomputed[fname]

@@ -151,3 +151,63 @@ class TestUnigram:
         for did, th in zip(fenc["doc_id"].to_pylist(),
                            fenc["tok_hash"].to_pylist()):
             assert enc[did] == th
+
+
+class TestWordPiece:
+    def test_likelihood_ratio_prefers_reliable_pair(self):
+        from cld2_spark.operators.tokenizer import learn_wordpiece
+        # BPE would merge ('a','##b') first (count 15); WordPiece's
+        # pc/(ca*cb) picks the rare-but-exclusive ('c','##d') pair
+        merged, vocab = learn_wordpiece(
+            [("abab", 10), ("ab", 5), ("cd", 3)], 1)
+        assert merged == ["cd"]
+        assert "cd" in vocab and "##d" in vocab
+
+    def test_tie_breaks_to_smaller_pair(self):
+        from cld2_spark.operators.tokenizer import learn_wordpiece
+        # round 2 of the hand case: three pairs tie at ratio 1/25;
+        # ('##a','##b') is the lexicographically smallest
+        merged, _ = learn_wordpiece(
+            [("abab", 10), ("ab", 5), ("cd", 3)], 2)
+        assert merged == ["cd", "##ab"]
+
+    def test_greedy_longest_match_and_unk(self):
+        from cld2_spark.operators.tokenizer import encode_word_wordpiece
+        vocab = {"a", "##b", "##bab", "cd", "##d", "c"}
+        assert encode_word_wordpiece("abab", vocab) == ["a", "##bab"]
+        assert encode_word_wordpiece("ab", vocab) == ["a", "##b"]
+        # one unmatchable position poisons the WHOLE word (BERT rule)
+        assert encode_word_wordpiece("abx", vocab) == ["[UNK]"]
+        assert encode_word_wordpiece("zq", vocab) == ["[UNK]"]
+
+    def test_merged_symbol_strips_continuation_prefix(self):
+        from cld2_spark.operators.tokenizer import learn_wordpiece
+        merged, vocab = learn_wordpiece([("xy", 4)], 1)
+        assert merged == ["xy"]           # not 'x##y'
+        # the word now encodes to its own single piece
+        from cld2_spark.operators.tokenizer import encode_word_wordpiece
+        assert encode_word_wordpiece("xy", vocab) == ["xy"]
+
+    def test_spark_train_matches_frozen_fixture(self, spark):
+        import pyarrow.parquet as pq
+        from pathlib import Path
+        from cld2_spark.operators.tokenizer import (
+            encode_corpus_wordpiece, train_wordpiece, wordpiece_vocab_df)
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        merged, vocab = train_wordpiece(docs, num_merges=40, min_count=2,
+                                        max_words=20_000)
+        frozen = pq.read_table(Path(__file__).parent / "data"
+                               / "expected_wordpiece_vocab_sf0_01.parquet")
+        got = [(r.rank, r.token)
+               for r in wordpiece_vocab_df(spark, merged)
+               .orderBy("rank").collect()]
+        want = list(zip(frozen["rank"].to_pylist(),
+                        frozen["token"].to_pylist()))
+        assert got == want
+        enc = {r.doc_id: r.tok_hash for r in
+               encode_corpus_wordpiece(docs, vocab).collect()}
+        fenc = pq.read_table(Path(__file__).parent / "data"
+                             / "expected_wordpiece_encode_sf0_01.parquet")
+        for did, th in zip(fenc["doc_id"].to_pylist(),
+                           fenc["tok_hash"].to_pylist()):
+            assert enc[did] == th

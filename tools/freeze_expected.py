@@ -60,6 +60,10 @@ UNI_SEED_MIN = 2
 BPE_NUM_MERGES = 40
 BPE_MIN_COUNT = 2
 BPE_MAX_WORDS = 20_000
+# WordPiece shares the histogram bounds; MUST match _q_wordpiece_*
+WP_NUM_MERGES = 40
+WP_VOCAB_FILE = "expected_wordpiece_vocab_sf0_01.parquet"
+WP_ENCODE_FILE = "expected_wordpiece_encode_sf0_01.parquet"
 
 _LANGID_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("turn_idx", pa.int32()),
@@ -146,7 +150,8 @@ def compute_fixtures(sf_dir: str) -> dict[str, pa.Table]:
             COMPRESSION_FILE: _compression_ratio_fixture(sf_dir),
             THUMBS_FILE: _thumbnails_fixture(sf_dir),
             **_bpe_fixtures(sf_dir),
-            **_unigram_fixtures(sf_dir)}
+            **_unigram_fixtures(sf_dir),
+            **_wordpiece_fixtures(sf_dir)}
 
 
 def _bpe_fixtures(sf_dir: str) -> dict[str, pa.Table]:
@@ -232,6 +237,111 @@ def _bpe_fixtures(sf_dir: str) -> dict[str, pa.Table]:
         "tok_hash": pa.array(th, type=pa.string()),
     })
     return {BPE_MERGES_FILE: merges_tbl, BPE_ENCODE_FILE: enc_tbl}
+
+
+def _wordpiece_fixtures(sf_dir: str) -> dict[str, pa.Table]:
+    """Expected `wordpiece_vocab` + `wordpiece_encode` rows via an
+    INDEPENDENT single-node WordPiece (plain Counter loops written
+    against the spec in operators/tokenizer.py's WordPiece section, not
+    by importing it). The merge criterion pc/(ca*cb) is compared by
+    integer cross multiplication, so the two implementations must agree
+    bit-for-bit."""
+    import hashlib
+    import re
+    from collections import Counter
+    from fractions import Fraction
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM read_parquet("
+        f"'{sf_dir}/documents.parquet') ORDER BY doc_id").fetchall()
+    con.close()
+
+    ws = re.compile(r"[ \t\n\r\f]+")
+    wc: Counter = Counter()
+    for _, text in rows:
+        wc.update(w for w in ws.split(text or "") if w)
+    hist = sorted(((w, c) for w, c in wc.items() if c >= BPE_MIN_COUNT),
+                  key=lambda kv: (-kv[1], kv[0]))[:BPE_MAX_WORDS]
+
+    vocab = [([w[0]] + ["##" + ch for ch in w[1:]], c) for w, c in hist]
+    alphabet = {s for syms, _ in vocab for s in syms}
+    merged_tokens: list[str] = []
+    for _ in range(WP_NUM_MERGES):
+        sc: Counter = Counter()
+        pc: Counter = Counter()
+        for syms, c in vocab:
+            for s in syms:
+                sc[s] += c
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        # Fraction is exact rational arithmetic == the cross-multiplied
+        # integer compare in the Spark-side trainer
+        best = min(pc.items(),
+                   key=lambda kv: (-Fraction(kv[1],
+                                             sc[kv[0][0]] * sc[kv[0][1]]),
+                                   kv[0]))[0]
+        a, b = best
+        merged = a + b[2:]
+        merged_tokens.append(merged)
+
+        def mrg(syms):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            return out
+
+        vocab = [(mrg(s), c) for s, c in vocab]
+
+    fvocab = set(alphabet)
+    for syms, _ in vocab:
+        fvocab.update(syms)
+    mp = max((len(p) for p in fvocab), default=1)
+
+    vocab_tbl = pa.table({
+        "rank": pa.array(range(len(merged_tokens)), type=pa.int32()),
+        "token": pa.array(merged_tokens, type=pa.string()),
+    })
+
+    def enc_word(word):
+        pieces, i, n = [], 0, len(word)
+        while i < n:
+            j = min(n, i + mp)
+            while j > i:
+                cand = word[i:j] if i == 0 else "##" + word[i:j]
+                if cand in fvocab:
+                    pieces.append(cand)
+                    break
+                j -= 1
+            else:
+                return ["[UNK]"]
+            i = j
+        return pieces
+
+    ids, n_tok, ppw, th = [], [], [], []
+    for did, text in rows:
+        words = [w for w in ws.split(text or "") if w]
+        pieces: list[str] = []
+        for w in words:
+            pieces.extend(enc_word(w))
+        ids.append(int(did))
+        n_tok.append(len(pieces))
+        ppw.append(len(pieces) * 100 // len(words) if words else 0)
+        th.append(hashlib.md5(" ".join(pieces).encode("utf-8")).hexdigest())
+    enc_tbl = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "n_tokens": pa.array(n_tok, type=pa.int64()),
+        "n_pieces_per_100_words": pa.array(ppw, type=pa.int64()),
+        "tok_hash": pa.array(th, type=pa.string()),
+    })
+    return {WP_VOCAB_FILE: vocab_tbl, WP_ENCODE_FILE: enc_tbl}
 
 
 def _unigram_fixtures(sf_dir: str) -> dict[str, pa.Table]:
