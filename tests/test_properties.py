@@ -132,3 +132,30 @@ def test_mutated_real_mp4_never_crashes(buf):
         off = (len(buf) * 7919) % max(len(base) - len(buf), 1)
         base[off:off + len(buf)] = buf
     mjpeg_video_features(bytes(base))
+
+
+@given(st.lists(st.tuples(st.text(alphabet="abcdef", min_size=1,
+                                  max_size=8),
+                          st.integers(min_value=1, max_value=50)),
+                min_size=1, max_size=12),
+       st.integers(min_value=0, max_value=10))
+@settings(max_examples=60, deadline=None)
+def test_wordpiece_train_encode_invariants(word_counts, n_merges):
+    """WordPiece invariants on arbitrary histograms: training never
+    crashes; every trained word round-trips through greedy encode with
+    no [UNK] (its characters are all in the alphabet) and the pieces
+    reassemble the word exactly; unseen characters yield [UNK]."""
+    from cld2_spark.operators.tokenizer import (WP_UNK, encode_word_wordpiece,
+                                                learn_wordpiece)
+    # dedupe words (histogram semantics)
+    hist = list({w: c for w, c in word_counts}.items())
+    merged, vocab = learn_wordpiece(hist, n_merges)
+    assert len(merged) <= n_merges
+    for w, _ in hist:
+        pieces = encode_word_wordpiece(w, vocab)
+        assert WP_UNK not in pieces, (w, pieces)
+        assert "".join(p[2:] if p.startswith("##") else p
+                       for p in pieces) == w
+        assert all((i == 0) != p.startswith("##")
+                   for i, p in enumerate(pieces))
+    assert encode_word_wordpiece("zzz", vocab) == [WP_UNK]
