@@ -2127,6 +2127,50 @@ def _q_kcenter(spark, sf_dir):
     return kcenter_select(spark.table("embeddings"), k=6)
 
 
+# planted near-duplicate conversations: every conversation plus a copy
+# (conv_id prefixed 'd') missing ~1/5 of its turns by a deterministic
+# modulus — the re-crawled/re-imported-chat-log shape conversation-level
+# dedup exists for. Dialect-shared SQL over the transcripts view.
+_DUP_CONVS_SQL = (
+    "SELECT conv_id, text FROM transcripts "
+    "UNION ALL "
+    "SELECT 'd' || conv_id AS conv_id, text FROM transcripts "
+    "WHERE (turn_idx * 3 + length(text)) % 5 <> 0")
+
+
+def _q_conv_dedup(spark, sf_dir):
+    """Conversation-level near-dup pairs (operators/dedup
+    .conv_dedup_pairs): distinct turn-hash sets per conversation, then
+    the inverted-index + df-cap + exact-Jaccard verify shape shared with
+    ngram_jaccard_pairs, generalized to arbitrary item sets
+    (itemset_jaccard_pairs)."""
+    from cld2_spark.operators.dedup import conv_dedup_pairs
+    _register(spark, sf_dir)
+    return conv_dedup_pairs(spark.sql(_DUP_CONVS_SQL))
+
+
+def _conv_dedup_oracle() -> str:
+    """LIVE DuckDB replica: same dup view, same index/prune/verify."""
+    return f"""{_duck_ctes()}, dc AS ({_DUP_CONVS_SQL}),
+cdp_it AS (SELECT DISTINCT conv_id AS id,
+           md5(coalesce(text, '')) AS h FROM dc),
+cdp_sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM cdp_it GROUP BY id),
+cdp_kp AS (SELECT h FROM cdp_it GROUP BY h
+           HAVING COUNT(*) BETWEEN 2 AND 64),
+cdp_cd AS (SELECT x.id AS a, y.id AS b, CAST(COUNT(*) AS INT) AS common
+           FROM cdp_it x JOIN cdp_kp USING (h) JOIN cdp_it y USING (h)
+           WHERE x.id < y.id GROUP BY x.id, y.id HAVING COUNT(*) >= 2),
+cdp_iv AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS inter
+           FROM cdp_it x JOIN cdp_it y USING (h) WHERE x.id < y.id
+           GROUP BY x.id, y.id)
+SELECT c.a, c.b, c.common,
+  CAST(FLOOR(v.inter * 100 / (sa.n + sb.n - v.inter)) AS INT) AS jacc_pct
+FROM cdp_cd c JOIN cdp_iv v ON c.a = v.a AND c.b = v.b
+JOIN cdp_sz sa ON c.a = sa.id JOIN cdp_sz sb ON c.b = sb.id
+WHERE FLOOR(v.inter * 100 / (sa.n + sb.n - v.inter)) >= 50"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate checks the FIRST 50 entries in
     dict order.  The first 50 therefore hold the canonical query for every
@@ -2255,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": _q_kcenter,
         "wordpiece_encode": _q_wordpiece_encode,
         "wordpiece_vocab": _q_wordpiece_vocab,
+        "conv_dedup": _q_conv_dedup,
     }
 
 
@@ -3333,6 +3378,7 @@ def oracle_sql() -> dict[str, str]:
         "context_trim": f"{_duck_ctes()} {_context_trim_sql('duckdb')}",
         "turn_integrity": f"{_duck_ctes()} {_TURN_INTEGRITY_SQL}",
         "kcenter_select": _kcenter_oracle(),
+        "conv_dedup": _conv_dedup_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

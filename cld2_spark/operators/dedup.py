@@ -781,3 +781,70 @@ def duplicated_span_cuts_duck_sql(w: int = 16, table: str = "dup_docs",
         f"CAST(MAX(start) + {w - 1} AS BIGINT) AS cut_end, "
         f"CAST(MAX(start) + {w - 1} - MIN(start) + 1 AS BIGINT) AS n_tok "
         f"FROM sc_i GROUP BY {id_col}, island")
+
+
+def itemset_jaccard_pairs(sets: DataFrame, id_col: str = "id",
+                          items_col: str = "s", min_common: int = 2,
+                          df_cap: int = BUCKET_CAP,
+                          min_jaccard_pct: int = 50) -> DataFrame:
+    """Near-dup pairs over ARBITRARY per-entity item sets — the
+    entity-level generalization of ngram_jaccard_pairs (same inverted
+    index + df-cap pruning + exact verify), decoupled from tokenization
+    so the items can be turn-content hashes (conversation dedup),
+    attachment digests, cited-URL sets, etc.
+
+    `sets` carries one row per entity: (id, array of DISTINCT items).
+    Returns (a, b, common, jacc_pct) exactly as ngram_jaccard_pairs:
+    `common` counts shared INDEXED items (item frequency in [2, df_cap]
+    — hotter items are stop-pruned, losing only candidate evidence),
+    `jacc_pct` is exact over the full sets.
+
+    Scale: the index is a narrow (item, id) relation shuffled on the
+    item; per-item pair fan-out is bounded by df_cap^2; the verify join
+    ships each entity's item array once per surviving candidate side."""
+    sets = _persist_tracked(sets.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.col(items_col)).alias("s")))
+    tok = sets.select("id", F.explode("s").alias("h"))
+    keep = (tok.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+            .where((F.col("c") >= 2) & (F.col("c") <= df_cap))
+            .select("h"))
+    tok2 = tok.join(keep, "h")
+    x = tok2.select("h", F.col("id").alias("a"))
+    y = tok2.select("h", F.col("id").alias("b"))
+    cand = (x.join(y, "h").where(F.col("a") < F.col("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
+            .where(F.col("common") >= min_common))
+    sa, sb = sets.alias("sa"), sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+    union = F.size(F.col("sa.s")) + F.size(F.col("sb.s")) - inter
+    return (cand.join(sa, F.col("a") == F.col("sa.id"))
+            .join(sb, F.col("b") == F.col("sb.id"))
+            .select("a", "b", F.col("common").cast("int").alias("common"),
+                    F.floor(inter * 100 / union).cast("int")
+                    .alias("jacc_pct"))
+            .where(F.col("jacc_pct") >= min_jaccard_pct))
+
+
+def conv_dedup_pairs(transcripts: DataFrame, min_common: int = 2,
+                     df_cap: int = BUCKET_CAP,
+                     min_jaccard_pct: int = 50) -> DataFrame:
+    """Conversation-level near-dup pairs: two conversations are near-
+    duplicates when their DISTINCT turn-content hash sets overlap — the
+    transcript-corpus analogue of document n-gram dedup (re-imported or
+    re-crawled chat logs share most turns verbatim even when a few turns
+    differ). Items = md5(turn text); empty/boilerplate turns shared by
+    many conversations are stop-pruned by the same df_cap rule that
+    kills boilerplate grams.
+
+    One groupBy on conv_id (the table's native key) builds the sets;
+    then itemset_jaccard_pairs. At 10^12 turns the set build rides the
+    existing conv_id bucketing — the only new shuffle is the narrow
+    (hash, conv) inverted index."""
+    sets = (transcripts
+            .groupBy(F.col("conv_id").alias("id"))
+            .agg(F.collect_set(F.md5(F.coalesce(F.col("text"), F.lit(""))))
+                 .alias("s")))
+    return itemset_jaccard_pairs(sets, min_common=min_common,
+                                 df_cap=df_cap,
+                                 min_jaccard_pct=min_jaccard_pct)

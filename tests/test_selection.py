@@ -121,3 +121,30 @@ def test_turn_integrity_flags(spark):
     assert got["c4"].bad_start
     assert got["c4"].n_role_repeats == 2       # 0->2 (drop) and 2->3
     assert got["c4"].n_idx_gaps == 1           # 0 -> 2
+
+
+def test_itemset_jaccard_conversation_dedup(spark):
+    from cld2_spark.operators.dedup import conv_dedup_pairs
+    rows = []
+    # conv A: 10 distinct turns; conv B: the first 8 of them (jacc 80);
+    # conv C: 2 of them + 8 unique (jacc 2/18=11, candidate but filtered)
+    for i in range(10):
+        rows.append(("A", i, "user", f"turn text {i}"))
+    for i in range(8):
+        rows.append(("B", i, "user", f"turn text {i}"))
+    rows.append(("C", 0, "user", "turn text 0"))
+    rows.append(("C", 1, "user", "turn text 1"))
+    for i in range(8):
+        rows.append(("C", 2 + i, "user", f"only in c {i}"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    got = {(r.a, r.b): (r.common, r.jacc_pct)
+           for r in conv_dedup_pairs(df, min_jaccard_pct=50).collect()}
+    assert set(got) == {("A", "B")}
+    common, jacc = got[("A", "B")]
+    assert jacc == 80
+    assert common == 8
+    # lowering the similarity floor admits the weak pair too
+    loose = {(r.a, r.b) for r in
+             conv_dedup_pairs(df, min_jaccard_pct=10).collect()}
+    assert loose == {("A", "B"), ("A", "C"), ("B", "C")}
