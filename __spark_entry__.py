@@ -2138,6 +2138,16 @@ _DUP_CONVS_SQL = (
     "WHERE (turn_idx * 3 + length(text)) % 5 <> 0")
 
 
+def _q_rep_battery(spark, sf_dir):
+    """Full Gopher repetition n-gram battery (operators/curation
+    .rep_ngram_battery): top-n-gram and dup-n-gram character mass for
+    n=2..10 in exact integer ppm, one in-row gram projection + two
+    doc-keyed map-side-combinable aggregations."""
+    from cld2_spark.operators.curation import rep_ngram_battery
+    _register(spark, sf_dir)
+    return rep_ngram_battery(spark.table("documents"))
+
+
 def _q_conv_dedup(spark, sf_dir):
     """Conversation-level near-dup pairs (operators/dedup
     .conv_dedup_pairs): distinct turn-hash sets per conversation, then
@@ -2300,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_encode": _q_wordpiece_encode,
         "wordpiece_vocab": _q_wordpiece_vocab,
         "conv_dedup": _q_conv_dedup,
+        "rep_ngram_battery": _q_rep_battery,
     }
 
 
@@ -2643,6 +2654,11 @@ def _pmi_oracle() -> str:
 def _kcenter_oracle() -> str:
     from cld2_spark.operators.similarity import kcenter_oracle_sql
     return kcenter_oracle_sql(k=6)
+
+
+def _rep_battery_oracle() -> str:
+    from cld2_spark.operators.curation import rep_ngram_battery_oracle_sql
+    return rep_ngram_battery_oracle_sql()
 
 
 def _zorder_oracle() -> str:
@@ -3379,6 +3395,7 @@ def oracle_sql() -> dict[str, str]:
         "turn_integrity": f"{_duck_ctes()} {_TURN_INTEGRITY_SQL}",
         "kcenter_select": _kcenter_oracle(),
         "conv_dedup": _conv_dedup_oracle(),
+        "rep_ngram_battery": _rep_battery_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

@@ -571,3 +571,86 @@ ka_g AS (
         FROM ka_tok WHERE len(toks) >= {n}))
 SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM ka_g GROUP BY gram HAVING COUNT(*) >= {k_anon}"""
+
+
+def rep_ngram_battery(df: DataFrame, ns: tuple = (2, 3, 4, 5, 6, 7, 8, 9, 10),
+                      text_col: str = "text", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """The FULL Gopher repetition n-gram battery (Rae et al. 2021 Table
+    A1): for every n, the character mass of the single most frequent
+    word n-gram (the top-n-gram signal, used for n=2..4) and of ALL
+    duplicated n-grams (the dup-n-gram signal, used for n=5..10), both
+    as exact integer ppm of the document's characters. Long format —
+    one row per (doc, n) with size(toks) >= n — so a filter consumes
+    whichever bands it thresholds. Char mass is the count*len(gram)
+    form (the Dolma/NeMo-Curator implementation of the rule; character
+    positions under overlapping duplicates are counted per occurrence).
+
+    Scale shape: n-gram construction for ALL n is in-row (one array-HOF
+    projection emitting (n, gram) structs — one explode, no self-join);
+    then ONE map-side-combinable groupBy on (doc, n, gram) and one on
+    (doc, n). Token volume is sum_n (len-n+1) rows per doc — the
+    published battery's inherent cost; both shuffles key on the doc id
+    so AQE coalesces them with the corpus partitioning."""
+    tk = _TOK.format(c=text_col)
+    per_n = ", ".join(
+        f"IF(size({tk}) >= {n}, transform(sequence(1, size({tk}) - {n} + 1), "
+        f"i -> named_struct('n', {n}, 'g', "
+        f"concat_ws(' ', slice({tk}, i, {n})))), array())"
+        for n in ns)
+    grams = f"concat({per_n})"
+    c = (df.where(F.col(text_col).isNotNull())
+         .select(id_col, F.length(text_col).alias("n_chars"),
+                 F.explode(F.expr(grams)).alias("t"))
+         .select(id_col, "n_chars", F.col("t.n").alias("n"),
+                 F.col("t.g").alias("g"))
+         .groupBy(id_col, "n_chars", "n", "g")
+         .agg(F.count(F.lit(1)).alias("c")))
+    return (c.groupBy(id_col, F.col("n_chars"), F.col("n"))
+            .agg(F.max(F.struct(F.col("c"), F.length("g").alias("gl"),
+                                F.col("g"))).alias("top"),
+                 F.sum(F.when(F.col("c") > 1,
+                              F.col("c") * F.length("g"))).alias("dupc"))
+            .select(id_col, F.col("n").cast("int").alias("n"),
+                    F.expr("CAST((top.c * top.gl * 1000000L) DIV n_chars "
+                           "AS BIGINT)").alias("top_ppm"),
+                    F.expr("CAST((COALESCE(dupc, 0) * 1000000L) DIV n_chars "
+                           "AS BIGINT)").alias("dup_ppm")))
+
+
+def rep_ngram_battery_oracle_sql(table: str = "documents",
+                                 ns: tuple = (2, 3, 4, 5, 6, 7, 8, 9, 10),
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id") -> str:
+    """LIVE DuckDB replica: same tokenization, same count*len char mass,
+    same (c, len, gram) arg-max tie-break, same integer ppm."""
+    toks = ("list_filter(string_split(trim(regexp_replace(lower("
+            f"{text_col}), '[ \\t\\n\\r\\f]+', ' ', 'g')), ' '), "
+            "t -> t <> '')")
+    nlist = "[" + ", ".join(str(n) for n in ns) + "]"
+    return f"""
+WITH rb_tok AS MATERIALIZED (
+  SELECT {id_col}, length({text_col}) AS n_chars, {toks} AS toks
+  FROM {table} WHERE {text_col} IS NOT NULL),
+rb_n AS (SELECT unnest({nlist}) AS n),
+rb_g AS (
+  SELECT t.{id_col}, t.n_chars, n.n,
+    unnest(list_transform(generate_series(1, len(t.toks) - n.n + 1),
+           i -> array_to_string(t.toks[i:i + n.n - 1], ' '))) AS g
+  FROM rb_tok t JOIN rb_n n ON len(t.toks) >= n.n),
+rb_c AS (
+  SELECT {id_col}, n_chars, n, g, CAST(COUNT(*) AS BIGINT) AS c
+  FROM rb_g GROUP BY {id_col}, n_chars, n, g),
+rb_top AS (
+  SELECT {id_col}, n_chars, n, c, length(g) AS gl FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY {id_col}, n
+      ORDER BY c DESC, length(g) DESC, g DESC) AS rn FROM rb_c)
+  WHERE rn = 1),
+rb_dup AS (
+  SELECT {id_col}, n, CAST(SUM(CASE WHEN c > 1 THEN c * length(g) END)
+    AS BIGINT) AS dupc
+  FROM rb_c GROUP BY {id_col}, n)
+SELECT t.{id_col}, CAST(t.n AS INTEGER) AS n,
+  CAST((t.c * t.gl * 1000000) // t.n_chars AS BIGINT) AS top_ppm,
+  CAST((COALESCE(d.dupc, 0) * 1000000) // t.n_chars AS BIGINT) AS dup_ppm
+FROM rb_top t JOIN rb_dup d ON t.{id_col} = d.{id_col} AND t.n = d.n"""

@@ -308,3 +308,20 @@ class TestSampleExactK:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "TakeOrderedAndProject" in plan
         assert "Exchange rangepartitioning" not in plan
+
+
+def test_rep_ngram_battery_hand_case(spark):
+    from cld2_spark.operators.curation import rep_ngram_battery
+    # "a b a b c": 2-grams = [a b, b a, a b, b c] -> top 'a b' c=2 gl=3;
+    # dup grams: 'a b' (2 occurrences, 3 chars each). n_chars = 9.
+    df = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    got = {r.n: (r.top_ppm, r.dup_ppm)
+           for r in rep_ngram_battery(df, ns=(2, 3)).collect()}
+    assert got[2] == (2 * 3 * 1_000_000 // 9, 2 * 3 * 1_000_000 // 9)
+    # 3-grams = [a b a, b a b, a b c] -> all unique; ties on c=1 break
+    # to longest gl then largest gram -> any 5-char gram; dup mass 0
+    assert got[3] == (1 * 5 * 1_000_000 // 9, 0)
+    # docs shorter than n emit no row for that n
+    short = spark.createDataFrame([(2, "x y")], "doc_id long, text string")
+    ns = {r.n for r in rep_ngram_battery(short, ns=(2, 3, 4)).collect()}
+    assert ns == {2}
