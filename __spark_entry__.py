@@ -2138,6 +2138,33 @@ _DUP_CONVS_SQL = (
     "WHERE (turn_idx * 3 + length(text)) % 5 <> 0")
 
 
+# Dialect-shared SQL: corpus-wide tool-call transition matrix over the
+# agent-transcript `tool` column (the input-hint field no other analytic
+# exercises) — Markov (prev_tool -> tool) counts plus how many distinct
+# conversations exhibit each transition. '^' marks conversation start,
+# '-' a turn with no tool call, so LAG's two NULL meanings stay distinct.
+# Shape: one window on the native conv_id keying, then a tool-vocab^2
+# sized groupBy — map-side combinable, shuffle output is tiny.
+_TOOL_TRANSITIONS_SQL = """
+SELECT prev_tool, tool,
+  CAST(COUNT(*) AS BIGINT) AS n_transitions,
+  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM (
+  SELECT conv_id, COALESCE(tool, '-') AS tool,
+    CASE WHEN ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              = 1 THEN '^'
+         ELSE COALESCE(LAG(tool) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx), '-') END
+      AS prev_tool
+  FROM transcripts) tt_w
+GROUP BY prev_tool, tool"""
+
+
+def _q_tool_transitions(spark, sf_dir):
+    _register(spark, sf_dir)
+    return spark.sql(_TOOL_TRANSITIONS_SQL)
+
+
 def _q_rep_battery(spark, sf_dir):
     """Full Gopher repetition n-gram battery (operators/curation
     .rep_ngram_battery): top-n-gram and dup-n-gram character mass for
@@ -2311,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_vocab": _q_wordpiece_vocab,
         "conv_dedup": _q_conv_dedup,
         "rep_ngram_battery": _q_rep_battery,
+        "tool_transitions": _q_tool_transitions,
     }
 
 
@@ -3396,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select": _kcenter_oracle(),
         "conv_dedup": _conv_dedup_oracle(),
         "rep_ngram_battery": _rep_battery_oracle(),
+        "tool_transitions": f"{_duck_ctes()} {_TOOL_TRANSITIONS_SQL}",
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

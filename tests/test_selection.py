@@ -148,3 +148,22 @@ def test_itemset_jaccard_conversation_dedup(spark):
     loose = {(r.a, r.b) for r in
              conv_dedup_pairs(df, min_jaccard_pct=10).collect()}
     assert loose == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+def test_tool_transitions_start_and_null_markers(spark):
+    from __spark_entry__ import _TOOL_TRANSITIONS_SQL
+    spark.createDataFrame([
+        ("c1", 0, "user", "x", None),
+        ("c1", 1, "assistant", "x", "search"),
+        ("c1", 2, "tool", "x", "search"),
+        ("c2", 0, "user", "x", "python"),
+    ], "conv_id string, turn_idx int, role string, text string, tool string"
+    ).createOrReplaceTempView("transcripts")
+    got = {(r.prev_tool, r.tool): (r.n_transitions, r.n_convs)
+           for r in spark.sql(_TOOL_TRANSITIONS_SQL).collect()}
+    assert got == {
+        ("^", "-"): (1, 1),            # c1 opens with no tool
+        ("-", "search"): (1, 1),       # null prev-tool, not conv start
+        ("search", "search"): (1, 1),  # repeated tool
+        ("^", "python"): (1, 1),       # c2 opens with a tool call
+    }
