@@ -2165,6 +2165,15 @@ def _q_tool_transitions(spark, sf_dir):
     return spark.sql(_TOOL_TRANSITIONS_SQL)
 
 
+def _q_soft_dedup(spark, sf_dir):
+    """Soft dedup over the planted-duplicate corpus (operators/dedup
+    .soft_dedup_weights): every copy kept at integer weight 10^6 DIV k
+    ppm — one text-hash window exchange, no join-back."""
+    from cld2_spark.operators.dedup import soft_dedup_weights
+    _register(spark, sf_dir)
+    return soft_dedup_weights(spark.table("dup_docs"))
+
+
 def _q_rep_battery(spark, sf_dir):
     """Full Gopher repetition n-gram battery (operators/curation
     .rep_ngram_battery): top-n-gram and dup-n-gram character mass for
@@ -2339,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": _q_conv_dedup,
         "rep_ngram_battery": _q_rep_battery,
         "tool_transitions": _q_tool_transitions,
+        "soft_dedup": _q_soft_dedup,
     }
 
 
@@ -3425,6 +3435,13 @@ def oracle_sql() -> dict[str, str]:
         "conv_dedup": _conv_dedup_oracle(),
         "rep_ngram_battery": _rep_battery_oracle(),
         "tool_transitions": f"{_duck_ctes()} {_TOOL_TRANSITIONS_SQL}",
+        "soft_dedup": (
+            f"{_duck_ctes()} "
+            "SELECT doc_id, CAST(COUNT(*) OVER (PARTITION BY "
+            "md5(coalesce(text, ''))) AS BIGINT) AS dup_count, "
+            "CAST(1000000 // COUNT(*) OVER (PARTITION BY "
+            "md5(coalesce(text, ''))) AS BIGINT) AS weight_ppm "
+            "FROM dup_docs"),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

@@ -30,7 +30,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType
 
 N_BANDS = 4
@@ -848,3 +848,25 @@ def conv_dedup_pairs(transcripts: DataFrame, min_common: int = 2,
     return itemset_jaccard_pairs(sets, min_common=min_common,
                                  df_cap=df_cap,
                                  min_jaccard_pct=min_jaccard_pct)
+
+
+def soft_dedup_weights(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """SOFT dedup: keep every copy but down-weight it — the
+    data-constrained-training recipe (train on all k copies at weight
+    1/k so the group contributes one document's worth of gradient)
+    used when dropping duplicates would shrink the corpus below the
+    token budget. Returns every row with its exact-dup group size and
+    the integer training weight 10^6 DIV k ppm.
+
+    Shape: ONE shuffle on the text hash (a window count over the hash
+    partition — no join-back, the group size is attached in the same
+    exchange the grouping itself needs). Weight is integer ppm so the
+    downstream sampler can stay engine-exact."""
+    w = Window.partitionBy(F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+    return (df.select(
+        id_col,
+        F.count(F.lit(1)).over(w).alias("dup_count"))
+        .select(id_col, F.col("dup_count").cast("bigint").alias("dup_count"),
+                F.expr("CAST(1000000 DIV dup_count AS BIGINT)")
+                .alias("weight_ppm")))

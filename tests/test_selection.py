@@ -167,3 +167,14 @@ def test_tool_transitions_start_and_null_markers(spark):
         ("search", "search"): (1, 1),  # repeated tool
         ("^", "python"): (1, 1),       # c2 opens with a tool call
     }
+
+
+def test_soft_dedup_weights_sum_to_one_per_group(spark):
+    from cld2_spark.operators.dedup import soft_dedup_weights
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "same"), (4, "uniq")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.dup_count, r.weight_ppm)
+           for r in soft_dedup_weights(df).collect()}
+    assert got[1] == got[2] == got[3] == (3, 333333)
+    assert got[4] == (1, 1000000)
