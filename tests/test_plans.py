@@ -260,3 +260,25 @@ def test_turn_integrity_window_and_agg_share_one_exchange(spark):
     stats = plan_stats(df)
     assert stats["exchanges"] == 1, formatted_plan(df)
     assert stats["python_stages"] == 0
+
+
+def test_conv_dedup_index_is_ids_only_and_soft_dedup_one_exchange(spark):
+    """conv_dedup's inverted-index self-join must exchange only
+    (hash, conv_id) — turn text and item arrays never ride the candidate
+    shuffle. soft_dedup is exactly ONE window exchange on the text hash
+    with no join anywhere."""
+    import re
+
+    import __spark_entry__ as E
+    df = E.queries()["conv_dedup"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    assert plan_stats(df)["python_stages"] == 0
+
+    sd = E.queries()["soft_dedup"](spark, "/root/testdata/sf0.001")
+    stats = plan_stats(sd)
+    sp = formatted_plan(sd)
+    assert stats["exchanges"] == 1, sp
+    assert "Join" not in sp, sp
+    assert stats["python_stages"] == 0
