@@ -2165,6 +2165,33 @@ def _q_tool_transitions(spark, sf_dir):
     return spark.sql(_TOOL_TRANSITIONS_SQL)
 
 
+def _q_gif_features(spark, sf_dir):
+    """REAL GIF pixel decode (operators/gif.py): every doc_id becomes a
+    conformant GIF89a (16-color global table, real variable-width LZW,
+    interlaced for odd ids, a graphic-control extension for ids % 3 ==
+    0), decoded by the GENERAL decoder (extension skip, local-table
+    support, de-interlace, code==next special case) into integer-exact
+    channel sums plus a raster-position-weighted red sum. Oracle: LIVE
+    id-arithmetic DuckDB replay of the pixel rule — no codec on the
+    oracle side, so the hash verifies the whole LZW chain."""
+    import pandas as pd
+
+    from cld2_spark.operators.gif import encode_gif_fixture, gif_frame_features
+    from cld2_spark.session import ensure_parallelism
+    _register(spark, sf_dir)
+
+    def enc(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            yield pd.DataFrame({
+                "media_id": ids,
+                "payload": [encode_gif_fixture(int(i)) for i in ids]})
+
+    media = (ensure_parallelism(spark.table("documents").select("doc_id"))
+             .mapInPandas(enc, "media_id long, payload binary"))
+    return gif_frame_features(media)
+
+
 def _q_soft_dedup(spark, sf_dir):
     """Soft dedup over the planted-duplicate corpus (operators/dedup
     .soft_dedup_weights): every copy kept at integer weight 10^6 DIV k
@@ -2349,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_ngram_battery": _q_rep_battery,
         "tool_transitions": _q_tool_transitions,
         "soft_dedup": _q_soft_dedup,
+        "gif_features": _q_gif_features,
     }
 
 
@@ -2697,6 +2725,11 @@ def _kcenter_oracle() -> str:
 def _rep_battery_oracle() -> str:
     from cld2_spark.operators.curation import rep_ngram_battery_oracle_sql
     return rep_ngram_battery_oracle_sql()
+
+
+def _gif_oracle() -> str:
+    from cld2_spark.operators.gif import gif_features_oracle_sql
+    return gif_features_oracle_sql()
 
 
 def _zorder_oracle() -> str:
@@ -3442,6 +3475,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1000000 // COUNT(*) OVER (PARTITION BY "
             "md5(coalesce(text, ''))) AS BIGINT) AS weight_ppm "
             "FROM dup_docs"),
+        "gif_features": _gif_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "
