@@ -204,7 +204,14 @@ def main() -> None:
                      "lm_score", "unigram_encode",
                      # round 6 session 5: winnowing fingerprints,
                      # count-min heavy hitters
-                     "winnow_fingerprints", "heavy_hitters"]:
+                     "winnow_fingerprints", "heavy_hitters",
+                     # round 6 session 6: TextRank keyword PageRank,
+                     # greedy k-center selection, context-window trim,
+                     # WordPiece encode, conversation dedup, GIF LZW
+                     # decode, repetition battery
+                     "textrank_keywords", "kcenter_select",
+                     "context_trim", "wordpiece_encode", "conv_dedup",
+                     "gif_features", "rep_ngram_battery"]:
             queries[name] = round(time_query(E.queries()[name], spark, SF_DIR), 3)
     finally:
         spark.stop()
