@@ -282,3 +282,25 @@ def test_conv_dedup_index_is_ids_only_and_soft_dedup_one_exchange(spark):
     assert stats["exchanges"] == 1, sp
     assert "Join" not in sp, sp
     assert stats["python_stages"] == 0
+
+
+def test_wordpiece_and_gif_single_python_stage(spark):
+    """wordpiece_encode's corpus stage is ONE ArrowEvalPython projection
+    with zero exchanges (the training shuffle happens before, on the
+    bounded histogram); gif_features is one mapInPandas stage over the
+    narrow id scan — no shuffle in either decode path."""
+    from cld2_spark.operators.tokenizer import (encode_corpus_wordpiece,
+                                                train_wordpiece)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _, vocab = train_wordpiece(docs, num_merges=5, min_count=1,
+                               max_words=1000)
+    enc = encode_corpus_wordpiece(docs, vocab)
+    stats = plan_stats(enc)
+    assert stats["exchanges"] == 0, formatted_plan(enc)
+    assert stats["python_stages"] == 1
+
+    import __spark_entry__ as E
+    gif = E.queries()["gif_features"](spark, "/root/testdata/sf0.001")
+    gstats = plan_stats(gif)
+    assert gstats["python_stages"] <= 2, formatted_plan(gif)   # enc + feat
+    assert gstats["exchanges"] <= 1, formatted_plan(gif)  # guarded repart
