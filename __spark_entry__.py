@@ -2165,6 +2165,29 @@ def _q_tool_transitions(spark, sf_dir):
     return spark.sql(_TOOL_TRANSITIONS_SQL)
 
 
+# tokens that actually occur in the synthetic corpus, so both branches
+# of the keep verdict are exercised
+_BLOCKLIST = ["slow", "hash", "panic"]
+
+
+def _q_blocklist(spark, sf_dir):
+    """C4-style token blocklist (operators/textstats.blocklist_hits):
+    exact-token matching against an inline literal list in one codegen
+    projection — zero shuffle."""
+    from cld2_spark.operators.textstats import blocklist_hits
+    _register(spark, sf_dir)
+    return blocklist_hits(spark.table("documents"), _BLOCKLIST)
+
+
+def _q_lexical_diversity(spark, sf_dir):
+    """Unbiased Simpson repeat index in exact integer ppm (operators/
+    textstats.lexical_diversity) — the log-free diversity/degeneracy
+    quality signal; one (doc, token) combinable count + one doc agg."""
+    from cld2_spark.operators.textstats import lexical_diversity
+    _register(spark, sf_dir)
+    return lexical_diversity(spark.table("documents"))
+
+
 def _q_gif_features(spark, sf_dir):
     """REAL GIF pixel decode (operators/gif.py): every doc_id becomes a
     conformant GIF89a (16-color global table, real variable-width LZW,
@@ -2377,6 +2400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": _q_tool_transitions,
         "soft_dedup": _q_soft_dedup,
         "gif_features": _q_gif_features,
+        "blocklist_hits": _q_blocklist,
+        "lexical_diversity": _q_lexical_diversity,
     }
 
 
@@ -2730,6 +2755,16 @@ def _rep_battery_oracle() -> str:
 def _gif_oracle() -> str:
     from cld2_spark.operators.gif import gif_features_oracle_sql
     return gif_features_oracle_sql()
+
+
+def _blocklist_oracle() -> str:
+    from cld2_spark.operators.textstats import blocklist_oracle_sql
+    return blocklist_oracle_sql(_BLOCKLIST)
+
+
+def _lexdiv_oracle() -> str:
+    from cld2_spark.operators.textstats import lexical_diversity_oracle_sql
+    return lexical_diversity_oracle_sql()
 
 
 def _zorder_oracle() -> str:
@@ -3476,6 +3511,8 @@ def oracle_sql() -> dict[str, str]:
             "md5(coalesce(text, ''))) AS BIGINT) AS weight_ppm "
             "FROM dup_docs"),
         "gif_features": _gif_oracle(),
+        "blocklist_hits": _blocklist_oracle(),
+        "lexical_diversity": _lexdiv_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

@@ -166,3 +166,96 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
             .withColumn("ratio_ppm",
                         F.expr("CASE WHEN n_raw = 0 THEN 0 "
                                "ELSE (n_comp * 1000000L) DIV n_raw END")))
+
+
+_TS_TOK = "split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')), ' ')"
+
+
+def blocklist_hits(df: DataFrame, blocked: list[str],
+                   text_col: str = "text", id_col: str = "doc_id"
+                   ) -> DataFrame:
+    """Token-level blocklist filter (the C4 'bad words' rule): count the
+    blocked-token occurrences per document and keep documents with zero
+    hits. The blocklist travels as an inline array literal inside ONE
+    whole-stage-codegen projection — no shuffle, no UDF, no broadcast
+    join (real blocklists are a few thousand tokens; past the codegen
+    literal ceiling swap the filter for a broadcast left_semi on the
+    exploded tokens, same semantics).
+
+    Matching is exact-token (post lowercase/whitespace-normalize), the
+    published C4 form — substring matching would also hit Scunthorpe-
+    style false positives."""
+    toks = _TS_TOK.format(c=text_col)
+    lit = "array(" + ", ".join(
+        "'" + b.replace("'", "\\'") + "'" for b in sorted(blocked)) + ")"
+    n = (f"CAST(size(filter({toks}, t -> array_contains({lit}, t))) "
+         f"AS BIGINT)")
+    return (df.where(F.col(text_col).isNotNull())
+            .select(id_col, F.expr(n).alias("n_blocked"))
+            .withColumn("keep", F.col("n_blocked") == 0))
+
+
+def blocklist_oracle_sql(blocked: list[str], table: str = "documents",
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    """LIVE DuckDB replica of the token blocklist rule."""
+    toks = ("list_filter(string_split(trim(regexp_replace(lower("
+            f"{text_col}), '[ \\t\\n\\r\\f]+', ' ', 'g')), ' '), "
+            "t -> t <> '')")
+    lit = "[" + ", ".join(
+        "'" + b.replace("'", "''") + "'" for b in sorted(blocked)) + "]"
+    return (f"SELECT {id_col}, CAST(len(list_filter({toks}, "
+            f"t -> list_contains({lit}, t))) AS BIGINT) AS n_blocked, "
+            f"len(list_filter({toks}, t -> list_contains({lit}, t))) = 0 "
+            f"AS keep FROM {table} WHERE {text_col} IS NOT NULL")
+
+
+def lexical_diversity(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Per-document lexical diversity via the UNBIASED Simpson repeat
+    index: sum c_i(c_i-1) / (n(n-1)) — the probability two tokens drawn
+    without replacement are the same type. Low = diverse text, high =
+    degenerate repetition. Chosen over Shannon entropy because it is
+    EXACT in integer ppm (no logs), so the cross-engine oracle contract
+    holds bit-for-bit; it orders documents the same way on the
+    degenerate-repetition tail entropy filters target.
+
+    Shape: one (doc, token) map-side-combinable count, one doc-keyed
+    agg — the token_stats shuffle pattern. Docs with n < 2 emit
+    repeat_ppm = 0 (no pair exists)."""
+    toks = _TS_TOK.format(c=text_col)
+    return (df.where(F.col(text_col).isNotNull())
+            .select(id_col, F.explode(F.expr(toks)).alias("tok"))
+            .where(F.col("tok") != "")
+            .groupBy(id_col, "tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy(id_col)
+            .agg(F.sum("c").alias("n"),
+                 F.sum(F.expr("c * (c - 1)")).alias("rep"),
+                 F.count(F.lit(1)).alias("n_types"))
+            .select(id_col, F.col("n").cast("bigint").alias("n_tokens"),
+                    F.col("n_types").cast("bigint").alias("n_types"),
+                    F.expr("CAST(CASE WHEN n < 2 THEN 0 ELSE "
+                           "(rep * 1000000L) DIV (n * (n - 1)) END "
+                           "AS BIGINT)").alias("repeat_ppm")))
+
+
+def lexical_diversity_oracle_sql(table: str = "documents",
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id") -> str:
+    """LIVE DuckDB replica: same counts, same integer Simpson ppm."""
+    toks = ("list_filter(string_split(trim(regexp_replace(lower("
+            f"{text_col}), '[ \\t\\n\\r\\f]+', ' ', 'g')), ' '), "
+            "t -> t <> '')")
+    return f"""
+WITH ld_c AS (
+  SELECT {id_col}, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table}
+        WHERE {text_col} IS NOT NULL)
+  GROUP BY {id_col}, tok)
+SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(CASE WHEN SUM(c) < 2 THEN 0 ELSE
+    (SUM(c * (c - 1)) * 1000000) // (SUM(c) * (SUM(c) - 1)) END
+    AS BIGINT) AS repeat_ppm
+FROM ld_c GROUP BY {id_col}"""

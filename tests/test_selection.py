@@ -178,3 +178,31 @@ def test_soft_dedup_weights_sum_to_one_per_group(spark):
            for r in soft_dedup_weights(df).collect()}
     assert got[1] == got[2] == got[3] == (3, 333333)
     assert got[4] == (1, 1000000)
+
+
+def test_blocklist_hits_counts_occurrences(spark):
+    from cld2_spark.operators.textstats import blocklist_hits
+    df = spark.createDataFrame(
+        [(1, "bad Bad worse fine"), (2, "all clean here"), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_blocked, r.keep)
+           for r in blocklist_hits(df, ["bad", "worse"]).collect()}
+    assert got[1] == (3, False)      # lowercase fold counts 'Bad' too
+    assert got[2] == (0, True)
+    assert got[3] == (0, True)
+
+
+def test_lexical_diversity_simpson_hand_case(spark):
+    from cld2_spark.operators.textstats import lexical_diversity
+    df = spark.createDataFrame(
+        [(1, "a a a a"),              # degenerate: rep = 4*3, n(n-1)=12
+         (2, "a b c d"),              # all distinct: rep 0
+         (3, "a a b b"),              # rep = 2*1*2 = 4, denom 12
+         (4, "solo")],                # n < 2 -> 0
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_types, r.repeat_ppm)
+           for r in lexical_diversity(df).collect()}
+    assert got[1] == (4, 1, 1_000_000)
+    assert got[2] == (4, 4, 0)
+    assert got[3] == (4, 2, 4 * 1_000_000 // 12)
+    assert got[4] == (1, 1, 0)
