@@ -2165,6 +2165,33 @@ def _q_tool_transitions(spark, sf_dir):
     return spark.sql(_TOOL_TRANSITIONS_SQL)
 
 
+def _conv_pacing_sql(dialect: str) -> str:
+    """Per-conversation pacing over the `ts` input-hint column (the last
+    hint field without a batch analytic) — inter-turn gap extremes/total
+    and wall duration in exact integer epoch seconds. Shape: one LAG
+    window + one groupBy, both on the native conv_id key. Only the
+    epoch-seconds extractor differs by dialect."""
+    es = ("CAST(unix_timestamp(ts) AS BIGINT)" if dialect == "spark"
+          else "CAST(epoch(ts) AS BIGINT)")
+    return f"""
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+  CAST(SUM(gap_s) AS BIGINT) AS total_gap_s,
+  CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_s
+FROM (
+  SELECT conv_id, es,
+    COALESCE(es - LAG(es) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+             0) AS gap_s
+  FROM (SELECT conv_id, turn_idx, {es} AS es FROM transcripts) cp_e
+) cp_w GROUP BY conv_id"""
+
+
+def _q_conv_pacing(spark, sf_dir):
+    _register(spark, sf_dir)
+    return spark.sql(_conv_pacing_sql("spark"))
+
+
 # tokens that actually occur in the synthetic corpus, so both branches
 # of the keep verdict are exercised
 _BLOCKLIST = ["slow", "hash", "panic"]
@@ -2402,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_features": _q_gif_features,
         "blocklist_hits": _q_blocklist,
         "lexical_diversity": _q_lexical_diversity,
+        "conv_pacing": _q_conv_pacing,
     }
 
 
@@ -3513,6 +3541,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_features": _gif_oracle(),
         "blocklist_hits": _blocklist_oracle(),
         "lexical_diversity": _lexdiv_oracle(),
+        "conv_pacing": f"{_duck_ctes()} {_conv_pacing_sql('duckdb')}",
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

@@ -206,3 +206,22 @@ def test_lexical_diversity_simpson_hand_case(spark):
     assert got[2] == (4, 4, 0)
     assert got[3] == (4, 2, 4 * 1_000_000 // 12)
     assert got[4] == (1, 1, 0)
+
+
+def test_conv_pacing_gap_arithmetic(spark):
+    import datetime as dt
+    from __spark_entry__ import _conv_pacing_sql
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+    spark.createDataFrame([
+        ("c1", 0, base),
+        ("c1", 1, base + dt.timedelta(seconds=30)),
+        ("c1", 2, base + dt.timedelta(seconds=300)),   # 270 s pause
+        ("c2", 0, base),                               # single turn
+    ], "conv_id string, turn_idx int, ts timestamp"
+    ).createOrReplaceTempView("transcripts")
+    got = {r.conv_id: r for r in
+           spark.sql(_conv_pacing_sql("spark")).collect()}
+    assert (got["c1"].n_turns, got["c1"].max_gap_s,
+            got["c1"].total_gap_s, got["c1"].duration_s) == (3, 270, 300, 300)
+    assert (got["c2"].n_turns, got["c2"].max_gap_s,
+            got["c2"].duration_s) == (1, 0, 0)
