@@ -2192,6 +2192,54 @@ def _q_conv_pacing(spark, sf_dir):
     return spark.sql(_conv_pacing_sql("spark"))
 
 
+def _q_session_windows(spark, sf_dir):
+    """Spark's BUILT-IN session_window operator (the native dynamic-gap
+    session aggregation, usable identically under Structured Streaming
+    state) — complements `event_sessions`, which builds the same
+    sessions manually via gaps-and-islands. 300 s gap; per (user,
+    session) event count and window bounds in epoch seconds. The DuckDB
+    oracle derives the identical sessions with the islands recipe
+    (session end = last event + gap, per the session_window contract)."""
+    _register(spark, sf_dir)
+    return spark.sql(
+        "SELECT user_id, "
+        "CAST(unix_timestamp(session_window.start) AS BIGINT) AS w_start, "
+        "CAST(unix_timestamp(session_window.end) AS BIGINT) AS w_end, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM events "
+        "GROUP BY user_id, session_window(ts, '300 seconds')")
+
+
+def _session_windows_oracle() -> str:
+    """Islands replica at FULL microsecond precision (session_window
+    merges on event-time micros, not whole seconds; the events fixture
+    carries sub-second components). Spark merges an event landing
+    EXACTLY on the previous window end (inclusive comparison — pinned
+    by tests/test_selection.py's edge case), so a new session starts
+    only when the gap strictly exceeds 300 s. The published bounds are
+    floored to epoch seconds to match Spark's unix_timestamp."""
+    return """
+WITH sw_e AS (
+  SELECT user_id, epoch_us(ts) AS eu FROM events),
+sw_m AS (
+  SELECT user_id, eu,
+    CASE WHEN eu - LAG(eu) OVER (PARTITION BY user_id ORDER BY eu)
+              > 300000000 THEN 1
+         WHEN LAG(eu) OVER (PARTITION BY user_id ORDER BY eu) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM sw_e),
+sw_g AS (
+  SELECT user_id, eu,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY eu
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM sw_m)
+SELECT user_id,
+  CAST(MIN(eu) // 1000000 AS BIGINT) AS w_start,
+  CAST((MAX(eu) + 300000000) // 1000000 AS BIGINT) AS w_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sw_g GROUP BY user_id, sid"""
+
+
 # tokens that actually occur in the synthetic corpus, so both branches
 # of the keep verdict are exercised
 _BLOCKLIST = ["slow", "hash", "panic"]
@@ -2430,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_hits": _q_blocklist,
         "lexical_diversity": _q_lexical_diversity,
         "conv_pacing": _q_conv_pacing,
+        "session_windows": _q_session_windows,
     }
 
 
@@ -3542,6 +3591,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_hits": _blocklist_oracle(),
         "lexical_diversity": _lexdiv_oracle(),
         "conv_pacing": f"{_duck_ctes()} {_conv_pacing_sql('duckdb')}",
+        "session_windows": _session_windows_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

@@ -225,3 +225,41 @@ def test_conv_pacing_gap_arithmetic(spark):
             got["c1"].total_gap_s, got["c1"].duration_s) == (3, 270, 300, 300)
     assert (got["c2"].n_turns, got["c2"].max_gap_s,
             got["c2"].duration_s) == (1, 0, 0)
+
+
+def test_session_window_semantics_vs_manual_islands(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(seconds=299, microseconds=999999)),
+        # gap to previous < 300 s -> merges; then EXACTLY 300 s -> splits
+        (1, base + dt.timedelta(seconds=599, microseconds=999999)),
+        (1, base + dt.timedelta(seconds=899, microseconds=999999)),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp") \
+        .createOrReplaceTempView("events")
+    got = sorted(
+        (r.w_start, r.w_end, r.n_events)
+        for r in spark.sql(
+            "SELECT CAST(unix_timestamp(session_window.start) AS BIGINT)"
+            " AS w_start, "
+            "CAST(unix_timestamp(session_window.end) AS BIGINT) AS w_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY user_id, session_window(ts, '300 seconds')"
+        ).collect())
+    e0 = int(base.timestamp())
+    # ALL FOUR merge: Spark's session merge comparison is INCLUSIVE of
+    # the window end, so the fourth event — exactly 300 s after the
+    # third — extends the session instead of opening a new one (the
+    # oracle replicates with a strictly-greater split)
+    assert got == [(e0, e0 + 1199, 4)]
+    # a gap of 300 s + 1 us DOES split
+    spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(seconds=300, microseconds=1))],
+        "user_id long, ts timestamp").createOrReplaceTempView("events")
+    two = spark.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT session_window(ts, "
+        "'300 seconds') FROM events GROUP BY user_id, "
+        "session_window(ts, '300 seconds'))").collect()
+    assert two[0].n == 2
