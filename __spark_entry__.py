@@ -2243,6 +2243,17 @@ FROM sw_g GROUP BY user_id, sid"""
 # tokens that actually occur in the synthetic corpus, so both branches
 # of the keep verdict are exercised
 _BLOCKLIST = ["slow", "hash", "panic"]
+_SEARCH_QUERY = ["shuffle", "spark", "window", "merge"]
+
+
+def _q_tfidf_search(spark, sf_dir):
+    """Inverted-index ranked retrieval (operators/textstats
+    .tfidf_search): integer tf-idf scoring against a literal query term
+    set — the corpus is filtered to query terms in-row before the
+    explode, so the shuffle carries query-sized hits only."""
+    from cld2_spark.operators.textstats import tfidf_search
+    _register(spark, sf_dir)
+    return tfidf_search(spark.table("documents"), _SEARCH_QUERY, k=20)
 
 
 def _q_blocklist(spark, sf_dir):
@@ -2479,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": _q_lexical_diversity,
         "conv_pacing": _q_conv_pacing,
         "session_windows": _q_session_windows,
+        "tfidf_search": _q_tfidf_search,
     }
 
 
@@ -2842,6 +2854,11 @@ def _blocklist_oracle() -> str:
 def _lexdiv_oracle() -> str:
     from cld2_spark.operators.textstats import lexical_diversity_oracle_sql
     return lexical_diversity_oracle_sql()
+
+
+def _tfidf_search_oracle() -> str:
+    from cld2_spark.operators.textstats import tfidf_search_oracle_sql
+    return tfidf_search_oracle_sql(_SEARCH_QUERY, k=20)
 
 
 def _zorder_oracle() -> str:
@@ -3592,6 +3609,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": _lexdiv_oracle(),
         "conv_pacing": f"{_duck_ctes()} {_conv_pacing_sql('duckdb')}",
         "session_windows": _session_windows_oracle(),
+        "tfidf_search": _tfidf_search_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

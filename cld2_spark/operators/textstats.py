@@ -259,3 +259,74 @@ SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_tokens,
     (SUM(c * (c - 1)) * 1000000) // (SUM(c) * (SUM(c) - 1)) END
     AS BIGINT) AS repeat_ppm
 FROM ld_c GROUP BY {id_col}"""
+
+
+def tfidf_search(df: DataFrame, query_terms: list[str], k: int = 20,
+                 text_col: str = "text", id_col: str = "doc_id"
+                 ) -> DataFrame:
+    """Ranked retrieval: score documents against a query term set by
+    sum_t tf(t, d) * idf_ratio_ppm(t) — the inverted-index tf-idf
+    search shape. The idf surrogate is the exact integer ratio
+    (N * 10^6) DIV df(t) (monotone in ln(N/df), so the ranking agrees
+    with the classic form; no logs keeps the score engine-exact).
+
+    Scale shape: the corpus side is filtered to query terms IN-ROW
+    (literal array, pure codegen) BEFORE the explode, so the shuffled
+    relation is (query_term, doc) hits only — query-sized, not
+    corpus-sized. df(t) is a |Q|-row aggregate broadcast back; the
+    final top-k is TakeOrderedAndProject. Ties break to the smaller
+    doc id."""
+    toks = _TS_TOK.format(c=text_col)
+    lit = "array(" + ", ".join(
+        "'" + t.replace("'", "\\'") + "'" for t in sorted(set(query_terms))
+    ) + ")"
+    hits = (df.where(F.col(text_col).isNotNull())
+            .select(id_col,
+                    F.explode(F.expr(
+                        f"filter({toks}, t -> array_contains({lit}, t))"))
+                    .alias("t"))
+            .groupBy(id_col, "t")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    n_docs = df.where(F.col(text_col).isNotNull()) \
+               .agg(F.count(F.lit(1)).alias("n"))
+    idf = (hits.groupBy("t")
+           .agg(F.count(F.lit(1)).alias("df_t"))
+           .crossJoin(F.broadcast(n_docs))
+           .select("t", F.expr("CAST((n * 1000000L) DIV df_t AS BIGINT)")
+                   .alias("idf_ppm")))
+    return (hits.join(F.broadcast(idf), "t")
+            .groupBy(id_col)
+            .agg(F.sum(F.expr("tf * idf_ppm")).alias("s"))
+            .select(id_col, F.col("s").cast("bigint").alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))
+
+
+def tfidf_search_oracle_sql(query_terms: list[str], k: int = 20,
+                            table: str = "documents",
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """LIVE DuckDB replica: same hits, same integer idf ratio, same
+    tie-break."""
+    toks = ("list_filter(string_split(trim(regexp_replace(lower("
+            f"{text_col}), '[ \\t\\n\\r\\f]+', ' ', 'g')), ' '), "
+            "t -> t <> '')")
+    lit = "[" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(query_terms))
+    ) + "]"
+    return f"""
+WITH ts_hit AS (
+  SELECT {id_col}, t, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col}, unnest(list_filter({toks},
+          t -> list_contains({lit}, t))) AS t
+        FROM {table} WHERE {text_col} IS NOT NULL)
+  GROUP BY {id_col}, t),
+ts_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}
+         WHERE {text_col} IS NOT NULL),
+ts_idf AS (
+  SELECT t, CAST((n.n * 1000000) // COUNT(*) AS BIGINT) AS idf_ppm
+  FROM ts_hit CROSS JOIN ts_n n GROUP BY t, n.n)
+SELECT h.{id_col}, CAST(SUM(h.tf * i.idf_ppm) AS BIGINT) AS score
+FROM ts_hit h JOIN ts_idf i USING (t)
+GROUP BY h.{id_col}
+ORDER BY score DESC, h.{id_col} ASC LIMIT {k}"""

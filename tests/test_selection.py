@@ -263,3 +263,20 @@ def test_session_window_semantics_vs_manual_islands(spark):
         "'300 seconds') FROM events GROUP BY user_id, "
         "session_window(ts, '300 seconds'))").collect()
     assert two[0].n == 2
+
+
+def test_tfidf_search_ranks_rare_terms_higher(spark):
+    from cld2_spark.operators.textstats import tfidf_search
+    df = spark.createDataFrame([
+        (1, "rare common common"),
+        (2, "common common common"),
+        (3, "common rare rare"),
+        (4, "nothing matches here"),
+    ], "doc_id long, text string")
+    rows = tfidf_search(df, ["rare", "common"], k=10).collect()
+    got = [(r.doc_id, r.score) for r in rows]
+    # N=4; df(rare)=2 -> idf 2_000_000; df(common)=3 -> idf 1_333_333
+    assert got[0] == (3, 2 * 2_000_000 + 1 * 1_333_333)
+    assert got[1] == (1, 1 * 2_000_000 + 2 * 1_333_333)
+    assert got[2] == (2, 3 * 1_333_333)
+    assert all(r[0] != 4 for r in got)          # no hits, no row
