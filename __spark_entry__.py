@@ -338,6 +338,24 @@ def _q_events_stream(spark, sf_dir):
     return run_events_window_stream(spark, f"{sf_dir}/events.parquet", work)
 
 
+def _q_events_stream_sessions(spark, sf_dir):
+    """STREAMING session_window replay (streaming/stream
+    .run_events_session_stream): the stateful dynamic-gap session
+    aggregation under availableNow, sharing the `session_windows`
+    islands oracle — streaming state machine == batch operator ==
+    independent SQL, a triple agreement."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from cld2_spark.streaming.stream import run_events_session_stream
+
+    work = str(Path(tempfile.gettempdir())
+               / f"cld2s_sess_stream_{spark.sparkContext.applicationId}")
+    shutil.rmtree(work, ignore_errors=True)
+    return run_events_session_stream(spark, f"{sf_dir}/events.parquet", work)
+
+
 def _q_events_stream_join(spark, sf_dir):
     """STREAM-STREAM inner join replay (streaming/stream): clicks joined
     to same-user purchases within 30 minutes, both sides watermarked so
@@ -2491,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_pacing": _q_conv_pacing,
         "session_windows": _q_session_windows,
         "tfidf_search": _q_tfidf_search,
+        "events_stream_sessions": _q_events_stream_sessions,
     }
 
 
@@ -3610,6 +3629,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_pacing": f"{_duck_ctes()} {_conv_pacing_sql('duckdb')}",
         "session_windows": _session_windows_oracle(),
         "tfidf_search": _tfidf_search_oracle(),
+        "events_stream_sessions": _session_windows_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

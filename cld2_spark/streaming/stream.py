@@ -302,3 +302,52 @@ def run_enrichment_stream(spark: SparkSession, events_path: str,
         raise TimeoutError(
             f"enrichment stream replay did not finish in {timeout_sec}s")
     return spark.read.parquet(f"{work_dir}/data")
+
+
+def run_events_session_stream(spark: SparkSession, events_path: str,
+                              work_dir: str, gap: str = "300 seconds",
+                              watermark: str = "1 hour",
+                              timeout_sec: int = 300):
+    """Structured-Streaming replay through the STATEFUL session_window
+    aggregation (dynamic-gap session state: Spark merges/extends open
+    sessions in the state store as events arrive). Returns the final
+    sessions as a DataFrame — the driver `events_stream_sessions` query,
+    which must equal BOTH the batch session_window result AND the
+    DuckDB islands oracle row-for-row (a triple agreement: streaming
+    state machine == batch operator == independent SQL replay).
+
+    Complete output mode via foreachBatch for the same finite-replay
+    reason as run_events_window_stream; an unbounded deployment would
+    use append mode + the watermark to emit closed sessions only."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out_dir = f"{work_dir}/data"
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if os.path.isfile(events_path):
+        reader = reader.option("pathGlobFilter",
+                               os.path.basename(events_path))
+        events_path = os.path.dirname(events_path)
+    src = reader.parquet(events_path).withWatermark("ts", watermark)
+    agg = (src.groupBy("user_id",
+                       F.session_window(F.col("ts"), gap).alias("sw"))
+           .agg(F.count(F.lit(1)).alias("n_events")))
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (agg.writeStream.outputMode("complete").foreachBatch(sink)
+         .option("checkpointLocation", f"{work_dir}/ckpt")
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"session window replay did not finish in {timeout_sec}s")
+    return (spark.read.parquet(out_dir)
+            .select("user_id",
+                    F.expr("CAST(unix_timestamp(sw.start) AS BIGINT)")
+                    .alias("w_start"),
+                    F.expr("CAST(unix_timestamp(sw.end) AS BIGINT)")
+                    .alias("w_end"),
+                    F.col("n_events").cast("bigint").alias("n_events")))
