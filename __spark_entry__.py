@@ -1944,6 +1944,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_keep_drop(spark, "/root/testdata/sf0.001")
 
 
+def _q_drop_reasons(spark, sf_dir):
+    """Pipeline audit view: per-(keep, drop_reason) turn counts over the
+    FULL quality-filter pipeline — the operational dashboard a corpus
+    owner watches. Oracle: the same aggregation over the frozen
+    keep_drop fixture (single-node truth), so this doubles as an extra
+    hash gate on the live pipeline's verdict distribution. Map-side
+    combinable agg over the pipeline's single Python stage."""
+    from pyspark.sql import functions as F
+
+    from cld2_spark.pipeline.stages import run_pipeline
+    _register(spark, sf_dir)
+    return (run_pipeline(spark.table("transcripts"))
+            .groupBy("keep", F.coalesce(F.col("drop_reason"), F.lit("-"))
+                     .alias("drop_reason"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_turns")))
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     """MOSS-style winnowing fingerprints (operators/textstats): k=3-token
     shingle hashes, w=4 window-minimum selection with rightmost tie-break
@@ -2263,6 +2280,30 @@ FROM sw_g GROUP BY user_id, sid"""
 _BLOCKLIST = ["slow", "hash", "panic"]
 _SEARCH_QUERY = ["shuffle", "spark", "window", "merge"]
 
+# normalization workload: the ASCII corpus gets a deterministic
+# non-ASCII + control-char suffix — even ids take COMPOSED e-acute
+# (U+00E9), odd ids the DECOMPOSED pair (e + U+0301), both plus a BEL;
+# after strip+NFC every pair of adjacent ids must hash identically, so
+# the oracle exercises real composition work. The non-ASCII characters
+# are embedded as UTF-8 literal bytes (both parsers accept them);
+# Spark's chr() is ASCII-MODULAR (chr(769) = chr(1)!) so it is only
+# safe for the BEL.
+_NORM_TEXT = ("text || CASE WHEN doc_id % 2 = 0 THEN '\u00e9' "
+              "ELSE 'e\u0301' END || chr(7)")
+
+
+def _q_normalize_text(spark, sf_dir):
+    """Unicode NFC canonicalization audit (operators/textstats
+    .normalize_text_stats): control strip + NFC compose via stdlib
+    unicodedata in one Arrow stage; the DuckDB oracle recomputes with
+    its NATIVE nfc_normalize — two independent Unicode implementations
+    must agree per row."""
+    from cld2_spark.operators.textstats import normalize_text_stats
+    _register(spark, sf_dir)
+    docs = spark.sql(
+        f"SELECT doc_id, {_NORM_TEXT} AS text FROM documents")
+    return normalize_text_stats(docs)
+
 
 def _q_tfidf_search(spark, sf_dir):
     """Inverted-index ranked retrieval (operators/textstats
@@ -2510,6 +2551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "tfidf_search": _q_tfidf_search,
         "events_stream_sessions": _q_events_stream_sessions,
+        "drop_reasons": _q_drop_reasons,
+        "normalize_text": _q_normalize_text,
     }
 
 
@@ -2878,6 +2921,11 @@ def _lexdiv_oracle() -> str:
 def _tfidf_search_oracle() -> str:
     from cld2_spark.operators.textstats import tfidf_search_oracle_sql
     return tfidf_search_oracle_sql(_SEARCH_QUERY, k=20)
+
+
+def _normalize_oracle() -> str:
+    from cld2_spark.operators.textstats import normalize_text_oracle_sql
+    return normalize_text_oracle_sql(f"({_NORM_TEXT})")
 
 
 def _zorder_oracle() -> str:
@@ -3630,6 +3678,12 @@ def oracle_sql() -> dict[str, str]:
         "session_windows": _session_windows_oracle(),
         "tfidf_search": _tfidf_search_oracle(),
         "events_stream_sessions": _session_windows_oracle(),
+        "drop_reasons": (
+            "SELECT keep, coalesce(drop_reason, '-') AS drop_reason, "
+            "CAST(COUNT(*) AS BIGINT) AS n_turns FROM read_parquet("
+            f"'{_FIXDIR}/expected_keep_drop_sf0_01.parquet') "
+            "GROUP BY keep, coalesce(drop_reason, '-')"),
+        "normalize_text": _normalize_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

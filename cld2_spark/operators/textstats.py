@@ -330,3 +330,55 @@ SELECT h.{id_col}, CAST(SUM(h.tf * i.idf_ppm) AS BIGINT) AS score
 FROM ts_hit h JOIN ts_idf i USING (t)
 GROUP BY h.{id_col}
 ORDER BY score DESC, h.{id_col} ASC LIMIT {k}"""
+
+
+def normalize_text_stats(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Unicode normalization stage (the ingest-side text canonicalizer):
+    strip C0/C1 control characters (keeping \\t \\n \\r), then NFC-
+    compose — so byte-different but canonically-equal texts (composed
+    vs combining-mark sequences) map to one canonical form before any
+    hashing/dedup. Emits integer-exact audit columns: chars stripped,
+    post-NFC code-point length, and the md5 of the canonical form (the
+    column dedup keys would use).
+
+    One Arrow-batched pandas UDF (stdlib unicodedata — the reference
+    normalizer), zero shuffle. The DuckDB oracle recomputes with its
+    native nfc_normalize + the same control-class regex, so two
+    INDEPENDENT Unicode implementations must agree on every row."""
+    import re
+    import unicodedata
+
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+    @F.pandas_udf("n_stripped bigint, norm_len bigint, norm_hash string")
+    def norm(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+        ns, nl, nh = [], [], []
+        for t in texts:
+            t = t or ""
+            stripped = ctrl.sub("", t)
+            ns.append(len(t) - len(stripped))
+            canon = unicodedata.normalize("NFC", stripped)
+            nl.append(len(canon))
+            nh.append(hashlib.md5(canon.encode("utf-8")).hexdigest())
+        return pd.DataFrame({"n_stripped": ns, "norm_len": nl,
+                             "norm_hash": nh})
+
+    out = df.select(id_col, norm(F.col(text_col)).alias("n"))
+    return out.select(id_col, "n.n_stripped", "n.norm_len", "n.norm_hash")
+
+
+def normalize_text_oracle_sql(text_expr: str, table: str = "documents",
+                              id_col: str = "doc_id") -> str:
+    """LIVE DuckDB replica via the ENGINE'S OWN nfc_normalize — an
+    independent Unicode implementation, not a replay of ours."""
+    ctrl = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    stripped = f"regexp_replace({text_expr}, '{ctrl}', '', 'g')"
+    return (f"SELECT {id_col}, "
+            f"CAST(length({text_expr}) - length({stripped}) AS BIGINT) "
+            f"AS n_stripped, "
+            f"CAST(length(nfc_normalize({stripped})) AS BIGINT) "
+            f"AS norm_len, "
+            f"md5(nfc_normalize({stripped})) AS norm_hash "
+            f"FROM {table}")

@@ -280,3 +280,20 @@ def test_tfidf_search_ranks_rare_terms_higher(spark):
     assert got[1] == (1, 1 * 2_000_000 + 2 * 1_333_333)
     assert got[2] == (2, 3 * 1_333_333)
     assert all(r[0] != 4 for r in got)          # no hits, no row
+
+
+def test_normalize_text_composes_and_strips(spark):
+    from cld2_spark.operators.textstats import normalize_text_stats
+    df = spark.createDataFrame([
+        (1, "caf\u00e9"),          # composed
+        (2, "cafe\u0301"),         # decomposed -> NFC to row 1
+        (3, "a\x07b\x1fc"),          # control chars stripped
+        (4, None),                   # null -> empty canonical form
+    ], "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_text_stats(df).collect()}
+    assert got[1].norm_hash == got[2].norm_hash
+    assert got[1].norm_len == got[2].norm_len == 4
+    assert (got[1].n_stripped, got[2].n_stripped) == (0, 0)
+    assert got[3].n_stripped == 2 and got[3].norm_len == 3
+    import hashlib
+    assert got[4].norm_hash == hashlib.md5(b"").hexdigest()
