@@ -2292,6 +2292,26 @@ _NORM_TEXT = ("text || CASE WHEN doc_id % 2 = 0 THEN '\u00e9' "
               "ELSE 'e\u0301' END || chr(7)")
 
 
+def _q_key_skew(spark, sf_dir):
+    """Shuffle-key skew pre-flight (operators/textstats
+    .key_skew_report): top event keys by row count with exact ppm share
+    and vs-mean load ratio — one combinable count + a broadcast 1-row
+    total, never a key-space sort. event_type has 5 hot values, so the
+    report shows real imbalance."""
+    from cld2_spark.operators.textstats import key_skew_report
+    _register(spark, sf_dir)
+    return key_skew_report(spark.table("events"), "event_type", top=10)
+
+
+def _q_length_histogram(spark, sf_dir):
+    """Corpus length distribution in exact log2 buckets (operators/
+    textstats.length_histogram): bucket = length(bin(n)) - 1, integer
+    string algebra in both engines — no float log at the boundary."""
+    from cld2_spark.operators.textstats import length_histogram
+    _register(spark, sf_dir)
+    return length_histogram(spark.table("documents"))
+
+
 def _q_normalize_text(spark, sf_dir):
     """Unicode NFC canonicalization audit (operators/textstats
     .normalize_text_stats): control strip + NFC compose via stdlib
@@ -2553,6 +2573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_sessions": _q_events_stream_sessions,
         "drop_reasons": _q_drop_reasons,
         "normalize_text": _q_normalize_text,
+        "key_skew": _q_key_skew,
+        "length_histogram": _q_length_histogram,
     }
 
 
@@ -2926,6 +2948,16 @@ def _tfidf_search_oracle() -> str:
 def _normalize_oracle() -> str:
     from cld2_spark.operators.textstats import normalize_text_oracle_sql
     return normalize_text_oracle_sql(f"({_NORM_TEXT})")
+
+
+def _key_skew_oracle() -> str:
+    from cld2_spark.operators.textstats import key_skew_oracle_sql
+    return key_skew_oracle_sql("event_type", top=10)
+
+
+def _length_hist_oracle() -> str:
+    from cld2_spark.operators.textstats import length_histogram_oracle_sql
+    return length_histogram_oracle_sql()
 
 
 def _zorder_oracle() -> str:
@@ -3684,6 +3716,8 @@ def oracle_sql() -> dict[str, str]:
             f"'{_FIXDIR}/expected_keep_drop_sf0_01.parquet') "
             "GROUP BY keep, coalesce(drop_reason, '-')"),
         "normalize_text": _normalize_oracle(),
+        "key_skew": _key_skew_oracle(),
+        "length_histogram": _length_hist_oracle(),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

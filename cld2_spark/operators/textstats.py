@@ -382,3 +382,77 @@ def normalize_text_oracle_sql(text_expr: str, table: str = "documents",
             f"AS norm_len, "
             f"md5(nfc_normalize({stripped})) AS norm_hash "
             f"FROM {table}")
+
+
+def key_skew_report(df: DataFrame, key_col: str, top: int = 10
+                    ) -> DataFrame:
+    """Partition-skew diagnosis — the operational pre-flight a 100 TB
+    job runs before keying a shuffle: per-key row counts, each key's
+    share of the table in exact integer ppm, and its ratio to the mean
+    key load in ppm (10^6 = a perfectly balanced key; 50x mean = the
+    straggler that needs salting). Returns the `top` heaviest keys,
+    ties to the smaller key string.
+
+    Shape: one map-side-combinable count per key, a 1-row global agg
+    broadcast back, TakeOrderedAndProject — diagnosis costs one scan,
+    never a sort of the key space."""
+    counts = (df.groupBy(F.col(key_col).cast("string").alias("key"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    tot = counts.agg(F.sum("n").alias("total"),
+                     F.count(F.lit(1)).alias("n_keys"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select("key", F.col("n").cast("bigint").alias("n_rows"),
+                    F.expr("CAST((n * 1000000L) DIV total AS BIGINT)")
+                    .alias("share_ppm"),
+                    F.expr("CAST((n * n_keys * 1000000L) DIV total "
+                           "AS BIGINT)").alias("vs_mean_ppm"))
+            .orderBy(F.desc("n_rows"), F.asc("key"))
+            .limit(top))
+
+
+def key_skew_oracle_sql(key_expr: str, top: int = 10,
+                        table: str = "events") -> str:
+    """LIVE DuckDB replica of the skew report."""
+    return f"""
+WITH ks_c AS (
+  SELECT CAST({key_expr} AS VARCHAR) AS key,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1),
+ks_t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                CAST(COUNT(*) AS BIGINT) AS n_keys FROM ks_c)
+SELECT key, n AS n_rows,
+  CAST((n * 1000000) // total AS BIGINT) AS share_ppm,
+  CAST((n * n_keys * 1000000) // total AS BIGINT) AS vs_mean_ppm
+FROM ks_c CROSS JOIN ks_t
+ORDER BY n_rows DESC, key ASC LIMIT {top}"""
+
+
+def length_histogram(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus length distribution in EXACT log2 buckets: bucket =
+    floor(log2(n_tokens)) computed as length(bin(n)) - 1 — pure integer
+    string algebra, no floating log whose last ulp could flip a bucket
+    boundary between engines. Bucket -1 collects empty documents.
+    One combinable projection + a buckets-sized groupBy."""
+    toks = _TS_TOK.format(c=text_col)
+    n = f"size(filter({toks}, t -> t != ''))"
+    bucket = (f"CASE WHEN {n} <= 0 THEN -1 "
+              f"ELSE length(bin({n})) - 1 END")
+    return (df.where(F.col(text_col).isNotNull())
+            .select(F.expr(bucket).cast("int").alias("log2_tokens"))
+            .groupBy("log2_tokens")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+def length_histogram_oracle_sql(table: str = "documents",
+                                text_col: str = "text") -> str:
+    """LIVE DuckDB replica: same tokenizer, same bin()-string log2."""
+    toks = ("list_filter(string_split(trim(regexp_replace(lower("
+            f"{text_col}), '[ \\t\\n\\r\\f]+', ' ', 'g')), ' '), "
+            "t -> t <> '')")
+    n = f"len({toks})"
+    return (f"SELECT CAST(CASE WHEN {n} <= 0 THEN -1 "
+            f"ELSE length(bin({n})) - 1 END AS INTEGER) AS log2_tokens, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_docs "
+            f"FROM {table} WHERE {text_col} IS NOT NULL "
+            f"GROUP BY 1")

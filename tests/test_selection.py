@@ -297,3 +297,31 @@ def test_normalize_text_composes_and_strips(spark):
     assert got[3].n_stripped == 2 and got[3].norm_len == 3
     import hashlib
     assert got[4].norm_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_key_skew_report_ppm_math(spark):
+    from cld2_spark.operators.textstats import key_skew_report
+    df = spark.createDataFrame(
+        [(k,) for k in ["hot"] * 8 + ["warm"] * 3 + ["cold"]],
+        "k string")
+    got = [(r.key, r.n_rows, r.share_ppm, r.vs_mean_ppm)
+           for r in key_skew_report(df, "k", top=3).collect()]
+    # 12 rows, 3 keys -> mean load 4; hot = 2x mean
+    assert got[0] == ("hot", 8, 8 * 1_000_000 // 12, 2_000_000)
+    assert got[1] == ("warm", 3, 250_000, 750_000)
+    assert got[2] == ("cold", 1, 83_333, 250_000)
+
+
+def test_length_histogram_log2_buckets(spark):
+    from cld2_spark.operators.textstats import length_histogram
+    df = spark.createDataFrame([
+        (1, ""),                   # 0 tokens -> bucket -1
+        (2, "a"),                  # 1 -> floor(log2 1) = 0
+        (3, "a b"),                # 2 -> 1
+        (4, "a b c"),              # 3 -> 1
+        (5, "a b c d"),            # 4 -> 2
+        (6, " ".join(["t"] * 7)),  # 7 -> 2
+        (7, " ".join(["t"] * 8)),  # 8 -> 3
+    ], "doc_id long, text string")
+    got = {r.log2_tokens: r.n_docs for r in length_histogram(df).collect()}
+    assert got == {-1: 1, 0: 1, 1: 2, 2: 2, 3: 1}
