@@ -2292,6 +2292,62 @@ _NORM_TEXT = ("text || CASE WHEN doc_id % 2 = 0 THEN '\u00e9' "
               "ELSE 'e\u0301' END || chr(7)")
 
 
+def _role_share_sql(dialect: str) -> str:
+    """Per-conversation token share by role in exact integer ppm — the
+    transcript-balance audit (an SFT corpus wants assistant-heavy
+    conversations; a tool-spam conversation shows up as tool_ppm ~10^6).
+    One groupBy on the native conv_id key; the per-role conditional
+    sums are map-side combinable."""
+    from cld2_spark.operators.ngram_lm import _TOKS_DUCK, _TOKS_SPARK
+    toks = (_TOKS_SPARK if dialect == "spark" else _TOKS_DUCK).format(
+        c="text")
+    ln = "size" if dialect == "spark" else "len"
+    n = f"CAST({ln}({toks}) AS BIGINT)"
+    share = ("CAST(CASE WHEN total = 0 THEN 0 ELSE "
+             "({c} * 1000000) {d} total END AS BIGINT)")
+    d = "DIV" if dialect == "spark" else "//"
+    return f"""
+SELECT conv_id, CAST(total AS BIGINT) AS total_tokens,
+  {share.format(c='u', d=d)} AS user_ppm,
+  {share.format(c='a', d=d)} AS assistant_ppm,
+  {share.format(c='t', d=d)} AS tool_ppm
+FROM (
+  SELECT conv_id, SUM({n}) AS total,
+    SUM(CASE WHEN role = 'user' THEN {n} ELSE 0 END) AS u,
+    SUM(CASE WHEN role = 'assistant' THEN {n} ELSE 0 END) AS a,
+    SUM(CASE WHEN role = 'tool' THEN {n} ELSE 0 END) AS t
+  FROM transcripts GROUP BY conv_id) rs_a"""
+
+
+def _q_role_share(spark, sf_dir):
+    _register(spark, sf_dir)
+    return spark.sql(_role_share_sql("spark"))
+
+
+def _dataset_card_sql(dialect: str) -> str:
+    """One-row corpus summary (the dataset-card metrics block): doc and
+    source counts, total tokens, mean doc length in exact milli-tokens.
+    Single map-side-combinable global aggregate."""
+    from cld2_spark.operators.ngram_lm import _TOKS_DUCK, _TOKS_SPARK
+    toks = (_TOKS_SPARK if dialect == "spark" else _TOKS_DUCK).format(
+        c="text")
+    ln = "size" if dialect == "spark" else "len"
+    d = "DIV" if dialect == "spark" else "//"
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(SUM(CAST({ln}({toks}) AS BIGINT)) AS BIGINT) AS total_tokens,
+  CAST((SUM(CAST({ln}({toks}) AS BIGINT)) * 1000) {d} COUNT(*)
+    AS BIGINT) AS mean_tokens_milli,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE text IS NOT NULL"""
+
+
+def _q_dataset_card(spark, sf_dir):
+    _register(spark, sf_dir)
+    return spark.sql(_dataset_card_sql("spark"))
+
+
 def _q_key_skew(spark, sf_dir):
     """Shuffle-key skew pre-flight (operators/textstats
     .key_skew_report): top event keys by row count with exact ppm share
@@ -2575,6 +2631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "key_skew": _q_key_skew,
         "length_histogram": _q_length_histogram,
+        "role_share": _q_role_share,
+        "dataset_card": _q_dataset_card,
     }
 
 
@@ -3718,6 +3776,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": _normalize_oracle(),
         "key_skew": _key_skew_oracle(),
         "length_histogram": _length_hist_oracle(),
+        "role_share": f"{_duck_ctes()} {_role_share_sql('duckdb')}",
+        "dataset_card": _dataset_card_sql("duckdb"),
         "sample_exact_k": (
             "SELECT doc_id, source, "
             "md5('cld2s-topk' || CAST(doc_id AS VARCHAR)) AS sample_key "

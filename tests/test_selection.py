@@ -325,3 +325,22 @@ def test_length_histogram_log2_buckets(spark):
     ], "doc_id long, text string")
     got = {r.log2_tokens: r.n_docs for r in length_histogram(df).collect()}
     assert got == {-1: 1, 0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_role_share_ppm(spark):
+    from __spark_entry__ import _role_share_sql
+    spark.createDataFrame([
+        ("c1", 0, "user", "a b"),          # 2 tokens
+        ("c1", 1, "assistant", "x y z"),   # 3
+        ("c1", 2, "tool", "q"),            # 1
+        ("c2", 0, "user", ""),             # all-empty conversation
+    ], "conv_id string, turn_idx int, role string, text string"
+    ).createOrReplaceTempView("transcripts")
+    got = {r.conv_id: r for r in
+           spark.sql(_role_share_sql("spark")).collect()}
+    c1 = got["c1"]
+    assert c1.total_tokens == 6
+    assert (c1.user_ppm, c1.assistant_ppm, c1.tool_ppm) == (
+        2_000_000 // 6, 500_000, 1_000_000 // 6)
+    c2 = got["c2"]
+    assert (c2.total_tokens, c2.user_ppm) == (0, 0)   # no div-by-zero
