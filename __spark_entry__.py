@@ -126,19 +126,23 @@ def _duck_ctes() -> str:
 
 def _q_scrub_pii(spark, sf_dir):
     from cld2_spark.kernels.scrub import scrub_spark_columns
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    df = scrub_spark_columns(spark.table("transcripts"), "text", "scrubbed_text")
+    # the transcripts view rides the single-file documents scan (1
+    # partition): spread the regex scrub across cores (no-op at scale)
+    df = scrub_spark_columns(ensure_parallelism(spark.table("transcripts")),
+                             "text", "scrubbed_text")
     return df.select("conv_id", "turn_idx", "scrubbed_text")
 
 
 def _q_quality_flags(spark, sf_dir):
     from cld2_spark.kernels.quality import low_quality_sql, too_short_sql
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return spark.sql(
-        f"SELECT conv_id, turn_idx, "
-        f"{too_short_sql('text', 'spark')} AS too_short, "
-        f"{low_quality_sql('text', 'spark')} AS low_quality "
-        f"FROM transcripts")
+    return ensure_parallelism(spark.table("transcripts")).selectExpr(
+        "conv_id", "turn_idx",
+        f"{too_short_sql('text', 'spark')} AS too_short",
+        f"{low_quality_sql('text', 'spark')} AS low_quality")
 
 
 def _q_toxicity(spark, sf_dir):
@@ -1062,8 +1066,9 @@ def _q_pq_ann(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from cld2_spark.operators.similarity import pq_adc_topk
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = ensure_parallelism(spark.table("embeddings"))
     return pq_adc_topk(emb, emb.where(F.col("vec_id") < 10), k=5,
                        n_sub=4, cb_mod=37)
 
@@ -1190,10 +1195,12 @@ def _q_gopher_quality(spark, sf_dir):
     comparisons, keep verdict + first failed rule per document, pure
     codegen (zero shuffle)."""
     from cld2_spark.operators.curation import gopher_quality
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
     # stress thresholds (not the Gopher defaults) so every rule branch
     # fires on the synthetic docs and the oracle checks all reasons
-    return gopher_quality(spark.table("documents"), min_words=20,
+    return gopher_quality(ensure_parallelism(spark.table("documents")),
+                          min_words=20,
                           max_words=90, min_mean_wlen=4.3,
                           max_mean_wlen=4.7)
 
@@ -1365,9 +1372,11 @@ def _q_dedup_incremental_bloom(spark, sf_dir):
     construction — the oracle is the same NOT EXISTS SQL, so the driver
     hash proves the prefilter is transparent."""
     from cld2_spark.operators.dedup import incremental_dedup_bloom
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
     seen = spark.table("documents").where("doc_id % 2 = 0")
-    return incremental_dedup_bloom(spark.table("dup_docs"), seen)
+    return incremental_dedup_bloom(
+        ensure_parallelism(spark.table("dup_docs")), seen)
 
 
 def _q_corpus_shuffle(spark, sf_dir):
@@ -1968,8 +1977,12 @@ def _q_winnow_fingerprints(spark, sf_dir):
     codegen projection — zero shuffle, zero UDF; any shared w+k-1 token
     run between documents is guaranteed a shared fingerprint."""
     from cld2_spark.operators.textstats import winnow_fingerprints
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return winnow_fingerprints(spark.table("documents"), k=3, w=4)
+    # per-shingle md5 + window minima are compute-heavy per row: spread
+    # the single-file scan across cores (no-op at real scale)
+    return winnow_fingerprints(ensure_parallelism(spark.table("documents")),
+                               k=3, w=4)
 
 
 def _q_heavy_hitters(spark, sf_dir):
@@ -1980,8 +1993,9 @@ def _q_heavy_hitters(spark, sf_dir):
     fixed-size mergeable scale path, with the exact aggregate as its
     verifiable twin (the user_reach HLL pairing, for frequencies)."""
     from cld2_spark.operators.sketches import heavy_hitters
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return heavy_hitters(spark.table("documents"), k=30)
+    return heavy_hitters(ensure_parallelism(spark.table("documents")), k=30)
 
 
 def _q_group_sample_k(spark, sf_dir):
@@ -2063,8 +2077,10 @@ def _q_textrank(spark, sf_dir):
     iteration: one vocabulary-sized shuffle join + one map-side
     combinable groupBy; the edge table persists once."""
     from cld2_spark.operators.graph import textrank_keywords
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return textrank_keywords(spark.table("documents"), k=50)
+    return textrank_keywords(ensure_parallelism(spark.table("documents")),
+                             k=50)
 
 
 def _q_kanon_grams(spark, sf_dir):
@@ -2158,8 +2174,9 @@ def _q_kcenter(spark, sf_dir):
     centers travel as codegen literals, the assignment is one shuffle-
     free projection (operators/similarity.kcenter_select)."""
     from cld2_spark.operators.similarity import kcenter_select
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return kcenter_select(spark.table("embeddings"), k=6)
+    return kcenter_select(ensure_parallelism(spark.table("embeddings")), k=6)
 
 
 # planted near-duplicate conversations: every conversation plus a copy
@@ -2451,8 +2468,12 @@ def _q_rep_battery(spark, sf_dir):
     n=2..10 in exact integer ppm, one in-row gram projection + two
     doc-keyed map-side-combinable aggregations."""
     from cld2_spark.operators.curation import rep_ngram_battery
+    from cld2_spark.session import ensure_parallelism
     _register(spark, sf_dir)
-    return rep_ngram_battery(spark.table("documents"))
+    # ensure_parallelism: the single-file documents scan arrives as 1
+    # partition, serializing the gram projection onto one core
+    # (measured 7.5 s -> 1.7 s at sf0.1/local[32]; no-op at real scale)
+    return rep_ngram_battery(ensure_parallelism(spark.table("documents")))
 
 
 def _q_conv_dedup(spark, sf_dir):

@@ -483,9 +483,19 @@ def semdedup_pairs(df: DataFrame, threshold: float = 0.98,
 
     Returns (a, b, sim) with a < b and sim >= threshold.
     """
+    from cld2_spark.operators.dedup import _persist_tracked
+
     a = kmeans_assign(df, iters=iters, cent_mod=cent_mod,
                       id_col=id_col, vec_col=vec_col,
                       target_cluster_size=target_cluster_size, n_est=n_est)
+    # the final assignment feeds BOTH the cluster-size filter and the
+    # pair join: unpersisted, the whole Lloyd chain (crossJoin + argmin
+    # per iteration) re-runs once per consumer and again for each side
+    # of the intra-cluster self-join below -- the r6 profile showed a
+    # 1445-line plan with 100 Exchanges for one query (measured 5.8 s ->
+    # 2.5 s at sf0.1 from these two persists alone). Both relations are
+    # assignment-sized (id + cluster + vector), never corpus-quadratic.
+    a = _persist_tracked(a)
     ok = (a.groupBy("cluster")
           .agg(F.count(F.lit(1)).alias("cn"))
           .where(F.col("cn") <= cluster_cap)
@@ -494,6 +504,7 @@ def semdedup_pairs(df: DataFrame, threshold: float = 0.98,
          .join(df.select(id_col, vec_col), on=id_col)
          .select("cluster", F.col(id_col).alias("id"),
                  F.col(vec_col).alias("v")))
+    e = _persist_tracked(e)
     x = e.select("cluster", F.col("id").alias("a"), F.col("v").alias("va"))
     y = e.select("cluster", F.col("id").alias("b"), F.col("v").alias("vb"))
     sim = F.expr(_dot("va", "vb")) / (F.expr(_norm("va")) * F.expr(_norm("vb")))
