@@ -31,7 +31,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_TOK = "split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')), ' ')"
+# explicit ASCII whitespace class, NOT '\\s+': Java \s matches U+000B,
+# the DuckDB oracles' RE2 class does not (ADVICE r6; see classifier._WS_SPARK
+# for the escaping rules)
+_TOK = ("split(trim(regexp_replace(lower({c}), "
+        "'[ \\\\t\\\\n\\\\r\\\\f]+', ' ')), ' ')")
 
 
 def sample_hash(id_col: str, salt: str, dialect: str = "spark") -> str:

@@ -102,6 +102,19 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_pairs(cand: DataFrame) -> DataFrame:
+    """Round-robin the ids-only candidate pairs across the cluster before
+    the compute-heavy verify join. The candidate relation is a few bytes
+    per row, so AQE's byte-based partition coalescing collapses its
+    shuffle output to one partition -- and the exact verification
+    downstream (array_intersect over per-doc hash sets attached by
+    broadcast join) then runs single-threaded (measured: a 4.6 s 1-task
+    stage inside minhash_pairs at sf0.1/local[32]; 5.9 s -> 2.3 s warm
+    from this repartition). The exchange itself ships ids only; rows /
+    cores is the right split for a compute-bound stage at any scale."""
+    return cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+
+
 def _shingles_expr(col: str, k: int = SHINGLE_K) -> str:
     return _SHINGLES.format(col=col, k=k, k1=k - 1)
 
@@ -222,23 +235,29 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     prefilter (per-band collision probability J^3)."""
     release_dedup_caches(session=df.sparkSession)
     base = df.select(id_col, text_col).where(F.length(text_col) >= k)
-    sigs = minhash_signatures(base, text_col, n_bands, k)
-    # posexplode, NOT a 4-way union of selects: a union re-evaluates the
-    # signature subtree (shingling + md5) once per branch; exploding an
-    # array of the band columns scans it exactly once
-    stacked = sigs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(n_bands)]))
-        .alias("pos", "bk")
-    ).select(F.concat_ws("|", F.col("pos"), F.col("bk")).alias("band_key"), "id")
-    cand = capped_band_pairs(stacked, bucket_cap)
     sh = f"array_distinct({_shingles_expr(text_col, k)})"
     hs = (f"array_distinct(transform({sh}, "
           f"s -> {shingle_hash_expr('s', 'spark')}))")
-    # scanned by BOTH sides of the verify join: persist so the shingle+md5
-    # subtree (the operator's most expensive expression) runs exactly once
+    # ONE shingle+md5 pass feeds everything: the distinct-hash sets are
+    # persisted first and BOTH the band keys and the verify join read
+    # them from cache. The affine band minima over the distinct-hash SET
+    # equal the minima over the per-shingle hash multiset (an affine map
+    # is a function: min f(x) over a multiset == min over its support),
+    # so deriving bands from `s` is bit-identical to hashing the
+    # shingles again -- and saves the operator's single most expensive
+    # expression (per-shingle md5) a full second evaluation.
     sets = _persist_tracked(
         base.select(F.col(id_col).alias("id"), F.expr(hs).alias("s")))
+    # posexplode, NOT a 4-way union of selects: a union re-evaluates the
+    # band-minimum subtree once per branch; exploding an array of the
+    # band columns scans the cached hash sets exactly once
+    band_exprs = minhash_band_exprs("spark", "s", n_bands)
+    stacked = sets.select(
+        F.col("id"),
+        F.posexplode(F.array(*[F.expr(b) for b in band_exprs]))
+        .alias("pos", "bk")
+    ).select(F.concat_ws("|", F.col("pos"), F.col("bk")).alias("band_key"), "id")
+    cand = _spread_pairs(capped_band_pairs(stacked, bucket_cap))
     sa, sb = sets.alias("sa"), sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
     union = F.size(F.col("sa.s")) + F.size(F.col("sb.s")) - inter
@@ -296,6 +315,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     tok2 = tok.join(keep, "h")
     x = tok2.select("h", F.col("id").alias("a"))
     y = tok2.select("h", F.col("id").alias("b"))
+    # NO _spread_pairs here: the df-cap + min_common inverted-index
+    # prefilter already thins candidates to near the true-pair count, so
+    # the verify stage is light and the extra exchange costs more than
+    # it buys (measured 1.6 s -> 1.9 s WITH the spread at sf0.1);
+    # contrast minhash_lsh_pairs, whose band collisions are bulky.
     cand = (x.join(y, "h").where(F.col("a") < F.col("b"))
             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
             .where(F.col("common") >= min_common))
@@ -812,6 +836,7 @@ def itemset_jaccard_pairs(sets: DataFrame, id_col: str = "id",
     tok2 = tok.join(keep, "h")
     x = tok2.select("h", F.col("id").alias("a"))
     y = tok2.select("h", F.col("id").alias("b"))
+    # same no-spread rationale as ngram_jaccard_pairs above
     cand = (x.join(y, "h").where(F.col("a") < F.col("b"))
             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common"))
             .where(F.col("common") >= min_common))

@@ -252,7 +252,7 @@ def embedding_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
     tables with the band-bucket star cap (a 10K-copy embedding group costs
     10K pairs), then exact cosine verifies. Group consumers take connected
     components over the verified pairs (see dedup.capped_band_pairs)."""
-    from cld2_spark.operators.dedup import (capped_band_pairs,
+    from cld2_spark.operators.dedup import (_spread_pairs, capped_band_pairs,
                                             release_dedup_caches)
 
     release_dedup_caches(session=vectors.sparkSession)  # same cache lifecycle
@@ -265,7 +265,7 @@ def embedding_dup_pairs(vectors: DataFrame, threshold: float = 0.98,
     ids = (vectors.select(F.col(id_col).alias("id"),
                           F.explode(F.array(*band_cols)).alias("band_key"))
            .select("band_key", "id"))
-    cand = capped_band_pairs(ids, bucket_cap)
+    cand = _spread_pairs(capped_band_pairs(ids, bucket_cap))
     va = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     sim = F.expr(_dot("va", "vb")) / (F.expr(_norm("va")) * F.expr(_norm("vb")))
@@ -447,15 +447,19 @@ def kmeans_assign(df: DataFrame, iters: int = 2, cent_mod: int = 61,
         # connected components).
         from cld2_spark.operators.dedup import _persist_tracked
         a = _persist_tracked(a)
+        # one aggregation chain rebuilds the centroids: the per-(cell,
+        # pos) count IS the cell's row count (every row contributes one
+        # value at every pos), so n rides the same shuffle as the dim
+        # sums — no separate count aggregate + join (one exchange less
+        # per iteration than the r6 shape; same integer sums, same n)
         sums = (a.select("cell", F.posexplode("codes").alias("pos", "x"))
                 .groupBy("cell", "pos")
-                .agg(F.sum("x").alias("sx")))
+                .agg(F.sum("x").alias("sx"),
+                     F.count(F.lit(1)).cast("bigint").alias("cnt")))
         cents = (sums.groupBy("cell")
                  .agg(F.expr("transform(array_sort(collect_list("
-                             "struct(pos, sx))), t -> t.sx)").alias("s"))
-                 .join(a.groupBy("cell")
-                       .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
-                       on="cell"))
+                             "struct(pos, sx))), t -> t.sx)").alias("s"),
+                      F.max("cnt").alias("n")))
         a = assign(cents)
     return a.select(id_col, F.col("cell").alias("cluster"),
                     F.round("dist", 4).alias("dist"))
@@ -504,6 +508,13 @@ def semdedup_pairs(df: DataFrame, threshold: float = 0.98,
          .join(df.select(id_col, vec_col), on=id_col)
          .select("cluster", F.col(id_col).alias("id"),
                  F.col(vec_col).alias("v")))
+    # explicit cluster-keyed repartition: the assignment relation is
+    # small in bytes, so AQE coalesces its shuffle to one partition and
+    # the quadratic intra-cluster cosine below would run single-threaded;
+    # an explicit repartition is exempt from AQE coalescing, and both
+    # self-join sides inherit the partitioning (no further exchange)
+    e = e.repartition(df.sparkSession.sparkContext.defaultParallelism,
+                      "cluster")
     e = _persist_tracked(e)
     x = e.select("cluster", F.col("id").alias("a"), F.col("v").alias("va"))
     y = e.select("cluster", F.col("id").alias("b"), F.col("v").alias("vb"))
@@ -662,38 +673,51 @@ def kcenter_select(df: DataFrame, k: int = 6, id_col: str = "vec_id",
     bounded by codegen expression size (~k*dim integer literals per
     projection; keep k*dim under ~64K tokens — k<=100 at dim 64), which
     is exactly the regime greedy k-center is used in."""
-    codes = (quantize_embeddings(df, vec_col, id_col)
-             .select(F.col(id_col).alias("kid"), "codes"))
-    codes.persist()
-    try:
-        def d2(center_codes: list[int]) -> str:
-            arr = "array(" + ", ".join(str(int(x)) for x in center_codes) + ")"
-            return (f"aggregate(zip_with(codes, {arr}, (a, b) -> "
-                    f"(CAST(a AS BIGINT) - b) * (CAST(a AS BIGINT) - b)), "
-                    f"CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    from cld2_spark.operators.dedup import (_persist_tracked,
+                                            release_dedup_caches)
 
-        seed = codes.orderBy(F.asc("kid")).head(1)[0]
-        centers = [(0, int(seed["kid"]), [int(x) for x in seed["codes"]])]
-        cur = codes.withColumn("mind", F.expr(d2(centers[0][2])))
-        for r in range(1, k):
-            far = cur.orderBy(F.desc("mind"), F.asc("kid")).head(1)
-            if not far:
-                break
-            row = far[0]
-            centers.append((r, int(row["kid"]), [int(x) for x in row["codes"]]))
-            cur = cur.withColumn(
-                "mind", F.expr(f"least(mind, {d2(centers[-1][2])})"))
-        structs = ", ".join(
-            f"named_struct('d2', {d2(c)}, 'rk', {r}, "
-            f"'cid', CAST({cid} AS BIGINT))"
-            for r, cid, c in centers)
-        pick = f"least({structs})" if len(centers) > 1 else f"({structs})"
-        return (codes.withColumn("pick", F.expr(pick))
-                .select(F.col("kid").alias(id_col),
-                        F.col("pick.cid").alias("center_id"),
-                        F.col("pick.d2").alias("d2")))
-    finally:
-        codes.unpersist(blocking=False)
+    release_dedup_caches(session=df.sparkSession)
+    # tracked persist, NOT a finally-block unpersist (ADVICE r6): the
+    # returned DataFrame is lazy, so an unpersist on exit would drop the
+    # cache before the final assignment projection ever reads it; the
+    # registry releases it on the next operator invocation instead
+    codes = _persist_tracked(
+        quantize_embeddings(df, vec_col, id_col)
+        .select(F.col(id_col).alias("kid"), "codes"))
+
+    def d2(center_codes: list[int]) -> str:
+        arr = "array(" + ", ".join(str(int(x)) for x in center_codes) + ")"
+        return (f"aggregate(zip_with(codes, {arr}, (a, b) -> "
+                f"(CAST(a AS BIGINT) - b) * (CAST(a AS BIGINT) - b)), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+    seed_rows = codes.orderBy(F.asc("kid")).head(1)
+    if not seed_rows:
+        # empty input -> empty (id, center_id, d2) result, like the rest
+        # of the operator surface (ADVICE r6: head(1)[0] raised here)
+        return (codes.select(F.col("kid").alias(id_col))
+                .withColumn("center_id", F.lit(None).cast("bigint"))
+                .withColumn("d2", F.lit(None).cast("bigint")))
+    seed = seed_rows[0]
+    centers = [(0, int(seed["kid"]), [int(x) for x in seed["codes"]])]
+    cur = codes.withColumn("mind", F.expr(d2(centers[0][2])))
+    for r in range(1, k):
+        far = cur.orderBy(F.desc("mind"), F.asc("kid")).head(1)
+        if not far:
+            break
+        row = far[0]
+        centers.append((r, int(row["kid"]), [int(x) for x in row["codes"]]))
+        cur = cur.withColumn(
+            "mind", F.expr(f"least(mind, {d2(centers[-1][2])})"))
+    structs = ", ".join(
+        f"named_struct('d2', {d2(c)}, 'rk', {r}, "
+        f"'cid', CAST({cid} AS BIGINT))"
+        for r, cid, c in centers)
+    pick = f"least({structs})" if len(centers) > 1 else f"({structs})"
+    return (codes.withColumn("pick", F.expr(pick))
+            .select(F.col("kid").alias(id_col),
+                    F.col("pick.cid").alias("center_id"),
+                    F.col("pick.d2").alias("d2")))
 
 
 def kcenter_oracle_sql(k: int = 6, table: str = "embeddings",

@@ -168,7 +168,13 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
                                "ELSE (n_comp * 1000000L) DIV n_raw END")))
 
 
-_TS_TOK = "split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')), ' ')"
+# explicit ASCII whitespace class, NOT '\\s+': Java regex \s also matches
+# U+000B while the paired DuckDB oracles use RE2's [ \t\n\r\f]+, so a
+# document containing a vertical tab would tokenize differently between
+# engines (ADVICE r6; same rule as ngram_lm._WS_SPARK — the doubled
+# backslashes survive Spark SQL string-literal unescaping)
+_TS_TOK = ("split(trim(regexp_replace(lower({c}), "
+           "'[ \\\\t\\\\n\\\\r\\\\f]+', ' ')), ' ')")
 
 
 def blocklist_hits(df: DataFrame, blocked: list[str],
@@ -406,7 +412,7 @@ def key_skew_report(df: DataFrame, key_col: str, top: int = 10
                     .alias("share_ppm"),
                     F.expr("CAST((n * n_keys * 1000000L) DIV total "
                            "AS BIGINT)").alias("vs_mean_ppm"))
-            .orderBy(F.desc("n_rows"), F.asc("key"))
+            .orderBy(F.desc("n_rows"), F.asc_nulls_last("key"))
             .limit(top))
 
 
