@@ -86,16 +86,32 @@ def _capped_pairs_duck(stacked_rel: str, cap: int = BUCKET_CAP) -> str:
         f"  WHERE st.c > {cap} AND s.id > st.m))")
 
 
-def _register(spark: SparkSession, sf_dir: str) -> None:
-    """Register the driver tables + derived views as temp views (idempotent)."""
+# last-registered sf_dir per live SparkSession (keyed by applicationId):
+# registering the 10 tables + 3 derived views costs ~1.1 s of driver-side
+# footer reads and view analysis, and every query entry calls _register —
+# under the bench's per-query timing that charged >1 s of pure setup to
+# EVERY query. Registration is only repeated when the sf_dir changes (or
+# the session does); `force=True` restores the views after a caller has
+# replaced any of them externally (the tests that synthesize their own
+# `transcripts`/`events` views never call back into query entries).
+_REGISTERED_SF: dict[str, str] = {}
+
+
+def _register(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register the driver tables + derived views as temp views
+    (idempotent and memoized per session; see _REGISTERED_SF)."""
     from cld2_spark.sources.transcripts import transcripts_view_sql
 
+    app = spark.sparkContext.applicationId
+    if not force and _REGISTERED_SF.get(app) == sf_dir:
+        return
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     spark.sql(transcripts_view_sql("spark", "documents")) \
         .createOrReplaceTempView("transcripts")
     spark.sql(DUP_DOCS_SQL).createOrReplaceTempView("dup_docs")
     spark.sql(DUP_EMBS_SQL["spark"]).createOrReplaceTempView("dup_embs")
+    _REGISTERED_SF[app] = sf_dir
 
 
 def _lsh_buckets_duck_sql() -> str:
@@ -2511,72 +2527,20 @@ WHERE FLOOR(v.inter * 100 / (sa.n + sb.n - v.inter)) >= 50"""
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: the correctness gate checks the FIRST 50 entries in
-    dict order.  The first 50 therefore hold the canonical query for every
-    operator family (flagship langid/keep_drop pipelines, multimodal decode,
-    every dedup algorithm, ANN scale path, ...); pure variants of an
-    already-covered family (alternate grouping of the same agg, alternate
-    band scheme, meta-only siblings of a decode query) sit past position 50
-    and are covered by tools/check_contract.py + pytest instead."""
+    dict order.  The window ROTATES between rounds so every query family
+    eventually gets a hard driver artifact (VERDICT r6 #2): round 7 keeps
+    the langid/keep_drop flagships at positions 1-2 and fills slots 3-50
+    with queries that had no driver row in round 6; the queries checked by
+    the round-6 driver sit past position 50 this round, still covered by
+    tools/check_contract.py + pytest."""
     return {
-        # -- flagship language-ID + quality-filter pipeline -----------------
+        # -- driver window (first 50): rotated for round 7 so the driver's
+        # correctness artifact covers queries that had no driver row in
+        # round 6 (VERDICT r6 next-round #2). langid/keep_drop stay at
+        # positions 1-2; slots 3-50 draw from the 77 r6-unchecked queries;
+        # every query remains declared and oracle-checked either way.
         "langid": _q_langid,
         "keep_drop": _q_keep_drop,
-        "lang_spans": _q_lang_spans,
-        "scrub_pii": _q_scrub_pii,
-        "quality_flags": _q_quality_flags,
-        "strip_html": _q_strip_html,
-        # -- transcript relational / window surface -------------------------
-        "turn_window": _q_turn_window,
-        "conv_rollup": _q_conv_rollup,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
-        # -- dedup family (one canonical query per algorithm) ----------------
-        "dedup_exact": _q_dedup_exact,
-        "minhash_pairs": _q_minhash_pairs,
-        "dedup_groups": _q_dedup_groups,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_jaccard": _q_dedup_jaccard,
-        "dedup_embedding": _q_dedup_embedding,
-        "dup_spans": _q_dup_spans,
-        "dedup_incremental": _q_dedup_incremental,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        # -- similarity / clustering -----------------------------------------
-        "ann_lsh": _q_ann_lsh,
-        "kmeans_clusters": _q_kmeans,
-        "semdedup": _q_semdedup,
-        # -- curation ---------------------------------------------------------
-        "token_stats": _q_token_stats,
-        "heavy_hitters": _q_heavy_hitters,
-        "group_sample_k": _q_group_sample_k,
-        "dataset_split": _q_dataset_split,
-        "decontam": _q_decontam,
-        "seq_pack": _q_seq_pack,
-        "quality_rank_filter": _q_quality_rank_filter,
-        "ccnet_buckets": _q_ccnet_buckets,
-        "dsir_select": _q_dsir_select,
-        "kanon_grams": _q_kanon_grams,
-        "curation_pipeline": _q_curation_pipeline,
-        "zorder_stats": _q_zorder_stats,
-        # -- graph -------------------------------------------------------------
-        "textrank_keywords": _q_textrank,
-        "classifier_train": _q_classifier_train,
-        "bpe_encode": _q_bpe_encode,
-        # -- events / streaming ----------------------------------------------
-        "events_stream": _q_events_stream,
-        "events_stream_join": _q_events_stream_join,
-        "event_quantiles": _q_event_quantiles,
-        "event_sessions": _q_event_sessions,
-        "event_asof": _q_event_asof,
-        "error_attribution": _q_error_attribution,
-        "funnel": _q_funnel,
-        # -- multimodal (real decode paths) -----------------------------------
-        "media_meta": _q_media_meta,
-        "media_features": _q_media_features,
-        "audio_features": _q_audio_features,
-        "jpeg_color_features": _q_jpeg_color_features,
-        "video_features": _q_video_features,
-        # ===== position 50+: variants of families already covered above =====
         "minhash_signatures": _q_minhash_signatures,
         "events_windowed": _q_events_windowed,
         "brand_revenue": _q_brand_revenue,
@@ -2625,6 +2589,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies": _q_event_anomalies,
         "rep_stats": _q_rep_stats,
         "corpus_shuffle": _q_corpus_shuffle,
+        # ===== position 50+: covered by the r6 driver artifact and/or
+        # tools/check_contract.py + pytest this round =====
+        "lang_spans": _q_lang_spans,
+        "scrub_pii": _q_scrub_pii,
+        "quality_flags": _q_quality_flags,
+        "strip_html": _q_strip_html,
+        "turn_window": _q_turn_window,
+        "conv_rollup": _q_conv_rollup,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_pairs": _q_minhash_pairs,
+        "dedup_groups": _q_dedup_groups,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_embedding": _q_dedup_embedding,
+        "dup_spans": _q_dup_spans,
+        "dedup_incremental": _q_dedup_incremental,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "ann_lsh": _q_ann_lsh,
+        "kmeans_clusters": _q_kmeans,
+        "semdedup": _q_semdedup,
+        "token_stats": _q_token_stats,
+        "heavy_hitters": _q_heavy_hitters,
+        "group_sample_k": _q_group_sample_k,
+        "dataset_split": _q_dataset_split,
+        "decontam": _q_decontam,
+        "seq_pack": _q_seq_pack,
+        "quality_rank_filter": _q_quality_rank_filter,
+        "ccnet_buckets": _q_ccnet_buckets,
+        "dsir_select": _q_dsir_select,
+        "kanon_grams": _q_kanon_grams,
+        "curation_pipeline": _q_curation_pipeline,
+        "zorder_stats": _q_zorder_stats,
+        "textrank_keywords": _q_textrank,
+        "classifier_train": _q_classifier_train,
+        "bpe_encode": _q_bpe_encode,
+        "events_stream": _q_events_stream,
+        "events_stream_join": _q_events_stream_join,
+        "event_quantiles": _q_event_quantiles,
+        "event_sessions": _q_event_sessions,
+        "event_asof": _q_event_asof,
+        "error_attribution": _q_error_attribution,
+        "funnel": _q_funnel,
+        "media_meta": _q_media_meta,
+        "media_features": _q_media_features,
+        "audio_features": _q_audio_features,
+        "jpeg_color_features": _q_jpeg_color_features,
+        "video_features": _q_video_features,
         "viewers_not_buyers": _q_viewers_not_buyers,
         "shipping_priority": _q_shipping_priority,
         "order_distribution": _q_order_distribution,
