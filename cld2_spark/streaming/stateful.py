@@ -89,16 +89,20 @@ def update_conversation_state(key: tuple, pdfs: Iterator[pd.DataFrame],
 def start_conversation_state_stream(spark, source_dir: str, sink_dir: str,
                                     checkpoint_dir: str,
                                     watermark: str = "10 minutes",
-                                    trigger_once: bool = True):
+                                    trigger_once: bool = True,
+                                    max_files_per_trigger: int | None = None):
     """readStream -> per-turn pipeline -> keyed running conversation state.
 
     Emits one rollup row per (conversation, micro-batch) to the sink; the
     latest row per conversation is the current verdict.
+    `max_files_per_trigger` forces one-file micro-batches so tests can
+    drive watermark advances batch by batch.
     """
     from cld2_spark.pipeline.stages import run_pipeline
     from cld2_spark.streaming.stream import stream_transcripts
 
-    src = stream_transcripts(spark, source_dir, watermark)
+    src = stream_transcripts(spark, source_dir, watermark,
+                             max_files_per_trigger)
 
     def sink(batch_df, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(sink_dir)
